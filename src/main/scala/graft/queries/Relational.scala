@@ -1,0 +1,520 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.sources.Tables
+
+/** Pack A — warehouse-grade relational query core (SURVEY.md §2.A).
+  *
+  * The reference activates pipeline output into warehouses/BI tools
+  * (kassette-server `destinations/warehouseutils.go`: RS/BQ/Snowflake/
+  * Clickhouse/…; `integrations/powerbi`), so the Spark engine must own
+  * warehouse-grade SQL. TPC-H-shaped over the driver's testdata.
+  *
+  * Numeric policy (correctness-gate exactness): monetary doubles are
+  * cast to DECIMAL before SUM so aggregation is exact integer-scaled
+  * arithmetic in both Spark and the DuckDB oracle, then the final
+  * value is cast back to DOUBLE — bit-identical on both sides,
+  * independent of partial-aggregation order. Ratios divide the exact
+  * decimal sums as doubles and round(4). Every query ends in a total
+  * ORDER BY so row order is deterministic.
+  *
+  * Scale notes: dims (region/nation/supplier/part/customer) are
+  * explicit `broadcast()`s — at 100 TB lineitem/orders/events are the
+  * only shuffle-bearing tables; every groupBy below is partial-agg
+  * friendly (no distinct-on-fact except q20, documented there).
+  */
+object Relational {
+
+  private def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  /** exact decimal SUM surfaced as double */
+  private def dsum(c: Column): Column = dbl(sum(money(c)))
+  /** average from exact decimal sum — deterministic double division */
+  private def davg(c: Column): Column = round(dbl(sum(money(c))) / count(lit(1)), 4)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q1
+  private val q1: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("sum_disc_price"),
+        dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) * (lit(1) + rate(col("l_tax"))))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        round(dbl(sum(rate(col("l_discount")))) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  private val q2: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_size") >= 25 && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+
+  private val q2Sql =
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_size >= 25 AND p_type <> 'PROMO' ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  private val q3: Q = (s, d) => {
+    val cust = broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  // EXISTS semi-join: orders with at least one lineitem shipped after
+  // the order date (reference Q4 shape; testdata lacks commit/receipt
+  // dates). left_semi keeps it a true semi-join (no fact blow-up).
+  private val q4: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  private val q5: Q = (s, d) => {
+    val region = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+    val nation = broadcast(Tables.nation(s, d))
+    val supp = broadcast(Tables.supplier(s, d))
+    val cust = broadcast(Tables.customer(s, d))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  private val q6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .filter(col("l_discount") >= lit(0.02).cast(DoubleType) && col("l_discount") <= lit(0.06).cast(DoubleType))
+      .filter(col("l_quantity") < 24)
+      .agg(
+        dbl(sum(money(col("l_extendedprice")) * rate(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.06 AS DOUBLE)
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  private val q7: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select("s_nationkey", "rnk", "s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_nationkey", "rnk", "s_suppkey")
+  }
+
+  private val q7Sql =
+    """SELECT s_nationkey, rnk, s_suppkey, s_name, s_acctbal FROM (
+      | SELECT *, RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+      | FROM supplier) t
+      |WHERE rnk <= 3 ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  private val q9: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select("o_custkey")
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val q9Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  private val q10: Q = (s, d) => {
+    val cust = broadcast(Tables.customer(s, d))
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal")
+      .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, c_acctbal,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  private val q12: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  private val q13: Q = (s, d) => {
+    val ord = Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    val perCust = Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      | FROM customer LEFT OUTER JOIN orders
+      |   ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      | GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  private val q14: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_acctbal") > 9500)
+      .select(lit("customer").as("entity"), col("c_custkey").as("entity_id"), dbl(col("c_acctbal")).as("balance"))
+    val supp = Tables.supplier(s, d).filter(col("s_acctbal") > 1000)
+      .select(lit("supplier").as("entity"), col("s_suppkey").as("entity_id"), dbl(col("s_acctbal")).as("balance"))
+    cust.unionAll(supp).orderBy("entity", "entity_id")
+  }
+
+  private val q14Sql =
+    """SELECT * FROM (
+      | SELECT 'customer' AS entity, c_custkey AS entity_id, CAST(c_acctbal AS DOUBLE) AS balance
+      | FROM customer WHERE c_acctbal > 9500
+      | UNION ALL
+      | SELECT 'supplier' AS entity, s_suppkey AS entity_id, CAST(s_acctbal AS DOUBLE) AS balance
+      | FROM supplier WHERE s_acctbal > 1000) t
+      |ORDER BY entity, entity_id""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  private val q15: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      | SELECT l_suppkey AS supplier_no,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  // ROLLUP with coalesced keys: sidesteps NULL-ordering divergence
+  // between engines and keeps the hash stable.
+  private val q16: Q = (s, d) =>
+    Tables.part(s, d)
+      .rollup("p_type", "p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_retail"))
+      .select(
+        coalesce(col("p_type"), lit("_all_")).as("p_type"),
+        coalesce(col("p_brand"), lit("_all_")).as("p_brand"),
+        col("n_parts"), col("sum_retail"))
+      .orderBy("p_type", "p_brand")
+
+  private val q16Sql =
+    """SELECT COALESCE(p_type, '_all_') AS p_type, COALESCE(p_brand, '_all_') AS p_brand,
+      | COUNT(*) AS n_parts,
+      | CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_retail
+      |FROM part GROUP BY ROLLUP(p_type, p_brand)
+      |ORDER BY COALESCE(p_type, '_all_'), COALESCE(p_brand, '_all_')""".stripMargin
+
+  // --------------------------------------------------------------- q17
+  private val q17: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+    val part = broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#11").select("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q17Sql =
+    """SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+      | COUNT(*) AS n
+      |FROM lineitem l
+      | JOIN part p ON p.p_partkey = l.l_partkey
+      | JOIN (SELECT l_partkey AS ap_partkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |       FROM lineitem GROUP BY l_partkey) a ON a.ap_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  private val q18: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val cust = broadcast(Tables.customer(s, d).select("c_custkey", "c_name"))
+    Tables.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      | JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |       FROM lineitem GROUP BY l_orderkey
+      |       HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150) b
+      |   ON o_orderkey = b.l_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q19
+  private val q19: Q = (s, d) => {
+    val part = broadcast(Tables.part(s, d))
+    Tables.lineitem(s, d)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11) && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#21" && col("l_quantity").between(10, 20) && col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#25" && col("l_quantity").between(20, 30) && col("p_size").between(1, 35)))
+      .agg(
+        dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q19Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+      |   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 35)""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  // count(DISTINCT) on the fact table: Spark plans this as a two-phase
+  // expand+agg (partial per-partition distinct) — fine at scale.
+  private val q20: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_lines"))
+      .orderBy("l_suppkey")
+
+  private val q20Sql =
+    """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- q21
+  // GROUPING SETS ((status, priority), (status), ()) — expressed
+  // Spark-first as a union of partial-agg-friendly groupBys (identical
+  // semantics, no Expand blow-up of the fact rows).
+  private val q21: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val fine = ord.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    val byStatus = ord.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("o_orderpriority", lit("_all_"))
+      .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_price")
+    val total = ord.agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("o_orderstatus", lit("_all_"))
+      .withColumn("o_orderpriority", lit("_all_"))
+      .select("o_orderstatus", "o_orderpriority", "n_orders", "sum_price")
+    fine.unionAll(byStatus).unionAll(total).orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  private val q21Sql =
+    """SELECT COALESCE(o_orderstatus, '_all_') AS o_orderstatus,
+      | COALESCE(o_orderpriority, '_all_') AS o_orderpriority,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY COALESCE(o_orderstatus, '_all_'), COALESCE(o_orderpriority, '_all_')""".stripMargin
+
+  // --------------------------------------------------------------- q22
+  private val q22: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_all_")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("l_linestatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q22Sql =
+    """SELECT COALESCE(l_returnflag, '_all_') AS l_returnflag,
+      | COALESCE(l_linestatus, '_all_') AS l_linestatus,
+      | COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY COALESCE(l_returnflag, '_all_'), COALESCE(l_linestatus, '_all_')""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1,
+    "q2_filter_project" -> q2,
+    "q3_shipping_priority" -> q3,
+    "q4_order_priority" -> q4,
+    "q5_local_supplier" -> q5,
+    "q6_revenue_delta" -> q6,
+    "q7_window_rank" -> q7,
+    "q9_anti_join" -> q9,
+    "q10_returned_items" -> q10,
+    "q12_case_agg" -> q12,
+    "q13_order_dist" -> q13,
+    "q14_union_blend" -> q14,
+    "q15_top_supplier" -> q15,
+    "q16_rollup" -> q16,
+    "q17_avg_qty_sub" -> q17,
+    "q18_large_orders" -> q18,
+    "q19_disjunctive" -> q19,
+    "q20_distinct_topk" -> q20,
+    "q21_grouping_sets" -> q21,
+    "q22_cube" -> q22)
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q4_order_priority" -> q4Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q6_revenue_delta" -> q6Sql,
+    "q7_window_rank" -> q7Sql,
+    "q9_anti_join" -> q9Sql,
+    "q10_returned_items" -> q10Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_order_dist" -> q13Sql,
+    "q14_union_blend" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_avg_qty_sub" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
+    "q20_distinct_topk" -> q20Sql,
+    "q21_grouping_sets" -> q21Sql,
+    "q22_cube" -> q22Sql)
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's correctness gate.
+
+Runs graft.Verify at a given sf dir, then replays each oracle SQL in
+DuckDB against the same parquet tables and compares row count, column
+names, and exact values (sorted by all columns, column-name order).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import json, math, sys, subprocess, glob, os
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+args = sys.argv[3:]
+skip = "--skip-verify" in args
+only = [a for a in args if not a.startswith("--")]
+
+if not skip:
+    r = subprocess.run(["sbt", f'runMain graft.Verify {sf} {out}'],
+                       capture_output=True, text=True, cwd="/root/repo")
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails, passes, rows_only = [], [], []
+names = only or sorted(os.listdir(out))
+for name in names:
+    pdir = f"{out}/{name}"
+    if not os.path.isdir(pdir):
+        continue
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        fails.append((name, "no parquet written")); continue
+    got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+    if name not in oracle:
+        rows_only.append((name, len(got))); continue
+    try:
+        want = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}")); continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        fails.append((name, f"columns differ: spark={gc} oracle={wc}")); continue
+    got, want = got[gc], want[wc]
+    if len(got) != len(want):
+        fails.append((name, f"rowcount differ: spark={len(got)} oracle={len(want)}")); continue
+    g = got.sort_values(by=gc, ignore_index=True)
+    w = want.sort_values(by=wc, ignore_index=True)
+    bad = None
+    for c in gc:
+        gv, wv = g[c].tolist(), w[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            eq = (a == b) or (a is None and b is None)
+            try:
+                if not eq and isinstance(a, float) and isinstance(b, float):
+                    eq = (math.isnan(a) and math.isnan(b)) or a == b
+            except Exception:
+                pass
+            if not eq and str(a) == str(b):
+                eq = True
+            if not eq:
+                bad = f"col {c} row {i}: spark={a!r} oracle={b!r}"
+                break
+        if bad: break
+    if bad: fails.append((name, bad))
+    else: passes.append(name)
+
+print(f"PASS ({len(passes)}):", " ".join(passes))
+for n, c in rows_only:
+    print(f"ROWS-ONLY: {n} rows={c}")
+for n, m in fails:
+    print(f"FAIL: {n}: {m}")
+sys.exit(1 if fails else 0)
