@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The jobsdb status machine re-expressed over an append-only status
+  * ledger (kassette-server jobs/jobsdb.go: job_status table, states
+  * waiting/executing/succeeded/failed/waiting_retry/aborted;
+  * GetUnprocessed/GetToRetry; maxRetryNumber).
+  *
+  * The reference mutates Postgres rows; at 100 TB the Spark-native
+  * shape is an immutable event ledger + derived views. `latest` uses
+  * max_by-style aggregation (max of a struct) instead of
+  * row_number+filter: a struct-max supports partial (map-side)
+  * aggregation, so the shuffle carries one row per key per input
+  * partition instead of the whole ledger.
+  */
+object JobLedger {
+
+  /** Latest status per job: argmax over (tsMs, tieBreak).
+    * Emits jobCol, last_<statusCol>, last_ms. */
+  def latest(df: DataFrame, jobCol: String, statusCol: String,
+             tsMsCol: String, tieBreakCol: String): DataFrame =
+    df.groupBy(col(jobCol))
+      .agg(max(struct(col(tsMsCol), col(tieBreakCol), col(statusCol))).as("_top"))
+      .select(
+        col(jobCol),
+        col(s"_top.$statusCol").as(s"last_$statusCol"),
+        col(s"_top.$tsMsCol").as("last_ms"))
+
+  /** GetToRetry analogue: jobs whose latest status is `failedValue`
+    * and attempt count (occurrences of failedValue) < maxRetry. */
+  def toRetry(df: DataFrame, jobCol: String, statusCol: String,
+              tsMsCol: String, tieBreakCol: String,
+              failedValue: String, maxRetry: Int): DataFrame = {
+    val attempts = df.filter(col(statusCol) === failedValue)
+      .groupBy(col(jobCol)).agg(count(lit(1)).as("attempts"))
+    latest(df, jobCol, statusCol, tsMsCol, tieBreakCol)
+      .filter(col(s"last_$statusCol") === failedValue)
+      .join(attempts, jobCol)
+      .filter(col("attempts") < maxRetry)
+      .select(col(jobCol), col("attempts"), col("last_ms"))
+  }
+
+  /** Dead-letter view: jobs that accumulated >= maxRetry failures →
+    * aborted (jobsdb.go maxRetryNumber / AbortedState). */
+  def deadLetter(df: DataFrame, jobCol: String, statusCol: String,
+                 tsMsCol: String, failedValue: String, maxRetry: Int): DataFrame =
+    df.filter(col(statusCol) === failedValue)
+      .groupBy(col(jobCol))
+      .agg(
+        count(lit(1)).as("attempts"),
+        min(col(tsMsCol)).as("first_fail_ms"),
+        max(col(tsMsCol)).as("last_fail_ms"))
+      .filter(col("attempts") >= maxRetry)
+}

@@ -1,11 +1,298 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model._
+import graft.operators._
+import graft.sources.Tables
 
-/** Pack B — Kassette pipeline operators (SURVEY.md §2.B). Filled in
-  * incrementally; see operators/ for the underlying transforms. */
+/** Pack B — the reference's pipeline semantics as Spark operators
+  * (SURVEY.md §2.B), exercised over the `events` table. Each query
+  * drives a reusable operator from graft.operators / graft.functions;
+  * the DuckDB oracle mirrors the semantics exactly.
+  *
+  * Canonical event time is `ts_ms` (epoch millis BIGINT — see
+  * sources.Tables: events.parquet carries ns timestamps that Spark
+  * and DuckDB floor identically to ms), so no timestamp-precision
+  * ambiguity ever reaches the correctness gate.
+  */
+object LedgerDefaults {
+  /** jobdb.maxRetryNumber analogue used by the retry/DLQ views. */
+  val MaxRetry = 3
+}
+
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val tsMsSql = "epoch_ns(ts)//1000000"
+
+  // ------------------------------------------------------ p_field_map
+  private val fieldMap: Q = (s, d) =>
+    TransformRules(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts_ms"),
+      Seq(FieldMap("event_id", "message_id"), FieldMap("user_id", "actor_id"),
+        FieldMap("event_type", "action"), FieldMap("value", "amount")))
+      .orderBy("message_id")
+
+  private val fieldMapSql =
+    s"""SELECT event_id AS message_id, user_id AS actor_id, event_type AS action,
+       | value AS amount, $tsMsSql AS ts_ms
+       |FROM events ORDER BY message_id""".stripMargin
+
+  // ----------------------------------------------------- p_field_hide
+  private val fieldHide: Q = (s, d) =>
+    TransformRules(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts_ms", "props"),
+      Seq(FieldHide("props")))
+      .orderBy("event_id")
+
+  private val fieldHideSql =
+    s"""SELECT event_id, user_id, event_type, value, $tsMsSql AS ts_ms
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- p_field_delete
+  private val fieldDelete: Q = (s, d) =>
+    TransformRules(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "ts_ms"),
+      Seq(FieldDelete("event_type", "error")))
+      .orderBy("event_id")
+
+  private val fieldDeleteSql =
+    s"""SELECT event_id, user_id, event_type, $tsMsSql AS ts_ms
+       |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- p_cast_semantics
+  private val castSemantics: Q = (s, d) => {
+    import graft.functions.KassetteCasts._
+    val ev = Tables.events(s, d)
+    ev.select(
+      col("event_id"),
+      toInt(col("value"), DoubleType).as("int_val"),
+      toInt(regexp_extract(col("props"), "\"k\": (\\d+)", 1), StringType).as("k_int"),
+      toBool(col("event_type"), StringType).as("bool_val"),
+      toInt(col("event_type") === "error", BooleanType).as("flag_int"),
+      toStringCol(col("value")).as("str_val"))
+      .orderBy("event_id")
+  }
+
+  private val castSemanticsSql =
+    """SELECT event_id,
+      | CAST(TRUNC(value) AS BIGINT) AS int_val,
+      | TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_int,
+      | event_type = 'true' AS bool_val,
+      | CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS flag_int,
+      | CAST(value AS VARCHAR) AS str_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------- p_envelope
+  // Gateway enveloping: MD5 message ids (misc.go:91 GetMD5UUID),
+  // receivedAt stamping, request_ip (gateway.go / processor.go:199).
+  private val envelope: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      md5(concat(lit("evt:"), col("event_id").cast(StringType), lit(":"), col("event_type"))).as("message_id"),
+      (col("ts_ms") + 250L).as("received_ms"),
+      lit("127.0.0.1").as("request_ip"))
+      .orderBy("event_id")
+
+  private val envelopeSql =
+    s"""SELECT event_id,
+       | md5('evt:' || CAST(event_id AS VARCHAR) || ':' || event_type) AS message_id,
+       | $tsMsSql + 250 AS received_ms,
+       | '127.0.0.1' AS request_ip
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------- p_timestamp_skew
+  // processor.go:205: timestamp = receivedAt - (sentAt - originalTimestamp).
+  // sentAt/receivedAt derived deterministically from the event payload.
+  private val tsSkew: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("orig_ms", col("ts_ms"))
+      // Spark double→long cast truncates toward zero (DuckDB CAST
+      // rounds, hence TRUNC on the oracle side)
+      .withColumn("sent_ms", col("ts_ms") + expr("cast(value * 1000 as bigint)"))
+      .withColumn("recv_ms", col("sent_ms") + 250L)
+    ev.select(col("event_id"), col("orig_ms"), col("sent_ms"), col("recv_ms"),
+        (col("recv_ms") - (col("sent_ms") - col("orig_ms"))).as("fixed_ms"))
+      .orderBy("event_id")
+  }
+
+  private val tsSkewSql =
+    s"""WITH t AS (SELECT event_id, $tsMsSql AS orig_ms,
+       |  $tsMsSql + CAST(TRUNC(value * 1000) AS BIGINT) AS sent_ms
+       | FROM events)
+       |SELECT event_id, orig_ms, sent_ms, sent_ms + 250 AS recv_ms,
+       | (sent_ms + 250) - (sent_ms - orig_ms) AS fixed_ms
+       |FROM t ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- p_sessionize
+  private val sessionize: Q = (s, d) =>
+    Sessionize.summarize(Tables.events(s, d), "user_id", "ts_ms",
+        gapMs = 1800000L, orderCols = Seq("ts_ms", "event_id"))
+      .orderBy("user_id", "session_seq")
+
+  private val sessionizeSql =
+    s"""WITH g AS (
+       | SELECT user_id, event_id, $tsMsSql AS ts_ms,
+       |  CASE WHEN LAG($tsMsSql) OVER w IS NULL
+       |        OR $tsMsSql - LAG($tsMsSql) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $tsMsSql, event_id)),
+       |sess AS (
+       | SELECT user_id, ts_ms,
+       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+       | FROM g)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // -------------------------------------------- p_job_latest_status
+  private val latestStatus: Q = (s, d) =>
+    JobLedger.latest(Tables.events(s, d), "user_id", "event_type", "ts_ms", "event_id")
+      .orderBy("user_id")
+
+  private val latestStatusSql =
+    s"""SELECT user_id, event_type AS last_event_type, ts_ms AS last_ms FROM (
+       | SELECT user_id, event_type, $tsMsSql AS ts_ms,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY $tsMsSql DESC, event_id DESC) AS rn
+       | FROM events) t
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------ p_retry_select
+  private val retrySelect: Q = (s, d) =>
+    JobLedger.toRetry(Tables.events(s, d), "user_id", "event_type", "ts_ms",
+        "event_id", failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
+      .orderBy("user_id")
+
+  private val retrySelectSql =
+    s"""WITH latest AS (
+       | SELECT user_id, event_type AS last_event, ts_ms AS last_ms FROM (
+       |  SELECT user_id, event_type, $tsMsSql AS ts_ms,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY $tsMsSql DESC, event_id DESC) AS rn
+       |  FROM events) t WHERE rn = 1),
+       |errs AS (
+       | SELECT user_id, COUNT(*) AS attempts FROM events
+       | WHERE event_type = 'error' GROUP BY user_id)
+       |SELECT l.user_id, e.attempts, l.last_ms
+       |FROM latest l JOIN errs e ON l.user_id = e.user_id
+       |WHERE l.last_event = 'error' AND e.attempts < ${LedgerDefaults.MaxRetry}
+       |ORDER BY l.user_id""".stripMargin
+
+  // ------------------------------------------------ p_dlq_aborted
+  private val dlq: Q = (s, d) =>
+    JobLedger.deadLetter(Tables.events(s, d), "user_id", "event_type", "ts_ms",
+        failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
+      .orderBy("user_id")
+
+  private val dlqSql =
+    s"""SELECT user_id, COUNT(*) AS attempts,
+       | MIN($tsMsSql) AS first_fail_ms, MAX($tsMsSql) AS last_fail_ms
+       |FROM events WHERE event_type = 'error'
+       |GROUP BY user_id HAVING COUNT(*) >= ${LedgerDefaults.MaxRetry}
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------- p_router_fanout
+  private val routerFanout: Q = (s, d) =>
+    Router.fanoutStats(Tables.events(s, d), "event_type", "value", "user_id")
+      .orderBy("event_type")
+
+  private val routerFanoutSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_amount,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------- p_batch_assign
+  private val batchAssign: Q = (s, d) =>
+    Router.batchSummary(Tables.events(s, d), "event_type", "event_id", size = 10)
+      .orderBy("event_type", "batch_id")
+
+  private val batchAssignSql =
+    """SELECT event_type, batch_id, COUNT(*) AS n_in_batch,
+      | MIN(event_id) AS first_id, MAX(event_id) AS last_id
+      |FROM (
+      | SELECT event_type, event_id,
+      |  (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 10 AS batch_id
+      | FROM events) t
+      |GROUP BY event_type, batch_id ORDER BY event_type, batch_id""".stripMargin
+
+  // ----------------------------------------- p_incremental_window
+  // camunda/extract.go:140-151: poll the [from, to) window, tag each
+  // record with its kassetteType. 2024-01-10T00:00:00Z .. +1 day.
+  private val incremental: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("ts_ms") >= 1704844800000L && col("ts_ms") < 1704931200000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"),
+        lit("activity-instance").as("kassette_type"))
+      .orderBy("event_id")
+
+  private val incrementalSql =
+    s"""SELECT event_id, user_id, event_type, $tsMsSql AS ts_ms,
+       | 'activity-instance' AS kassette_type
+       |FROM events
+       |WHERE $tsMsSql >= 1704844800000 AND $tsMsSql < 1704931200000
+       |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------- p_dedup_exact
+  private val dedupExact: Q = (s, d) =>
+    Dedup.keepFirst(Tables.events(s, d), Seq("user_id", "event_type"),
+        orderCol = "event_id", tsMsCol = "ts_ms")
+      .orderBy("user_id", "event_type")
+
+  private val dedupExactSql =
+    s"""SELECT user_id, event_type, MIN(event_id) AS keeper_id,
+       | COUNT(*) AS n_dups, MIN($tsMsSql) AS first_ms
+       |FROM events GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
+
+  // ----------------------------------------------- p_schema_project
+  private val schemaProject: Q = (s, d) =>
+    TransformRules.projectToSchema(
+      Tables.events(s, d),
+      TableSchema("dest_events", Seq(
+        SchemaField("event_id", "INT", primaryKey = true),
+        SchemaField("event_type", "STRING"),
+        SchemaField("value", "FLOAT"))))
+      .orderBy("event_id")
+
+  private val schemaProjectSql =
+    """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "p_field_map" -> fieldMap,
+    "p_field_hide" -> fieldHide,
+    "p_field_delete" -> fieldDelete,
+    "p_cast_semantics" -> castSemantics,
+    "p_envelope" -> envelope,
+    "p_timestamp_skew" -> tsSkew,
+    "p_sessionize" -> sessionize,
+    "p_job_latest_status" -> latestStatus,
+    "p_retry_select" -> retrySelect,
+    "p_dlq_aborted" -> dlq,
+    "p_router_fanout" -> routerFanout,
+    "p_batch_assign" -> batchAssign,
+    "p_incremental_window" -> incremental,
+    "p_dedup_exact" -> dedupExact,
+    "p_schema_project" -> schemaProject)
+
+  val oracle: Map[String, String] = Map(
+    "p_field_map" -> fieldMapSql,
+    "p_field_hide" -> fieldHideSql,
+    "p_field_delete" -> fieldDeleteSql,
+    "p_cast_semantics" -> castSemanticsSql,
+    "p_envelope" -> envelopeSql,
+    "p_timestamp_skew" -> tsSkewSql,
+    "p_sessionize" -> sessionizeSql,
+    "p_job_latest_status" -> latestStatusSql,
+    "p_retry_select" -> retrySelectSql,
+    "p_dlq_aborted" -> dlqSql,
+    "p_router_fanout" -> routerFanoutSql,
+    "p_batch_assign" -> batchAssignSql,
+    "p_incremental_window" -> incrementalSql,
+    "p_dedup_exact" -> dedupExactSql,
+    "p_schema_project" -> schemaProjectSql)
 }
