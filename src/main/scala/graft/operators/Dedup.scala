@@ -36,11 +36,13 @@ object Dedup {
     * no shuffle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
+    // n-k+1 shingles at start positions 1..n-k+1 (guarded: Spark's
+    // sequence() runs DESCENDING when stop < start, so short docs
+    // must yield an empty array explicitly)
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
     df.select(col(idCol),
-        explode(
-          transform(sequence(lit(0), greatest(size(toks) - k, lit(0)) - 1),
-            i => array_join(slice(toks, i + 1, lit(k)), " "))).as("shingle"))
-      .filter(length(col("shingle")) > 0)
+        explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
   }
 
   /** MinHash signature rows: for each of `numPerms` hash permutations,

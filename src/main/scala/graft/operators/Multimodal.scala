@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.C): media as opaque
+  * `binary` columns + typed metadata, with partition-batched decode.
+  *
+  * The decode itself is STUBBED (no image/audio libs in this
+  * container): `decodeStub` is a deterministic fake that reads real
+  * bytes and emits real features, so the Spark-side contract —
+  * schema, encoders, mapPartitions batching (one "codec init" per
+  * partition, like a Pandas-UDF batch), partition sizing — is real
+  * and tested; swapping in an actual codec changes only the body of
+  * `decodeOne`.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class MediaFeatures(doc_id: Long, byte_len: Int, mean_byte: Double,
+                           width: Int, height: Int, aspect_q: Double)
+
+  /** Attach a deterministic fake payload + metadata to documents
+    * (payload = md5 bytes of the text; metadata derived from doc_id).
+    * In production this column comes straight from the lake. */
+  def attachPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      ((col("doc_id") % 64) + 16).cast("int").as("width"),
+      ((col("doc_id") % 48) + 16).cast("int").as("height"))
+
+  // --- the stubbed decode: deterministic, container-runnable -------
+  private def decodeOne(r: MediaRecord): MediaFeatures = {
+    // ??? real codec goes here; deterministic fake reads the bytes:
+    val len = r.payload.length
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += (r.payload(i) & 0xff); i += 1 }
+    val mean = if (len == 0) 0.0 else sum.toDouble / len
+    MediaFeatures(r.doc_id, len, math.rint(mean * 100) / 100,
+      r.width, r.height, math.rint(r.width.toDouble / r.height * 1000) / 1000)
+  }
+
+  /** Partition-batched decode — the mapInPandas-equivalent shape:
+    * per-partition init happens once (codec/model load), rows stream
+    * through without per-row setup cost. */
+  def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    media.mapPartitions { it =>
+      // per-partition "codec init" would run here, once
+      it.map(decodeOne)
+    }(Encoders.product[MediaFeatures])
+
+  /** End-to-end: documents → payload column → typed dataset →
+    * batched decode → features frame. */
+  def features(documents: DataFrame): DataFrame = {
+    val ds = attachPayload(documents).as[MediaRecord](Encoders.product[MediaRecord])
+    decode(ds).toDF()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.C).
+  *
+  * `bruteForceTopK` is the exact O(|Q|·n) baseline: correct at any
+  * selectivity, but the candidate side is a full scan — use it only
+  * when |Q| is small or as the rerank stage. `lshTopK` is the scale
+  * path: random-hyperplane buckets (one projection pass, one shuffle
+  * on the bucket key) shrink the candidate set to a bucket before the
+  * exact rerank — at 100 TB the bucket join replaces the full
+  * cross-product with an equi-join Spark can hash-partition.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row (queries broadcast —
+    * the big side streams, never shuffles). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec")))
+    val c = candidates.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplanes (LCG seeded — no
+    * runtime entropy, reproducible across runs/engines). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Seq.fill(numPlanes)(Seq.fill(dim)(if ((next() >>> 33) % 2 == 0) 1.0 else -1.0))
+  }
+
+  /** Sign-bit bucket id from `numPlanes` hyperplane projections. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      signBit(vec, h) * lit(1 << j)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: bucket join then exact rerank within bucket.
+    * Recall < 1 by construction; `numPlanes` trades recall for
+    * bucket size (candidates/2^planes expected). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = broadcast(queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), planes)))
+    val c = candidates.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), planes))
+    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Near-duplicate pairs by cosine within a blocking key (label /
+    * cluster / LSH bucket) — the blocking key keeps the self-join
+    * from going quadratic across the whole corpus. */
+  def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol), col(blockCol), asDouble(col(vecCol)).as("v"))
+    val a = base.select(col(idCol).as("id1"), col(blockCol).as("blk"), col("v").as("v1"))
+    val b = base.select(col(idCol).as("id2"), col(blockCol).as("blk"), col("v").as("v2"))
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

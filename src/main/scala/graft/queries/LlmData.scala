@@ -1,10 +1,264 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.operators._
+import graft.sources.Tables
 
-/** Pack C — LLM-training-data operators (SURVEY.md §2.C). */
+/** Pack C — LLM-training-data operators (SURVEY.md §2.C) over the
+  * `documents` and `embeddings` tables. Oracle-checked where DuckDB
+  * can express the same computation; rows-only where the operator is
+  * inherently engine-native (SimHash expression, LSH ANN).
+  */
 object LlmData {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  // ------------------------------------------------------ d_exact_dup
+  private val exactDup: Q = (s, d) =>
+    Dedup.byContentHash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("content_hash")
+
+  private val exactDupSql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------- d_minhash_lsh
+  private val minhashLsh: Q = (s, d) =>
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerms = 16, rowsPerBand = 4)
+      .orderBy("id1", "id2")
+
+  private val minhashLshSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+      |shp AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
+      |mh AS (SELECT doc_id, perm,
+      |        MIN(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS mh
+      |       FROM shp GROUP BY doc_id, perm),
+      |bands AS (SELECT doc_id, perm // 4 AS band,
+      |           md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
+      |               ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
+      |          FROM mh GROUP BY doc_id, perm // 4)
+      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
+  // -------------------------------------------------------- d_simhash
+  // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
+  // rows-only check. Emits fingerprint + a 16-bit band for bucketing.
+  private val simhash: Q = (s, d) => {
+    graft.plans.SimHash64.register(s)
+    Tables.documents(s, d)
+      .withColumn("tokens", split(lower(col("text")), " "))
+      .withColumn("simhash", expr("simhash64(tokens)"))
+      .select(col("doc_id"), col("simhash"),
+        expr("simhash & 65535").as("band16"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------- d_ngram_jaccard
+  private val ngramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        k = 3, maxDocFreq = 50, minJaccard = 0.1)
+      .orderBy("id1", "id2")
+
+  private val ngramJaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |sh0 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+      |         JOIN (SELECT shingle FROM sh GROUP BY shingle
+      |               HAVING COUNT(DISTINCT doc_id) <= 50) f USING (shingle)),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |          FROM rare a JOIN rare b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2, n_inter,
+      |  ROUND(CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter), 6) AS jaccard
+      |FROM inter
+      | JOIN sizes s1 ON s1.doc_id = id1
+      | JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE ROUND(CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter), 6) >= 0.1
+      |ORDER BY id1, id2""".stripMargin
+
+  // --------------------------------------------- d_embedding_neardup
+  private val embNearDup: Q = (s, d) =>
+    Similarity.cosineNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.35)
+      .orderBy("id1", "id2")
+
+  private val embNearDupSql =
+    """WITH flat AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |               unnest(generate_series(1, len(embedding))) AS i
+      |              FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.x*b.x) AS dot
+      |          FROM flat a JOIN flat b
+      |            ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      |          GROUP BY a.vec_id, b.vec_id),
+      |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id)
+      |SELECT id1, id2, ROUND(dot/(n1.nrm*n2.nrm), 6) AS cos_sim
+      |FROM pairs JOIN norms n1 ON id1 = n1.vec_id JOIN norms n2 ON id2 = n2.vec_id
+      |WHERE ROUND(dot/(n1.nrm*n2.nrm), 6) >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+
+  // ---------------------------------------------------- s_cosine_topk
+  private val cosineTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3)
+      .orderBy("qid", "rnk")
+  }
+
+  private val cosineTopKSql =
+    """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |               unnest(generate_series(1, len(embedding))) AS i
+      |              FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+      |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x*c.x) AS dot
+      |         FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |         WHERE q.vec_id < 10
+      |         GROUP BY q.vec_id, c.vec_id),
+      |scored AS (SELECT qid, cid, ROUND(dot/(nq.nrm*nc.nrm), 6) AS cos_sim
+      |           FROM dots JOIN norms nq ON qid = nq.vec_id
+      |                     JOIN norms nc ON cid = nc.vec_id),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |            ORDER BY cos_sim DESC, cid) AS rnk FROM scored)
+      |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
+
+  // ------------------------------------------------------- s_lsh_topk
+  // Approximate by construction → rows-only.
+  private val lshTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3, numPlanes = 4, dim = 64)
+      .orderBy("qid", "rnk")
+  }
+
+  // --------------------------------------------------------- t_langid
+  private val langid: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      T.markerScore(t, "en").as("s_en"), T.markerScore(t, "de").as("s_de"),
+      T.markerScore(t, "es").as("s_es"), T.markerScore(t, "fr").as("s_fr"),
+      T.langId(t).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val langidSql =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS s_en,
+      | len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+      | len(regexp_extract_all(text, '\b(el|la|los|de|que)\b')) AS s_es,
+      | len(regexp_extract_all(text, '\b(le|la|les|et|des)\b')) AS s_fr,
+      | CASE
+      |  WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'en'
+      |  WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que)\b'))
+      |   AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'de'
+      |  WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'es'
+      |  ELSE 'fr' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- t_quality
+  private val quality: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(t).as("n_chars_calc"),
+      T.wsTokenCount(t).as("n_tokens"),
+      T.punctCount(t).as("n_punct"),
+      T.stopwordCount(t).as("n_stop"),
+      round(T.alphaCount(t) / length(t).cast("double"), 6).as("alpha_ratio"),
+      T.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql =
+    """SELECT doc_id,
+      | length(text) AS n_chars_calc,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+      | len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS n_stop,
+      | ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      | ROUND(LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.3
+      |  + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
+      |     / len(string_split(text,' ')) * 0.3
+      |  + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- t_tokens
+  private val tokens: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      T.wsTokenCount(t).as("ws_tokens"),
+      T.bpeishTokenCount(t).as("bpe_tokens"),
+      round(length(t).cast("double") / T.wsTokenCount(t), 6).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  private val tokensSql =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_tokens,
+      | ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- t_fingerprint
+  private val fingerprint: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      T.fingerprint(t).as("fingerprint"),
+      size(array_distinct(split(lower(t), " "))).as("n_unique_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      | md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+      | len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- m_multimodal_meta
+  // Binary-column plumbing with stubbed decode — rows-only.
+  private val multimodal: Q = (s, d) =>
+    Multimodal.features(Tables.documents(s, d)).orderBy("doc_id")
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "d_exact_dup" -> exactDup,
+    "d_minhash_lsh" -> minhashLsh,
+    "d_simhash" -> simhash,
+    "d_ngram_jaccard" -> ngramJaccard,
+    "d_embedding_neardup" -> embNearDup,
+    "s_cosine_topk" -> cosineTopK,
+    "s_lsh_topk" -> lshTopK,
+    "t_langid" -> langid,
+    "t_quality" -> quality,
+    "t_tokens" -> tokens,
+    "t_fingerprint" -> fingerprint,
+    "m_multimodal_meta" -> multimodal)
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dup" -> exactDupSql,
+    "d_minhash_lsh" -> minhashLshSql,
+    "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_embedding_neardup" -> embNearDupSql,
+    "s_cosine_topk" -> cosineTopKSql,
+    "t_langid" -> langidSql,
+    "t_quality" -> qualitySql,
+    "t_tokens" -> tokensSql,
+    "t_fingerprint" -> fingerprintSql)
 }
