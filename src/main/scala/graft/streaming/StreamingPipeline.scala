@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's always-on
+  * loop (SURVEY.md §2.E): gateway webRequestBatcher → processor
+  * mainLoop → router delivery (kassette-server gateway.go:144,
+  * processor.go:87, router.go JobsRequestWorker) become one
+  * readStream → transform → writeStream pipeline; the job-queue
+  * polling disappears because the stream IS the queue.
+  */
+object StreamingPipeline {
+
+  case class EvtW(user_id: Long, event_type: String, ts_ms: Long,
+                  value: Double, ts: Timestamp)
+  case class SessionState(start_ms: Long, last_ms: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Watermarked per-destination micro-batch stats — the streaming
+    * router fan-out (per event_type per window, replacing the
+    * router's in-memory success/failure counters). */
+  def fanoutCounts(events: DataFrame, watermark: String = "10 minutes",
+                   window_ : String = "5 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState —
+    * the createSessions loop (processor.go:525-576) with its
+    * priority-queue gap check replaced by event-time state timeout.
+    * A session closes when a bigger-than-gap gap arrives in-stream or
+    * when the watermark passes last_ms+gap (timeout) — exactly the
+    * reference's "enough time hasn't transpired" logic, minus the
+    * single-process in-memory maps: state is sharded by user across
+    * executors and checkpointed. */
+  def sessionize(events: DataFrame, gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    implicit val evtEnc = Encoders.product[EvtW]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val longEnc = Encoders.scalaLong
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .select("user_id", "event_type", "ts_ms", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[EvtW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EvtW], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start_ms, s.last_ms, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+                  cur = Some(SessionState(s.start_ms, e.ts_ms, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_ms, s.last_ms, s.n)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming status-ledger view: latest status per job via
+    * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
+    * partial-agg friendly, same shape as the batch JobLedger). */
+  def latestStatus(status: DataFrame): DataFrame =
+    status.groupBy(col("job_id"))
+      .agg(max(struct(col("ts_ms"), col("attempt"), col("state"))).as("_top"))
+      .select(col("job_id"), col("_top.state").as("last_state"),
+        col("_top.attempt").as("attempts"), col("_top.ts_ms").as("last_ms"))
+}

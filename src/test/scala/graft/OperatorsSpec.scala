@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Sessionize cuts sessions at the gap threshold") {
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, 1L, 1000L), (1L, 2L, 5000L), // gap 4000 > 2000 -> new session
+      (2L, 3L, 0L))
+      .toDF("user_id", "event_id", "ts_ms")
+    val out = Sessionize.summarize(ev, "user_id", "ts_ms", gapMs = 2000L,
+      orderCols = Seq("ts_ms", "event_id"))
+      .orderBy("user_id", "session_seq")
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(2) == 2) // user 1 session 1: 2 events
+    assert(out(1).getLong(2) == 1) // user 1 session 2: 1 event
+  }
+
+  test("JobLedger.latest picks argmax by (ts, tiebreak)") {
+    val st = Seq(
+      (10L, "waiting", 100L, 1L), (10L, "failed", 200L, 2L),
+      (10L, "succeeded", 200L, 3L), // same ts, higher tiebreak wins
+      (11L, "failed", 50L, 4L))
+      .toDF("job_id", "state", "ts_ms", "sid")
+    val latest = JobLedger.latest(st, "job_id", "state", "ts_ms", "sid")
+      .orderBy("job_id").collect()
+    assert(latest(0).getString(1) == "succeeded")
+    assert(latest(1).getString(1) == "failed")
+  }
+
+  test("JobLedger retry/DLQ split on maxRetry") {
+    val st = (1 to 5).map(i => (20L, "failed", i * 10L, i.toLong)) ++
+      Seq((21L, "failed", 10L, 6L), (22L, "succeeded", 10L, 7L))
+    val df = st.toDF("job_id", "state", "ts_ms", "sid")
+    val retry = JobLedger.toRetry(df, "job_id", "state", "ts_ms", "sid", "failed", 3)
+    assert(retry.select("job_id").as[Long].collect().toSet == Set(21L))
+    val dlq = JobLedger.deadLetter(df, "job_id", "state", "ts_ms", "failed", 3)
+    assert(dlq.select("job_id").as[Long].collect().toSet == Set(20L))
+  }
+
+  test("Router.microBatch assigns contiguous deterministic batches") {
+    val df = (0 until 25).map(i => ("d1", i.toLong)).toDF("dest", "seq")
+    val out = Router.batchSummary(df, "dest", "seq", size = 10).orderBy("batch_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(10L, 10L, 5L))
+    assert(out(1).getLong(3) == 10L && out(1).getLong(4) == 19L)
+  }
+
+  test("Dedup.shingles emits n-k+1 shingles, none for short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val sh = Dedup.shingles(df, "id", "text", 3)
+    assert(sh.filter($"id" === 1L).as[(Long, String)].collect().map(_._2).toSeq ==
+      Seq("a b c", "b c d"))
+    assert(sh.filter($"id" === 2L).count() == 0)
+  }
+
+  test("MinHash-LSH finds exact duplicates as candidate pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words that share nothing with the others at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("ngramJaccard: identical docs get jaccard 1.0") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", 3, 50, 0.5).collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 1.0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+class SimilarityAndTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(2) > 0.99)
+  }
+
+  test("lshTopK: neighbors found share the query bucket; rerank is exact") {
+    val out = Similarity.lshTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding",
+      k = 2, numPlanes = 2, dim = 4)
+    // approximate: result is a subset of brute-force candidates, ranked
+    val ids = out.select("cid").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("cosine of identical vectors is 1") {
+    val r = vecs.select(V.cosineRounded(
+      V.asDouble(col("embedding")), V.asDouble(col("embedding"))).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("langId picks the language with most markers, tie order en-first") {
+    val df = Seq(
+      ("the cat and the dog of to in"),
+      ("der hund und die katze ist das"),
+      ("el perro la casa los que de"),
+      ("")).toDF("text")
+    val out = df.select(T.langId(col("text")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "es", "en"))
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val df = Seq(("b a c a b"), ("a b c"), ("c b a x")).toDF("text")
+    val fps = df.select(T.fingerprint(col("text")).as("f")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("SimHash: identical token sets agree, disjoint ones differ") {
+    graft.plans.SimHash64.register(spark)
+    val df = Seq(
+      ("a b c d e f g h"), ("a b c d e f g h"), ("q r s t u v w x"))
+      .toDF("text").withColumn("sim", expr("simhash64(split(text, ' '))"))
+    val sims = df.select("sim").as[Long].collect()
+    assert(sims(0) == sims(1))
+    assert(sims(0) != sims(2))
+  }
+
+  test("quality score lands in [0,1] on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mm = docs.select(T.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.sinks.{JsonDumpSink, RestBatcher, WarehouseWriter}
+import graft.sources.EventBatchReader
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EventBatchReader explodes envelopes and fixes clock skew") {
+    val env =
+      """{"writeKey":"wk1","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z",
+        |"batch":[{"messageId":"m1","userId":"u1","event":"click",
+        | "originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:05:00.000Z"},
+        |{"userId":"u2","event":"view",
+        | "originalTimestamp":"2024-01-01T00:01:00.000Z","sentAt":"2024-01-01T00:01:00.000Z"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val out = EventBatchReader.explodeBatches(Seq(env).toDF("raw"), "raw")
+      .orderBy("batch_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("message_id") == "m1")
+    // skew: received 00:10, sent 00:05, orig 00:00 -> timestamp 00:05
+    assert(out(0).getAs[java.sql.Timestamp]("timestamp").toInstant.toString
+      == "2024-01-01T00:05:00Z")
+    // missing messageId -> deterministic md5 fallback
+    assert(out(1).getAs[String]("message_id").length == 32)
+  }
+
+  test("WarehouseWriter generates dialect DDL") {
+    val schema = TableSchema("audit_events", Seq(
+      SchemaField("id", "INT", primaryKey = true),
+      SchemaField("name", "STRING"), SchemaField("at", "TIMESTAMP")))
+    val pg = WarehouseWriter.ddl(schema, "postgres")
+    assert(pg.contains("id BIGINT PRIMARY KEY") && pg.contains("at TIMESTAMPTZ"))
+    val ch = WarehouseWriter.ddl(schema, "clickhouse")
+    assert(ch.contains("name String"))
+  }
+
+  test("JsonDumpSink partitions by batch key; parquet roundtrip works") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq((0L, "a", "click"), (1L, "a", "view"), (2L, "b", "click"))
+      .toDF("id", "batch_key", "etype")
+    JsonDumpSink.write(df, s"$dir/json", "batch_key")
+    val back = spark.read.json(s"$dir/json")
+    assert(back.count() == 3)
+    WarehouseWriter.write(df, s"$dir/pq", Seq("etype"))
+    assert(spark.read.parquet(s"$dir/pq").count() == 3)
+  }
+
+  test("RestBatcher builds payload envelopes of the configured size") {
+    val df = (0 until 12).map(i => ("powerbi", i.toLong, s"e$i")).toDF("dest", "seq", "name")
+    val env = RestBatcher.envelopes(df, "dest", "seq", size = 5)
+      .orderBy("batch_id").collect()
+    assert(env.length == 3)
+    val body = env(0).getAs[String]("body")
+    assert(body.startsWith("""{"payload":["""))
+    assert(body.contains("\"e0\"") && body.contains("\"e4\"") && !body.contains("\"e5\""))
+  }
+}

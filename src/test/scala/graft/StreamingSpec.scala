@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Trigger.AvailableNow snapshots available data at start() — feed
+  // the MemoryStream BEFORE starting each query.
+
+  test("streaming sessionize closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_ms", "value")
+    val sessions = StreamingPipeline.sessionize(events, gapMs = 60000L, watermark = "0 seconds")
+
+    // user 1: two events 9s apart (one session), then a 10-min jump
+    // (in-stream gap close); user 2 advances the watermark. NB: an
+    // event at exactly ts=0 would be dropped as late (== the initial
+    // watermark), so timestamps start at 1000.
+    input.addData(
+      (1L, "click", 1000L, 1.0), (1L, "view", 10000L, 1.0),
+      (1L, "click", 700000L, 1.0),
+      (2L, "click", 2000000L, 1.0))
+
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("sess_out").orderBy("user_id", "start_ms").collect()
+    // the 2-event session must be closed (by in-stream gap); later
+    // sessions may remain open in state
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L))
+  }
+
+  test("streaming fanout counts aggregate per window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_ms", "value")
+    val counts = StreamingPipeline.fanoutCounts(events, "1 minute", "5 minutes")
+
+    input.addData(
+      (1L, "click", 0L, 2.0), (2L, "click", 1000L, 3.0), (3L, "view", 2000L, 4.0))
+
+    val query = counts.writeStream
+      .format("memory").queryName("fan_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("fan_out").collect()
+    val click = rows.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2L)
+    assert(click.getDouble(3) == 5.0)
+  }
+
+  test("streaming latest-status ledger in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val status = input.toDF().toDF("job_id", "state", "attempt", "ts_ms")
+    val latest = StreamingPipeline.latestStatus(status)
+
+    input.addData((7L, "waiting", 1L, 100L), (7L, "failed", 2L, 200L),
+      (7L, "succeeded", 3L, 300L))
+
+    val query = latest.writeStream
+      .format("memory").queryName("ledger_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("ledger_out").collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "succeeded")
+  }
+}
