@@ -2,23 +2,42 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.plans.DotProduct
 
-/** Dense-vector math over `array<float>` embedding columns as pure
-  * Column algebra (`zip_with`/`aggregate` are codegen'd higher-order
-  * functions — no UDF, no serialization wall). Everything folds
-  * left-to-right in doubles; consumers round before comparing across
-  * engines. */
+/** Dense-vector math over `array<float>`/`array<double>` embedding
+  * columns. The dot product is a custom codegen'd Catalyst expression
+  * (graft.plans.DotProduct) — the builtin higher-order-function
+  * composition is CodegenFallback and allocates per row, which is the
+  * hot loop of every similarity operator. Float elements are widened
+  * to double before multiply, matching the DuckDB oracle's
+  * `CAST(x AS DOUBLE)` exactly. */
 object VectorFunctions {
 
-  /** array<float> → array<double> (exact widening). */
+  /** array<float> → array<double> (exact widening; rarely needed now
+    * that DotProduct reads float arrays in place). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Fused codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Reference composition (CodegenFallback path) — kept for
+    * cross-checking the custom expression in tests. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from precomputed norms — use when norms are projected
+    * once per row instead of once per pair. */
+  def cosineWithNorms(dotCol: Column, normA: Column, normB: Column,
+                      scale: Int = 6): Column =
+    round(dotCol / (normA * normB), scale)
 
   /** Cosine rounded for cross-engine comparison (absorbs FP
     * association-order differences in the partial sums). */
@@ -26,8 +45,6 @@ object VectorFunctions {
     round(cosine(a, b), scale)
 
   /** Signed projection onto a constant hyperplane (for LSH bucketing). */
-  def signBit(v: Column, hyperplane: Seq[Double]): Column = {
-    val h = array(hyperplane.map(lit): _*)
-    (aggregate(zip_with(v, h, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) > 0).cast("int")
-  }
+  def signBit(v: Column, hyperplane: Seq[Double]): Column =
+    (dot(v, array(hyperplane.map(lit): _*)) > 0).cast("int")
 }

@@ -45,29 +45,62 @@ object Dedup {
         explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
   }
 
-  /** MinHash signature rows: for each of `numPerms` hash permutations,
-    * the minimum of md5(perm:shingle) over the doc's shingles. Using
-    * the lexicographic min of a salted cryptographic hash gives an
-    * engine-portable min-hash (identical in DuckDB). One shuffle
-    * (groupBy id, perm) with partial-agg `min`. */
-  def minhash(sh: DataFrame, idCol: String, numPerms: Int): DataFrame =
-    sh.select(col(idCol), explode(sequence(lit(0), lit(numPerms - 1))).as("perm"),
-        col("shingle"))
-      .groupBy(col(idCol), col("perm"))
-      .agg(min(md5(concat(col("perm").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  /** Mersenne-prime modulus for the universal-hash permutation family
+    * (2^31-1: a*x+b stays under 2^62 for a,x < P — ANSI-overflow-safe
+    * in Spark AND DuckDB BIGINT). */
+  val MinhashP: Long = 2147483647L
 
-  /** LSH banding: hash `rowsPerBand` consecutive minhashes per band.
-    * Docs sharing any (band, band_hash) are near-dup candidates. */
-  def lshBands(mh: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    mh.withColumn("band", (col("perm") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(array_sort(
-        collect_list(concat(col("perm").cast("string"), lit(":"), col("mh")))), "|")).as("band_hash"))
+  /** Deterministic (a,b) coefficients per permutation (LCG from a
+    * fixed seed — identical literals are interpolated into the DuckDB
+    * oracle, so the signature family is engine-portable). */
+  def minhashCoeffs(numPerms: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % (MinhashP - 1)
+    }
+    Seq.fill(numPerms)((next() + 1, next()))
+  }
 
-  /** Candidate near-dup pairs from banded signatures (id1 < id2). */
+  /** Engine-portable 60-bit shingle hash: integer value of the first
+    * 15 hex digits of md5 (== DuckDB `CAST('0x'||substr(md5(s),1,15)
+    * AS BIGINT)`). ONE cryptographic hash per shingle; the per-
+    * permutation work is then two multiplies — vs. md5-per-(shingle×
+    * perm) which is 16× the hashing cost. */
+  def shingleHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Wide MinHash signatures: one row per doc, one column per
+    * permutation (single shuffle, partial-agg min, no numPerms×
+    * row expansion). */
+  def minhash(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+    val coeffs = minhashCoeffs(numPerms)
+    val withX = sh.withColumn("x", shingleHash(col("shingle")) % MinhashP)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % MinhashP).as(s"mh$i")
+    }
+    withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the wide signature: band j hashes minhashes
+    * 4j..4j+3 into one key; row-local projection + posexplode. */
+  def lshBands(mh: DataFrame, idCol: String, numPerms: Int,
+               rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numPerms / rowsPerBand).map { j =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}")): _*))
+    }
+    mh.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs from banded signatures (id1 < id2).
+    * The band frame feeds BOTH sides of the self-join — persist it so
+    * the whole shingle→minhash pipeline isn't computed twice (Spark
+    * does not CTE-materialize identical DataFrame subplans). */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("id1"), col("band"), col("band_hash"))
-    val b = bands.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+    val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+    val b = cached.select(col(idCol).as("id2"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -77,7 +110,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
     candidatePairs(lshBands(minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms),
-      idCol, rowsPerBand), idCol)
+      idCol, numPerms, rowsPerBand), idCol)
 
   /** n-gram Jaccard similarity for pairs sharing at least one shingle.
     * `maxDocFreq` drops stop-shingles so the shingle join cannot
@@ -86,7 +119,12 @@ object Dedup {
     * boilerplate, which is what you want at 100 TB). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
                    maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).distinct()
+    // join/shuffle on the 60-bit shingle hash, not the string — far
+    // smaller shuffle payload; collision probability is negligible
+    // and identical in the oracle (same hash there).
+    val sh = shingles(df, idCol, textCol, k)
+      .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
+      .distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(countDistinct(col(idCol)).as("df_count"))

@@ -14,6 +14,10 @@ import graft.functions.VectorFunctions._
   * on the bucket key) shrink the candidate set to a bucket before the
   * exact rerank — at 100 TB the bucket join replaces the full
   * cross-product with an equi-join Spark can hash-partition.
+  *
+  * Perf: norms are projected ONCE per row before pairing (norm in the
+  * pair condition would recompute per pair), and every dot product is
+  * the codegen'd graft.plans.DotProduct reading float arrays in place.
   */
 object Similarity {
 
@@ -21,11 +25,13 @@ object Similarity {
     * the big side streams, never shuffles). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec")))
-    val c = candidates.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
@@ -50,13 +56,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val q = broadcast(queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
       .withColumn("bucket", lshBucket(col("qvec"), planes)))
-    val c = candidates.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
       .withColumn("bucket", lshBucket(col("cvec"), planes))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos_sim"))
+        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
@@ -66,11 +74,15 @@ object Similarity {
     * from going quadratic across the whole corpus. */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     blockCol: String, threshold: Double): DataFrame = {
-    val base = df.select(col(idCol), col(blockCol), asDouble(col(vecCol)).as("v"))
-    val a = base.select(col(idCol).as("id1"), col(blockCol).as("blk"), col("v").as("v1"))
-    val b = base.select(col(idCol).as("id2"), col(blockCol).as("blk"), col("v").as("v2"))
+    val base = df.select(col(idCol), col(blockCol), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col(idCol).as("id1"), col(blockCol).as("blk"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = base.select(col(idCol).as("id2"), col(blockCol).as("blk"),
+      col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .select(col("id1"), col("id2"),
+        cosineWithNorms(dot(col("v1"), col("v2")), col("n1"), col("n2")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

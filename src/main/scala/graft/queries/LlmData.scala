@@ -29,22 +29,31 @@ object LlmData {
         shingleK = 3, numPerms = 16, rowsPerBand = 4)
       .orderBy("id1", "id2")
 
-  private val minhashLshSql =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
-      |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
-      |shp AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM sh),
-      |mh AS (SELECT doc_id, perm,
-      |        MIN(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS mh
-      |       FROM shp GROUP BY doc_id, perm),
-      |bands AS (SELECT doc_id, perm // 4 AS band,
-      |           md5(string_agg(CAST(perm AS VARCHAR) || ':' || mh, '|'
-      |               ORDER BY CAST(perm AS VARCHAR) || ':' || mh)) AS band_hash
-      |          FROM mh GROUP BY doc_id, perm // 4)
-      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      |FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-      |ORDER BY id1, id2""".stripMargin
+  private val minhashLshSql = {
+    val P = Dedup.MinhashP
+    val coeffs = Dedup.minhashCoeffs(16)
+    val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${j * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+       |shx AS (SELECT doc_id,
+       |         TRY_CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS x
+       |        FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhAggs
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   // -------------------------------------------------------- d_simhash
   // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
@@ -68,7 +77,9 @@ object LlmData {
   private val ngramJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
-      |sh0 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+      |sh0 AS (SELECT doc_id,
+      |         TRY_CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT) AS shingle
+      |        FROM starts),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
       |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
       |rare AS (SELECT sh.doc_id, sh.shingle FROM sh

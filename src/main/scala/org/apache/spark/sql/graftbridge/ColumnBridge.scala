@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters so
+  * graft's custom Catalyst expressions (DotProduct, SimHash64) can be
+  * exposed as ordinary Columns without session-registry round-trips.
+  * Lives in an org.apache.spark.sql subpackage purely for access;
+  * contains no Spark-internal logic. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
