@@ -247,8 +247,98 @@ object LlmData {
   private val multimodal: Q = (s, d) =>
     Multimodal.features(Tables.documents(s, d)).orderBy("doc_id")
 
+  // ------------------------------------------------ s_centroid_dist
+  // Per-label centroids (position-exploded partial agg — one shuffle
+  // on (label, pos); at 100 TB this is the map-side-combinable way to
+  // average vectors) + distance of the first 50 vectors to their own
+  // centroid.
+  private val centroidDist: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val flat = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val centroid = flat.groupBy("label", "pos")
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+    flat.filter(col("vec_id") < 50)
+      .join(centroid, Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))), 4).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  private val centroidDistSql =
+    """WITH flat AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |               unnest(generate_series(1, len(embedding))) AS pos
+      |              FROM embeddings),
+      |centroid AS (SELECT label, pos, SUM(x)/COUNT(*) AS c
+      |             FROM flat GROUP BY label, pos)
+      |SELECT f.vec_id, f.label, ROUND(sqrt(SUM((f.x - c.c)*(f.x - c.c))), 4) AS dist
+      |FROM flat f JOIN centroid c ON f.label = c.label AND f.pos = c.pos
+      |WHERE f.vec_id < 50
+      |GROUP BY f.vec_id, f.label ORDER BY f.vec_id""".stripMargin
+
+  // -------------------------------------------------- t_bigram_top
+  private val bigramTop: Q = (s, d) =>
+    Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 2)
+      .groupBy(col("shingle").as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val bigramTopSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+      |sh AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram FROM starts)
+      |SELECT bigram, COUNT(*) AS n FROM sh
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // --------------------------------------------------- t_pii_scrub
+  // Text-cleaning pass: mask digit runs and a deny-listed token —
+  // regexp_replace is codegen'd and identical in RE2/Java for these
+  // patterns.
+  private val piiScrub: Q = (s, d) => {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), "[0-9]+", "<num>"),
+      "\\bkey\\b", "<redacted>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(scrubbed).as("scrubbed_hash"),
+      (scrubbed =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    """SELECT doc_id,
+      | md5(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |     '\bkey\b', '<redacted>', 'g')) AS scrubbed_hash,
+      | regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+      |     '\bkey\b', '<redacted>', 'g') <> text AS changed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- d_fingerprint_dup
+  // Near-dup clusters by normalized fingerprint (word-order/dup
+  // invariant): the cheap set-identity tier between exact-hash and
+  // MinHash.
+  private val fingerprintDup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fingerprint")
+
+  private val fingerprintDupSql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+      | COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "s_centroid_dist" -> centroidDist,
+    "t_bigram_top" -> bigramTop,
+    "t_pii_scrub" -> piiScrub,
+    "d_fingerprint_dup" -> fingerprintDup,
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
     "d_simhash" -> simhash,
@@ -263,6 +353,10 @@ object LlmData {
     "m_multimodal_meta" -> multimodal)
 
   val oracle: Map[String, String] = Map(
+    "s_centroid_dist" -> centroidDistSql,
+    "t_bigram_top" -> bigramTopSql,
+    "t_pii_scrub" -> piiScrubSql,
+    "d_fingerprint_dup" -> fingerprintDupSql,
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

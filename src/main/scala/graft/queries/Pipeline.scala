@@ -24,6 +24,10 @@ object LedgerDefaults {
   val MaxRetry = 25
   /** Abort threshold for the dead-letter view. */
   val DlqAfter = 3
+  /** Suppression threshold (gateway drop of chronically-failing
+    * sources) — higher than DlqAfter so the suppressed set is a
+    * strict subset of "ever dead-lettered". */
+  val SuppressAfter = 10
 }
 
 object Pipeline {
@@ -265,8 +269,148 @@ object Pipeline {
     """SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ p_health_report
+  // JobHealthT view (jobsdb.go:51-59): per source shard, delivery
+  // totals + error rate + freshness — the feed-health report the
+  // reference's web portal renders.
+  private val healthReport: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("source_shard", col("user_id") % 4)
+      .groupBy("source_shard")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        round(sum(when(col("event_type") === "error", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("error_rate"),
+        max(col("ts_ms")).as("freshest_ms"))
+      .orderBy("source_shard")
+
+  private val healthReportSql =
+    s"""SELECT user_id % 4 AS source_shard,
+       | COUNT(*) AS n_events,
+       | COUNT(DISTINCT user_id) AS n_users,
+       | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       | ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*), 4) AS error_rate,
+       | MAX($tsMsSql) AS freshest_ms
+       |FROM events GROUP BY user_id % 4 ORDER BY source_shard""".stripMargin
+
+  // ------------------------------------------------ p_writekey_auth
+  // Gateway writeKey auth (gateway.go:656-693 getPayloadAndWriteKey /
+  // configdb Authenticate): only events whose key resolves to an
+  // enabled source pass. Config is a broadcast lookup; the filter is
+  // a semi-join Catalyst collapses into the scan.
+  private val writekeyAuth: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sources = broadcast(
+      ev.select(col("user_id")).distinct()
+        .withColumn("enabled", col("user_id") % 7 =!= 0)
+        .filter(col("enabled")))
+    ev.join(sources.select("user_id"), Seq("user_id"), "left_semi")
+      .groupBy("user_id").agg(count(lit(1)).as("n_accepted"))
+      .orderBy("user_id")
+  }
+
+  private val writekeyAuthSql =
+    """SELECT user_id, COUNT(*) AS n_accepted FROM events
+      |WHERE user_id % 7 <> 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------ p_payload_size
+  // Payload accounting + truncation helpers (misc.go:43-56
+  // TruncateStr/TailTruncateStr, jobsdb PayloadSize).
+  private val payloadSize: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      length(col("props")).as("payload_bytes"),
+      substring(col("props"), 1, 6).as("head_trunc"),
+      substring(col("props"), -4, 4).as("tail_trunc"),
+      (length(col("props")).cast("long") / 4L).cast("long").as("size_bucket"))
+      .orderBy("event_id")
+
+  private val payloadSizeSql =
+    """SELECT event_id,
+      | length(props) AS payload_bytes,
+      | substr(props, 1, 6) AS head_trunc,
+      | substr(props, length(props) - 3, 4) AS tail_trunc,
+      | length(props) // 4 AS size_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------- p_event_rate
+  // Gateway per-source rate accounting: daily counts + running total
+  // (stats.go counters as a windowed view).
+  private val eventRate: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .withColumn("day", (col("ts_ms") / 86400000L).cast("long"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_events", sum(col("n_events")).over(w))
+      .orderBy("user_id", "day")
+  }
+
+  private val eventRateSql =
+    s"""WITH daily AS (
+       | SELECT user_id, $tsMsSql // 86400000 AS day, COUNT(*) AS n_events
+       | FROM events GROUP BY user_id, $tsMsSql // 86400000)
+       |SELECT user_id, day, n_events,
+       | SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+       |                     ROWS UNBOUNDED PRECEDING) AS cum_events
+       |FROM daily ORDER BY user_id, day""".stripMargin
+
+  // ------------------------------------------------ p_suppression
+  // Request suppression (gateway.go:752 errRequestSuppressed): events
+  // from dead-lettered users are dropped — anti-join against the DLQ.
+  private val suppression: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dlqUsers = JobLedger.deadLetter(ev, "user_id", "event_type", "ts_ms",
+      "error", LedgerDefaults.SuppressAfter).select("user_id")
+    ev.join(dlqUsers, Seq("user_id"), "left_anti")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val suppressionSql =
+    s"""SELECT user_id, COUNT(*) AS n_events FROM events
+       |WHERE user_id NOT IN (
+       | SELECT user_id FROM events WHERE event_type = 'error'
+       | GROUP BY user_id HAVING COUNT(*) >= ${LedgerDefaults.SuppressAfter})
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------- p_catalogue_pivot
+  // Per-user destination matrix (the portal's connection overview):
+  // conditional-aggregation pivot, single shuffle.
+  private val cataloguePivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+      .orderBy("user_id")
+
+  private val cataloguePivotSql =
+    """SELECT user_id,
+      | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_health_report" -> healthReport,
+    "p_writekey_auth" -> writekeyAuth,
+    "p_payload_size" -> payloadSize,
+    "p_event_rate" -> eventRate,
+    "p_suppression" -> suppression,
+    "p_catalogue_pivot" -> cataloguePivot,
     "p_field_map" -> fieldMap,
     "p_field_hide" -> fieldHide,
     "p_field_delete" -> fieldDelete,
@@ -284,6 +428,12 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_health_report" -> healthReportSql,
+    "p_writekey_auth" -> writekeyAuthSql,
+    "p_payload_size" -> payloadSizeSql,
+    "p_event_rate" -> eventRateSql,
+    "p_suppression" -> suppressionSql,
+    "p_catalogue_pivot" -> cataloguePivotSql,
     "p_field_map" -> fieldMapSql,
     "p_field_hide" -> fieldHideSql,
     "p_field_delete" -> fieldDeleteSql,

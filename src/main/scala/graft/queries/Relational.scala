@@ -476,8 +476,101 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY COALESCE(l_returnflag, '_all_'), COALESCE(l_linestatus, '_all_')""".stripMargin
 
+  // --------------------------------------------------------------- q23
+  // lead/lag analytics: days since the customer's previous order.
+  private val q23: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q23Sql =
+    """SELECT o_custkey, o_orderkey,
+      | date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
+      |FROM (
+      | SELECT o_custkey, o_orderkey, o_orderdate,
+      |  LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+      | FROM orders) t
+      |WHERE prev_date IS NOT NULL
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q24
+  private val q24: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)").cast(DoubleType), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)").cast(DoubleType), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)").cast(DoubleType), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val q24Sql =
+    """SELECT o_orderstatus,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4) AS p99,
+      | COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------------- q25
+  private val q25: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("sum_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy("decile")
+  }
+
+  private val q25Sql =
+    """SELECT decile, COUNT(*) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+      | ROUND(MIN(c_acctbal), 2) AS min_bal, ROUND(MAX(c_acctbal), 2) AS max_bal
+      |FROM (SELECT c_acctbal,
+      |       NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+      |      FROM customer) t
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------- q26
+  // Range-band (non-equi) join against a broadcast literal dimension.
+  private val q26: Q = (s, d) => {
+    val bands = broadcast(s.createDataFrame(Seq(
+      ("neg", -10000.0, 0.0), ("low", 0.0, 2500.0), ("mid", 2500.0, 5000.0),
+      ("high", 5000.0, 7500.0), ("top", 7500.0, 10000.0)))
+      .toDF("band", "lo", "hi"))
+    Tables.customer(s, d)
+      .join(bands, col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("band")
+  }
+
+  private val q26Sql =
+    """SELECT band, COUNT(*) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN (VALUES ('neg', -10000.0, 0.0), ('low', 0.0, 2500.0),
+      |             ('mid', 2500.0, 5000.0), ('high', 5000.0, 7500.0),
+      |             ('top', 7500.0, 10000.0)) AS b(band, lo, hi)
+      |  ON c_acctbal >= lo AND c_acctbal < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q23_order_gap" -> q23,
+    "q24_percentiles" -> q24,
+    "q25_decile" -> q25,
+    "q26_band_join" -> q26,
     "q1_pricing_summary" -> q1,
     "q2_filter_project" -> q2,
     "q3_shipping_priority" -> q3,
@@ -500,6 +593,10 @@ object Relational {
     "q22_cube" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q23_order_gap" -> q23Sql,
+    "q24_percentiles" -> q24Sql,
+    "q25_decile" -> q25Sql,
+    "q26_band_join" -> q26Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_shipping_priority" -> q3Sql,
