@@ -50,6 +50,17 @@ object Demo {
       model.SchemaField("user_id", "STRING"),
       model.SchemaField("at", "TIMESTAMP"))), "postgres"))
 
+    // --- skew tooling + format catalogue
+    val skewed = spark.range(0, 1000).select(
+      when(col("id") % 100 === 0, "cold").otherwise("hot").as("k"),
+      col("id"), (col("id") % 7).cast("double").as("v"))
+    println("== salted aggregation (hot key spread over shards) ==")
+    operators.Salting.saltedAgg(skewed, "k", "v", "id").orderBy("k").show()
+    routed.select("message_id", "user_id", "action")
+      .write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    println("== catalog csv read-back == rows=" +
+      sources.CatalogReader.csv(spark, s"$out/csv").count())
+
     // --- streaming: same intake as a stream, sessionized
     val stream = sources.EventBatchReader.readStream(spark, s"$out/in")
       .select(

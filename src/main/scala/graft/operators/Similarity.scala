@@ -69,6 +69,44 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (any cluster
+    * assignment column — labels here; k-means centroids in general)
+    * partitions the corpus into cells; each query probes the
+    * `nprobe` cells whose centroids score highest, then exact-reranks
+    * inside them. At 100 TB the probe join is an equi-join on cell id
+    * over a cell-partitioned table — only nprobe/ncells of the data
+    * is touched per query. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    // centroids: position-exploded partial-agg mean per cell
+    val flat = candidates.select(col(cellCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val centroids = flat.groupBy("cell", "pos")
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("centroid"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+    // probe ranking: score every (query, cell) centroid, keep nprobe
+    val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", dot(col("qvec"), col("centroid")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cell"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        col(cellCol).as("cell"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val scored = broadcast(probes).join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Near-duplicate pairs by cosine within a blocking key (label /
     * cluster / LSH bucket) — the blocking key keeps the self-join
     * from going quadratic across the whole corpus. */

@@ -151,6 +151,16 @@ object LlmData {
       .orderBy("qid", "rnk")
   }
 
+  // -------------------------------------------------------- s_ivf_topk
+  // IVF coarse-quantize (label cells) → probe 2 cells → exact rerank.
+  // Approximate by construction → rows-only.
+  private val ivfTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", cellCol = "label", k = 3, nprobe = 2)
+      .orderBy("qid", "rnk")
+  }
+
   // --------------------------------------------------------- t_langid
   private val langid: Q = (s, d) => {
     val t = col("text")
@@ -346,6 +356,7 @@ object LlmData {
     "d_embedding_neardup" -> embNearDup,
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_topk" -> lshTopK,
+    "s_ivf_topk" -> ivfTopK,
     "t_langid" -> langid,
     "t_quality" -> quality,
     "t_tokens" -> tokens,

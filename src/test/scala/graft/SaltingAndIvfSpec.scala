@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Salting, Similarity}
+
+class SaltingAndIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg matches plain aggregation on a skewed key") {
+    val df = ((1 to 1000).map(i => ("hot", i.toLong, 1.0)) ++
+      (1 to 10).map(i => ("cold", i.toLong, 2.0))).toDF("k", "id", "v")
+    val salted = Salting.saltedAgg(df, "k", "v", "id").orderBy("k").collect()
+    val plain = df.groupBy("k").agg(count(lit(1)), sum("v")).orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("saltedCollect gathers all values per key (sorted)") {
+    val df = (1 to 100).map(i => ("k", i.toLong)).toDF("k", "v")
+    val out = Salting.saltedCollect(df, "k", "v", "v", buckets = 8).collect()
+    assert(out.length == 1)
+    assert(out(0).getSeq[Long](1).toSeq == (1L to 100L))
+  }
+
+  test("saltedJoin equals plain join") {
+    val big = ((1 to 500).map(i => ("a", i.toLong)) ++ (1 to 5).map(i => ("b", i.toLong)))
+      .toDF("k", "id")
+    val small = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
+    val salted = Salting.saltedJoin(big, small, "k", "id")
+    assert(salted.count() == 505)
+    assert(salted.filter($"k" === "a" && $"name" === "alpha").count() == 500)
+  }
+
+  test("ivfTopK probes the best cells and reranks exactly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.95f, 0.05f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.9f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(vecs.filter($"vec_id" === 0L), vecs,
+      "vec_id", "embedding", "label", k = 2, nprobe = 1)
+      .orderBy("rnk").collect()
+    // nprobe=1 → only cell 0 probed; best neighbors are 1 then 2
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("CatalogReader round-trips csv and json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    assert(graft.sources.CatalogReader.csv(spark, s"$dir/c").count() == 2)
+    val j = graft.sources.CatalogReader.jsonLines(spark, s"$dir/j")
+    assert(j.columns.toSet == Set("id", "name") && j.count() == 2)
+  }
+}
