@@ -130,10 +130,19 @@ object Dedup {
       sh.groupBy("shingle").agg(countDistinct(col(idCol)).as("df_count"))
         .filter(col("df_count") <= maxDocFreq),
       "shingle")
-    val inter = rare.select(col(idCol).as("id1"), col("shingle"))
-      .join(rare.select(col(idCol).as("id2"), col("shingle")), "shingle")
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    // pair generation via per-shingle doc lists (bounded by the df
+    // cap) instead of a shingle self-join: one groupBy on shingle,
+    // pairs expand row-locally — replaces the join's second full
+    // shuffle of the 2× shingle stream.
+    val ids = col("ids")
+    val pairsPerShingle = rare.groupBy("shingle")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+    val inter = pairsPerShingle
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col(idCol).as("id1"), col("set_size").as("size1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("set_size").as("size2")), "id2")

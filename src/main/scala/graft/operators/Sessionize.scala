@@ -32,6 +32,22 @@ object Sessionize {
       .drop("_prev_ms", "_brk")
   }
 
+  /** Gap sessions sub-split every `maxEvents` rows — the reference
+    * cuts a user's buffer on sessionThresholdEvents too
+    * (processor.go:380: "If we have enough events from that user, we
+    * process jobs"). Pure second window pass on the same partitioning
+    * (no extra shuffle: same key, Spark reuses the exchange). */
+  def withMaxEvents(df: DataFrame, userCol: String, tsMsCol: String,
+                    gapMs: Long, maxEvents: Int, orderCols: Seq[String]): DataFrame = {
+    val base = apply(df, userCol, tsMsCol, gapMs, orderCols)
+    val wIn = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(orderCols.map(col): _*)
+    base
+      .withColumn("_rn", row_number().over(wIn))
+      .withColumn("session_part", ((col("_rn") - 1) / maxEvents).cast("long"))
+      .drop("_rn")
+  }
+
   /** Collapsed per-session summary (the unit the reference hands to
     * the destination transform). */
   def summarize(df: DataFrame, userCol: String, tsMsCol: String,

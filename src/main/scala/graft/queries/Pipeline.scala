@@ -156,6 +156,38 @@ object Pipeline {
        |FROM sess GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---------------------------------------------- p_session_split
+  // Gap sessions sub-split every 5 events (sessionThresholdEvents,
+  // processor.go:380) — summary per (user, session, part).
+  private val sessionSplit: Q = (s, d) =>
+    Sessionize.withMaxEvents(Tables.events(s, d), "user_id", "ts_ms",
+        gapMs = 1800000L, maxEvents = 5, orderCols = Seq("ts_ms", "event_id"))
+      .groupBy("user_id", "session_seq", "session_part")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+      .orderBy("user_id", "session_seq", "session_part")
+
+  private val sessionSplitSql =
+    s"""WITH g AS (
+       | SELECT user_id, event_id, $tsMsSql AS ts_ms,
+       |  CASE WHEN LAG($tsMsSql) OVER w IS NULL
+       |        OR $tsMsSql - LAG($tsMsSql) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $tsMsSql, event_id)),
+       |sess AS (
+       | SELECT user_id, event_id, ts_ms,
+       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+       | FROM g),
+       |parts AS (
+       | SELECT user_id, session_seq, ts_ms,
+       |  (ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+       |                      ORDER BY ts_ms, event_id) - 1) // 5 AS session_part
+       | FROM sess)
+       |SELECT user_id, session_seq, session_part, COUNT(*) AS n_events,
+       | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+       |FROM parts GROUP BY user_id, session_seq, session_part
+       |ORDER BY user_id, session_seq, session_part""".stripMargin
+
   // -------------------------------------------- p_job_latest_status
   private val latestStatus: Q = (s, d) =>
     JobLedger.latest(Tables.events(s, d), "user_id", "event_type", "ts_ms", "event_id")
@@ -403,8 +435,35 @@ object Pipeline {
       | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------- p_asof_join
+  // Backward as-of join: each purchase picks up the user's most
+  // recent prior (or simultaneous) view — the attribution join every
+  // event pipeline needs; DuckDB's native ASOF JOIN is the oracle.
+  private val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_ms")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms"))
+    AsOfJoin.backward(purchases, views, "user_id", "ts_ms", "ts_ms",
+        rightPayload = Seq("view_id"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_view_id").as("view_id"), col("asof_ts").as("view_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql =
+    s"""SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.ts_ms AS view_ms
+       |FROM (SELECT user_id, event_id, $tsMsSql AS ts_ms FROM events
+       |      WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT user_id, event_id AS view_id, $tsMsSql AS ts_ms
+       |      FROM events WHERE event_type = 'view') v
+       |  ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
+       |ORDER BY p.event_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_asof_join" -> asofJoin,
     "p_health_report" -> healthReport,
     "p_writekey_auth" -> writekeyAuth,
     "p_payload_size" -> payloadSize,
@@ -418,6 +477,7 @@ object Pipeline {
     "p_envelope" -> envelope,
     "p_timestamp_skew" -> tsSkew,
     "p_sessionize" -> sessionize,
+    "p_session_split" -> sessionSplit,
     "p_job_latest_status" -> latestStatus,
     "p_retry_select" -> retrySelect,
     "p_dlq_aborted" -> dlq,
@@ -428,6 +488,7 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_asof_join" -> asofJoinSql,
     "p_health_report" -> healthReportSql,
     "p_writekey_auth" -> writekeyAuthSql,
     "p_payload_size" -> payloadSizeSql,
@@ -441,6 +502,7 @@ object Pipeline {
     "p_envelope" -> envelopeSql,
     "p_timestamp_skew" -> tsSkewSql,
     "p_sessionize" -> sessionizeSql,
+    "p_session_split" -> sessionSplitSql,
     "p_job_latest_status" -> latestStatusSql,
     "p_retry_select" -> retrySelectSql,
     "p_dlq_aborted" -> dlqSql,

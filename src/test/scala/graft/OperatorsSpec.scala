@@ -49,6 +49,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(3) == 10L && out(1).getLong(4) == 19L)
   }
 
+  test("AsOfJoin.backward picks latest right row at or before left ts") {
+    val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("key", "ts", "trade_id")
+    val quotes = Seq((1L, 90L, 101L), (1L, 100L, 102L), (1L, 150L, 103L), (2L, 60L, 104L))
+      .toDF("key", "qts", "quote_id")
+    val out = AsOfJoin.backward(trades, quotes, "key", "ts", "qts", Seq("quote_id"))
+      .orderBy("trade_id").collect()
+    // trade@100 sees quote@100 (<= is inclusive); trade@200 sees quote@150
+    assert(out(0).getAs[Long]("asof_quote_id") == 102L)
+    assert(out(1).getAs[Long]("asof_quote_id") == 103L)
+    // key 2 trade@50: no quote yet -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_quote_id")))
+  }
+
+  test("Sessionize.withMaxEvents sub-splits long sessions") {
+    val ev = (0 until 12).map(i => (1L, i.toLong, i * 1000L))
+      .toDF("user_id", "event_id", "ts_ms")
+    val out = Sessionize.withMaxEvents(ev, "user_id", "ts_ms", 60000L, 5,
+      Seq("ts_ms", "event_id"))
+      .groupBy("session_seq", "session_part").count()
+      .orderBy("session_seq", "session_part").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 2L)))
+  }
+
   test("Dedup.shingles emits n-k+1 shingles, none for short docs") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
     val sh = Dedup.shingles(df, "id", "text", 3)
