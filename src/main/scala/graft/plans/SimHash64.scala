@@ -2,8 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 
@@ -13,56 +12,32 @@ import org.apache.spark.sql.SparkSession
   * no composition in builtin functions that avoids a 64-way explode
   * per token, so this is the (b)-tier custom-Expression path from the
   * design hierarchy: single pass over the token array, fixed 64-slot
-  * accumulator, no shuffle, no UDF serialization.
+  * accumulator, no shuffle, no UDF serialization. Codegen-capable —
+  * the generated code calls the static kernel (SimHashUtil), so the
+  * expression participates in WholeStageCodegen instead of forcing an
+  * interpreted-projection fallback for the whole stage.
   *
   * Token hash is FNV-1a 64 (public-domain constants) — deterministic
   * across JVMs/runs, no dependence on JVM String.hashCode.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"simhash64 requires array<string>, got ${other.catalogString}")
   }
-  override def prettyName: String = "simhash64"
 
-  private def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash64(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = fnv1a64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHashUtil.simhash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -461,8 +461,38 @@ object Pipeline {
        |  ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
        |ORDER BY p.event_id""".stripMargin
 
+  // -------------------------------------------------- p_merge_upsert
+  // Delta-style SCD1 merge without Delta: a base snapshot (latest
+  // state per key up to day 15) merged with an update stream (later
+  // events) — updates win, new keys insert. The jobsdb dataset-
+  // migration analogue (jobsdb.go migrateDS): union + argmax, fully
+  // partial-agg, no MERGE transaction needed at rest.
+  private val mergeUpsert: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cutoff = 1705276800000L // 2024-01-15T00:00:00Z
+    val base = JobLedger.latest(ev.filter(col("ts_ms") < cutoff),
+      "user_id", "event_type", "ts_ms", "event_id")
+    val updates = JobLedger.latest(ev.filter(col("ts_ms") >= cutoff),
+      "user_id", "event_type", "ts_ms", "event_id")
+    base.withColumn("_src", lit(0)).unionByName(updates.withColumn("_src", lit(1)))
+      .groupBy("user_id")
+      .agg(max(struct(col("_src"), col("last_ms"), col("last_event_type"))).as("_top"))
+      .select(col("user_id"), col("_top.last_event_type").as("state"),
+        col("_top.last_ms").as("state_ms"))
+      .orderBy("user_id")
+  }
+
+  private val mergeUpsertSql =
+    s"""WITH ranked AS (
+       | SELECT user_id, event_type, $tsMsSql AS ts_ms,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY $tsMsSql DESC, event_id DESC) AS rn
+       | FROM events)
+       |SELECT user_id, event_type AS state, ts_ms AS state_ms
+       |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_merge_upsert" -> mergeUpsert,
     "p_asof_join" -> asofJoin,
     "p_health_report" -> healthReport,
     "p_writekey_auth" -> writekeyAuth,
@@ -488,6 +518,7 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,
     "p_health_report" -> healthReportSql,
     "p_writekey_auth" -> writekeyAuthSql,
