@@ -51,6 +51,21 @@ object WarehouseWriter {
   }
 }
 
+object BucketedWriter {
+  /** Bucketed + sorted columnar table — the co-location strategy for
+    * repeated big-big joins at 100 TB: both fact tables bucketed by
+    * the join key with the same bucket count join WITHOUT any
+    * Exchange (verified in BucketedJoinSpec). This is the Spark
+    * analogue of the reference warehouse destinations' dist/sort-key
+    * config (RS/Synapse DDL in warehouseutils). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+}
+
 object JsonDumpSink {
   /** S3-style JSON object dump (integrations/s3/main.go uploads one
     * `<unix-ts>.json` object per batch): partitioned newline-JSON

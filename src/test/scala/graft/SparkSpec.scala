@@ -8,6 +8,8 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
