@@ -112,6 +112,27 @@ object Dedup {
     candidatePairs(lshBands(minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms),
       idCol, numPerms, rowsPerBand), idCol)
 
+  /** MinHash Jaccard estimation for LSH candidate pairs: the fraction
+    * of agreeing signature slots is an unbiased Jaccard estimate —
+    * the cheap verification stage between banding (recall) and exact
+    * set comparison (precision) in a production near-dup pipeline. */
+  def minhashJaccardEstimate(df: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int = 3, numPerms: Int = 16,
+                             rowsPerBand: Int = 4): DataFrame = {
+    val mh = minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(lshBands(mh, idCol, numPerms, rowsPerBand), idCol)
+    val agree = (0 until numPerms).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
+    val aSide = mh.select(col(idCol).as("id1") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val bSide = mh.select(col(idCol).as("id2") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    pairs.join(aSide, "id1").join(bSide, "id2")
+      .select(col("id1"), col("id2"),
+        round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
+  }
+
   /** n-gram Jaccard similarity for pairs sharing at least one shingle.
     * `maxDocFreq` drops stop-shingles so the shingle join cannot
     * quadratically explode on common n-grams (the standard blocking

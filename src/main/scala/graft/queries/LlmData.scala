@@ -55,6 +55,42 @@ object LlmData {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---------------------------------------------- d_minhash_estimate
+  private val minhashEstimate: Q = (s, d) =>
+    Dedup.minhashJaccardEstimate(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id1", "id2")
+
+  private val minhashEstimateSql = {
+    val P = Dedup.MinhashP
+    val coeffs = Dedup.minhashCoeffs(16)
+    val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${j * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString("\n       UNION ALL ")
+    val agree = (0 until 16).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+       |shx AS (SELECT doc_id,
+       |         TRY_CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS x
+       |        FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhAggs
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |          FROM bands x JOIN bands y
+       |            ON x.band = y.band AND x.band_hash = y.band_hash
+       |           AND x.doc_id < y.doc_id)
+       |SELECT p.id1, p.id2, ROUND(CAST($agree AS DOUBLE) / 16, 6) AS jaccard_est
+       |FROM pairs p JOIN mh a ON a.doc_id = p.id1 JOIN mh b ON b.doc_id = p.id2
+       |ORDER BY p.id1, p.id2""".stripMargin
+  }
+
   // -------------------------------------------------------- d_simhash
   // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
   // rows-only check. Emits fingerprint + a 16-bit band for bucketing.
@@ -351,6 +387,7 @@ object LlmData {
     "d_fingerprint_dup" -> fingerprintDup,
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
+    "d_minhash_estimate" -> minhashEstimate,
     "d_simhash" -> simhash,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_embedding_neardup" -> embNearDup,
@@ -370,6 +407,7 @@ object LlmData {
     "d_fingerprint_dup" -> fingerprintDupSql,
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
+    "d_minhash_estimate" -> minhashEstimateSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_embedding_neardup" -> embNearDupSql,
     "s_cosine_topk" -> cosineTopKSql,

@@ -93,6 +93,24 @@ object Pipeline {
       | CAST(value AS VARCHAR) AS str_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------ p_json_extract
+  // Typed JSON payload extraction (the processor parses event
+  // payloads with gjson; Spark-first that's from_json with a schema
+  // so Catalyst prunes and codegens the access).
+  private val jsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("_p", from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))))
+      .select(col("event_id"), col("_p.k").as("k"),
+        (col("_p.k") % 10).as("k_mod"))
+      .orderBy("event_id")
+
+  private val jsonExtractSql =
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+      |FROM events ORDER BY event_id""".stripMargin
+
   // --------------------------------------------------- p_envelope
   // Gateway enveloping: MD5 message ids (misc.go:91 GetMD5UUID),
   // receivedAt stamping, request_ip (gateway.go / processor.go:199).
@@ -505,6 +523,7 @@ object Pipeline {
     "p_field_delete" -> fieldDelete,
     "p_cast_semantics" -> castSemantics,
     "p_envelope" -> envelope,
+    "p_json_extract" -> jsonExtract,
     "p_timestamp_skew" -> tsSkew,
     "p_sessionize" -> sessionize,
     "p_session_split" -> sessionSplit,
@@ -531,6 +550,7 @@ object Pipeline {
     "p_field_delete" -> fieldDeleteSql,
     "p_cast_semantics" -> castSemanticsSql,
     "p_envelope" -> envelopeSql,
+    "p_json_extract" -> jsonExtractSql,
     "p_timestamp_skew" -> tsSkewSql,
     "p_sessionize" -> sessionizeSql,
     "p_session_split" -> sessionSplitSql,

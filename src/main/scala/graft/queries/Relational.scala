@@ -565,8 +565,78 @@ object Relational {
       |  ON c_acctbal >= lo AND c_acctbal < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  // --------------------------------------------------------------- q27
+  // TPC-H Q7 shape: bilateral volume between two nation pairs — the
+  // same dimension joined twice under different roles (supplier
+  // nation vs customer nation).
+  private val q27: Q = (s, d) => {
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    val supp = broadcast(Tables.supplier(s, d))
+    val cust = broadcast(Tables.customer(s, d))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q27Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | year(l_shipdate) AS l_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // --------------------------------------------------------------- q28
+  // Set operations: customers active in 1996 EXCEPT active in 1997,
+  // INTERSECT both — distinct set semantics.
+  private val q28: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    def activeIn(y: Int) = ord
+      .filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val churned = activeIn(1996).except(activeIn(1997))
+      .select(lit("churned").as("cohort"), col("o_custkey"))
+    val retained = activeIn(1996).intersect(activeIn(1997))
+      .select(lit("retained").as("cohort"), col("o_custkey"))
+    churned.unionAll(retained).orderBy("cohort", "o_custkey")
+  }
+
+  private val q28Sql =
+    """SELECT * FROM (
+      | SELECT 'churned' AS cohort, o_custkey FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      | UNION ALL
+      | SELECT 'retained' AS cohort, o_custkey FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) t
+      |ORDER BY cohort, o_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q27_nation_volume" -> q27,
+    "q28_setops" -> q28,
     "q23_order_gap" -> q23,
     "q24_percentiles" -> q24,
     "q25_decile" -> q25,
@@ -593,6 +663,8 @@ object Relational {
     "q22_cube" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q27_nation_volume" -> q27Sql,
+    "q28_setops" -> q28Sql,
     "q23_order_gap" -> q23Sql,
     "q24_percentiles" -> q24Sql,
     "q25_decile" -> q25Sql,
