@@ -508,9 +508,38 @@ object Pipeline {
        |SELECT user_id, event_type AS state, ts_ms AS state_ms
        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------- p_stream_sessions
+  // The STREAMING sessionizer run inside the batch gate: events
+  // parquet replayed as a file stream (Trigger.AvailableNow), state
+  // closed by in-stream gaps, result surfaced as a DataFrame.
+  // Rows-only: open sessions legitimately stay in state, so the
+  // closed-session set is a strict subset of the batch sessionizer's.
+  private val streamSessions: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftSession.tune(s)
+    // raw file schema (ts = epoch-nanos LongType under nanosAsLong),
+    // NOT Tables' normalized one
+    val raw = s.read.parquet(s"$d/events.parquet").schema
+    // file stream source needs a directory — stream the sf dir with a
+    // glob filter selecting just the events table
+    val stream = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .select("user_id", "event_type", "ts_ms", "value")
+    val name = "graft_stream_sessions"
+    val q = graft.streaming.StreamingPipeline
+      .sessionize(stream, gapMs = 1800000L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    s.table(name).orderBy("user_id", "start_ms")
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_merge_upsert" -> mergeUpsert,
+    "p_stream_sessions" -> streamSessions,
     "p_asof_join" -> asofJoin,
     "p_health_report" -> healthReport,
     "p_writekey_auth" -> writekeyAuth,

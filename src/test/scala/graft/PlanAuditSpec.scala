@@ -1,0 +1,37 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties SURVEY §5
+  * claims must stay visible in the optimized plans. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6: filters and projection reach the parquet scan") {
+    val plan = formatted("q6_revenue_delta")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    // pruned read schema: no l_orderkey/l_partkey in the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q3: dim joins are broadcast, not shuffle") {
+    val plan = formatted("q3_shipping_priority")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("p_dedup_exact: aggregation is partial (map-side combine)") {
+    val plan = formatted("p_dedup_exact")
+    // two HashAggregate phases around one Exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert("Exchange".r.findAllIn(plan).size >= 1)
+  }
+
+  test("p_job_latest_status uses struct-max agg, not rank+filter") {
+    val plan = formatted("p_job_latest_status")
+    assert(!plan.contains("Window"))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+}
