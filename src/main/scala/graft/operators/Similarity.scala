@@ -33,7 +33,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
   /** Deterministic pseudo-random ±1 hyperplanes (LCG seeded — no
@@ -66,7 +66,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
   /** IVF-style approximate top-k: a coarse quantizer (any cluster
@@ -104,7 +104,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
   /** Near-duplicate pairs by cosine within a blocking key (label /

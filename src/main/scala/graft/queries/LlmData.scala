@@ -202,8 +202,10 @@ object LlmData {
     val t = col("text")
     Tables.documents(s, d).select(
       col("doc_id"),
-      T.markerScore(t, "en").as("s_en"), T.markerScore(t, "de").as("s_de"),
-      T.markerScore(t, "es").as("s_es"), T.markerScore(t, "fr").as("s_fr"),
+      T.markerScore(t, "en").cast("long").as("s_en"),
+      T.markerScore(t, "de").cast("long").as("s_de"),
+      T.markerScore(t, "es").cast("long").as("s_es"),
+      T.markerScore(t, "fr").cast("long").as("s_fr"),
       T.langId(t).as("pred_lang"))
       .orderBy("doc_id")
   }
@@ -232,10 +234,10 @@ object LlmData {
     val t = col("text")
     Tables.documents(s, d).select(
       col("doc_id"),
-      length(t).as("n_chars_calc"),
-      T.wsTokenCount(t).as("n_tokens"),
-      T.punctCount(t).as("n_punct"),
-      T.stopwordCount(t).as("n_stop"),
+      length(t).cast("long").as("n_chars_calc"),
+      T.wsTokenCount(t).cast("long").as("n_tokens"),
+      T.punctCount(t).cast("long").as("n_punct"),
+      T.stopwordCount(t).cast("long").as("n_stop"),
       round(T.alphaCount(t) / length(t).cast("double"), 6).as("alpha_ratio"),
       T.qualityScore(t).as("quality"))
       .orderBy("doc_id")
@@ -259,8 +261,8 @@ object LlmData {
     val t = col("text")
     Tables.documents(s, d).select(
       col("doc_id"),
-      T.wsTokenCount(t).as("ws_tokens"),
-      T.bpeishTokenCount(t).as("bpe_tokens"),
+      T.wsTokenCount(t).cast("long").as("ws_tokens"),
+      T.bpeishTokenCount(t).cast("long").as("bpe_tokens"),
       round(length(t).cast("double") / T.wsTokenCount(t), 6).as("chars_per_tok"))
       .orderBy("doc_id")
   }
@@ -278,7 +280,7 @@ object LlmData {
     Tables.documents(s, d).select(
       col("doc_id"),
       T.fingerprint(t).as("fingerprint"),
-      size(array_distinct(split(lower(t), " "))).as("n_unique_tokens"))
+      size(array_distinct(split(lower(t), " "))).cast("long").as("n_unique_tokens"))
       .orderBy("doc_id")
   }
 

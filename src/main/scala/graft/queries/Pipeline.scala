@@ -89,7 +89,7 @@ object Pipeline {
       | CAST(TRUNC(value) AS BIGINT) AS int_val,
       | TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_int,
       | event_type = 'true' AS bool_val,
-      | CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS flag_int,
+      | CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS flag_int,
       | CAST(value AS VARCHAR) AS str_val
       |FROM events ORDER BY event_id""".stripMargin
 
@@ -166,8 +166,8 @@ object Pipeline {
        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $tsMsSql, event_id)),
        |sess AS (
        | SELECT user_id, ts_ms,
-       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-       |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
        | FROM g)
        |SELECT user_id, session_seq, COUNT(*) AS n_events,
        | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
@@ -193,8 +193,8 @@ object Pipeline {
        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $tsMsSql, event_id)),
        |sess AS (
        | SELECT user_id, event_id, ts_ms,
-       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-       |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
        | FROM g),
        |parts AS (
        | SELECT user_id, session_seq, ts_ms,
@@ -340,7 +340,7 @@ object Pipeline {
     s"""SELECT user_id % 4 AS source_shard,
        | COUNT(*) AS n_events,
        | COUNT(DISTINCT user_id) AS n_users,
-       | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        | ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
        |   / COUNT(*), 4) AS error_rate,
        | MAX($tsMsSql) AS freshest_ms
@@ -373,7 +373,7 @@ object Pipeline {
   private val payloadSize: Q = (s, d) =>
     Tables.events(s, d).select(
       col("event_id"),
-      length(col("props")).as("payload_bytes"),
+      length(col("props")).cast("long").as("payload_bytes"),
       substring(col("props"), 1, 6).as("head_trunc"),
       substring(col("props"), -4, 4).as("tail_trunc"),
       (length(col("props")).cast("long") / 4L).cast("long").as("size_bucket"))
@@ -407,8 +407,8 @@ object Pipeline {
        | SELECT user_id, $tsMsSql // 86400000 AS day, COUNT(*) AS n_events
        | FROM events GROUP BY user_id, $tsMsSql // 86400000)
        |SELECT user_id, day, n_events,
-       | SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
-       |                     ROWS UNBOUNDED PRECEDING) AS cum_events
+       | CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY day
+       |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
        |FROM daily ORDER BY user_id, day""".stripMargin
 
   // ------------------------------------------------ p_suppression
@@ -446,11 +446,11 @@ object Pipeline {
 
   private val cataloguePivotSql =
     """SELECT user_id,
-      | SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      | SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      | SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      | SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------- p_asof_join

@@ -181,7 +181,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
     Tables.supplier(s, d)
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("s_nationkey", "rnk", "s_suppkey", "s_name", "s_acctbal")
       .orderBy("s_nationkey", "rnk", "s_suppkey")
@@ -247,8 +247,8 @@ object Relational {
 
   private val q12Sql =
     """SELECT l_linestatus,
-      | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -485,7 +485,7 @@ object Relational {
       .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
       .filter(col("prev_date").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"),
-        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -523,7 +523,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables.customer(s, d)
-      .withColumn("decile", ntile(10).over(w))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         dsum(col("c_acctbal")).as("sum_bal"),
@@ -585,7 +585,7 @@ object Relational {
       .filter(
         (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
         (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
-      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }

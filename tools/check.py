@@ -47,6 +47,10 @@ for name in names:
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         fails.append((name, f"columns differ: spark={gc} oracle={wc}")); continue
+    dt_mismatch = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gc
+                   if str(got[c].dtype) != str(want[c].dtype)]
+    if dt_mismatch:
+        print(f"DTYPE: {name}: {dt_mismatch}")
     got, want = got[gc], want[wc]
     if len(got) != len(want):
         fails.append((name, f"rowcount differ: spark={len(got)} oracle={len(want)}")); continue
