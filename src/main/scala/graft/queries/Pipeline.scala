@@ -174,6 +174,35 @@ object Pipeline {
        |FROM sess GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---------------------------------------------- p_backfill_gaps
+  // Dimension densification: materialize the missing (user, day) grid
+  // so downstream rollups see explicit zero days (the reporting-feed
+  // backfill every audit pipeline needs). Spark-first: per-user
+  // sequence() + explode + left-anti — no driver loop, one shuffle.
+  private val backfillGaps: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("day", (col("ts_ms") / 86400000L).cast("long"))
+    val active = ev.select("user_id", "day").distinct()
+    val span = ev.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(active, Seq("user_id", "day"), "left_anti")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gap_days"), min(col("day")).as("first_gap_day"))
+      .orderBy("user_id")
+  }
+
+  private val backfillGapsSql =
+    s"""WITH ev AS (SELECT user_id, $tsMsSql // 86400000 AS d FROM events),
+       |active AS (SELECT DISTINCT user_id, d FROM ev),
+       |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM ev GROUP BY user_id),
+       |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span)
+       |SELECT g.user_id, COUNT(*) AS n_gap_days, MIN(g.d) AS first_gap_day
+       |FROM grid g LEFT JOIN active a ON g.user_id = a.user_id AND g.d = a.d
+       |WHERE a.user_id IS NULL
+       |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin
+
   // ---------------------------------------------- p_session_split
   // Gap sessions sub-split every 5 events (sessionThresholdEvents,
   // processor.go:380) — summary per (user, session, part).
@@ -556,6 +585,7 @@ object Pipeline {
     "p_timestamp_skew" -> tsSkew,
     "p_sessionize" -> sessionize,
     "p_session_split" -> sessionSplit,
+    "p_backfill_gaps" -> backfillGaps,
     "p_job_latest_status" -> latestStatus,
     "p_retry_select" -> retrySelect,
     "p_dlq_aborted" -> dlq,
@@ -583,6 +613,7 @@ object Pipeline {
     "p_timestamp_skew" -> tsSkewSql,
     "p_sessionize" -> sessionizeSql,
     "p_session_split" -> sessionSplitSql,
+    "p_backfill_gaps" -> backfillGapsSql,
     "p_job_latest_status" -> latestStatusSql,
     "p_retry_select" -> retrySelectSql,
     "p_dlq_aborted" -> dlqSql,

@@ -633,8 +633,40 @@ object Relational {
       |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) t
       |ORDER BY cohort, o_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q29
+  // Running totals + share-of-total: cumulative spend per customer
+  // over their order history plus each order's share of the
+  // customer's lifetime spend (two window frames over one sort).
+  private val q29: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy("o_custkey")
+    val running = byCust.orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .withColumn("cum_spend", dbl(sum(money(col("o_totalprice"))).over(running)))
+      .withColumn("lifetime", dbl(sum(money(col("o_totalprice"))).over(byCust)))
+      .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"),
+        round(col("cum_spend") / col("lifetime"), 6).as("share"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q29Sql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+      | ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q29_running_share" -> q29,
     "q27_nation_volume" -> q27,
     "q28_setops" -> q28,
     "q23_order_gap" -> q23,
@@ -663,6 +695,7 @@ object Relational {
     "q22_cube" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q29_running_share" -> q29Sql,
     "q27_nation_volume" -> q27Sql,
     "q28_setops" -> q28Sql,
     "q23_order_gap" -> q23Sql,
