@@ -664,8 +664,23 @@ object Relational {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q30
+  // Sketch-based distinct counting: HyperLogLog++ replaces exact
+  // COUNT(DISTINCT) at 100 TB (no expand, mergeable partial state).
+  // Rows-only: the sketch estimate is engine-specific by design;
+  // RelationalSketchSpec pins it within 5% of exact.
+  private val q30: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q30_sketch_distinct" -> q30,
     "q29_running_share" -> q29,
     "q27_nation_volume" -> q27,
     "q28_setops" -> q28,
