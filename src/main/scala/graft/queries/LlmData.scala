@@ -290,6 +290,31 @@ object LlmData {
       | len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- d_split_assign
+  // Deterministic stratified train/val/test assignment: hash-bucket
+  // each doc (content-derived, so re-runs and re-shards agree), split
+  // 90/5/5 within each language stratum. The reproducible-split
+  // primitive every training-data pipeline needs — no rand(), no
+  // sampleBy seed drift across executors.
+  private val splitAssign: Q = (s, d) => {
+    val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    Tables.documents(s, d)
+      .withColumn("split", split)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "split")
+  }
+
+  private val splitAssignSql =
+    """SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM (SELECT lang, doc_id,
+      |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |      FROM (SELECT lang, doc_id,
+      |             TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 AS b
+      |            FROM documents) h) t
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   // ----------------------------------------------- m_multimodal_meta
   // Binary-column plumbing with stubbed decode — rows-only.
   private val multimodal: Q = (s, d) =>
@@ -387,6 +412,7 @@ object LlmData {
     "t_bigram_top" -> bigramTop,
     "t_pii_scrub" -> piiScrub,
     "d_fingerprint_dup" -> fingerprintDup,
+    "d_split_assign" -> splitAssign,
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_estimate" -> minhashEstimate,
@@ -407,6 +433,7 @@ object LlmData {
     "t_bigram_top" -> bigramTopSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_fingerprint_dup" -> fingerprintDupSql,
+    "d_split_assign" -> splitAssignSql,
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_minhash_estimate" -> minhashEstimateSql,
