@@ -112,6 +112,45 @@ object Dedup {
     candidatePairs(lshBands(minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms),
       idCol, numPerms, rowsPerBand), idCol)
 
+  /** Connected components over near-dup pairs → cluster ids, so a
+    * chain a~b~c dedups to ONE keeper even when (a,c) was never a
+    * candidate pair. Iterative min-label propagation (each node takes
+    * the min id among itself + neighbors, repeated): converges in
+    * O(diameter) joins — near-dup clusters are shallow in practice,
+    * so `maxIter` ≈ 5 suffices; each iteration is one shuffle join +
+    * one agg, all partial-agg friendly. Returns (id, cluster) for
+    * every node that appears in a pair. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // materialize the (small) edge set once: every iteration reuses it
+    val e = edges.localCheckpoint(eager = true)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = e
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      // localCheckpoint truncates the growing iterative lineage —
+      // without it each pass re-executes all prior passes
+      val next = labels.withColumnRenamed("cluster", "prev")
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
+        .localCheckpoint(eager = true)
+      // convergence check on the materialized frame — one cheap agg
+      // instead of always paying the worst-case iteration count
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
+      i += 1
+    }
+    labels
+  }
+
   /** MinHash Jaccard estimation for LSH candidate pairs: the fraction
     * of agreeing signature slots is an unbiased Jaccard estimate —
     * the cheap verification stage between banding (recall) and exact

@@ -91,6 +91,49 @@ object LlmData {
        |ORDER BY p.id1, p.id2""".stripMargin
   }
 
+  // ----------------------------------------------- d_dup_clusters
+  // Transitive near-dup components over the LSH candidate pairs:
+  // iterative min-label propagation in Spark vs an exact recursive-
+  // CTE closure in DuckDB — hash-equality proves the propagation
+  // converged to the true components.
+  private val dupClusters: Q = (s, d) =>
+    Dedup.clusterPairs(
+        Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text"), maxIter = 8)
+      .orderBy("id")
+
+  private val dupClustersSql = {
+    val P = Dedup.MinhashP
+    val coeffs = Dedup.minhashCoeffs(16)
+    val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${j * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+       |shx AS (SELECT doc_id,
+       |         TRY_CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS x
+       |        FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhAggs
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |walk(id, lbl) AS (
+       | SELECT DISTINCT src, src FROM edges
+       | UNION
+       | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+  }
+
   // -------------------------------------------------------- d_simhash
   // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
   // rows-only check. Emits fingerprint + a 16-bit band for bucketing.
@@ -416,6 +459,7 @@ object LlmData {
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
     "d_minhash_estimate" -> minhashEstimate,
+    "d_dup_clusters" -> dupClusters,
     "d_simhash" -> simhash,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_embedding_neardup" -> embNearDup,
@@ -437,6 +481,7 @@ object LlmData {
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
     "d_minhash_estimate" -> minhashEstimateSql,
+    "d_dup_clusters" -> dupClustersSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_embedding_neardup" -> embNearDupSql,
     "s_cosine_topk" -> cosineTopKSql,

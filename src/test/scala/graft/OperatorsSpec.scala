@@ -92,6 +92,14 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("clusterPairs finds transitive near-dup components") {
+    // two components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.clusterPairs(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
+  }
+
   test("ngramJaccard: identical docs get jaccard 1.0") {
     val df = Seq(
       (1L, "one two three four five six"),
