@@ -179,28 +179,27 @@ object Dedup {
     * boilerplate, which is what you want at 100 TB). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
                    maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    // join/shuffle on the 60-bit shingle hash, not the string — far
-    // smaller shuffle payload; collision probability is negligible
-    // and identical in the oracle (same hash there).
-    val sh = shingles(df, idCol, textCol, k)
+    // Single scan, shuffling on the 60-bit shingle hash (not the
+    // string). ONE groupBy(shingle) with collect_set yields the doc
+    // list AND the doc-frequency per shingle; set sizes and pairs
+    // both derive from it — vs. the naive 3-subplan shape that
+    // rescans and re-shingles the corpus per use.
+    val perShingle = shingles(df, idCol, textCol, k)
       .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(countDistinct(col(idCol)).as("df_count"))
-        .filter(col("df_count") <= maxDocFreq),
-      "shingle")
-    // pair generation via per-shingle doc lists (bounded by the df
-    // cap) instead of a shingle self-join: one groupBy on shingle,
-    // pairs expand row-locally — replaces the join's second full
-    // shuffle of the 2× shingle stream.
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    // per-doc distinct-shingle counts: one row per doc — AQE
+    // broadcasts it at small scale, shuffle-joins at corpus scale
+    val sizes = perShingle.select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val ids = col("ids")
-    val pairsPerShingle = rare.groupBy("shingle")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    // pairs expand row-locally from the capped doc lists (df cap
+    // bounds the quadratic blowup per shingle)
+    val inter = perShingle
+      .filter(size(ids) <= maxDocFreq)
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)),
           y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-    val inter = pairsPerShingle
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
     inter
