@@ -96,14 +96,20 @@ object Dedup {
   /** Candidate near-dup pairs from banded signatures (id1 < id2).
     * The band frame feeds BOTH sides of the self-join — persist it so
     * the whole shingle→minhash pipeline isn't computed twice (Spark
-    * does not CTE-materialize identical DataFrame subplans). */
+    * does not CTE-materialize identical DataFrame subplans). The
+    * (small) pair set is materialized eagerly so the band cache can be
+    * released before returning — several minhash queries run in one
+    * Verify/Bench session and leaked blocks would accumulate. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val cached = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cached.select(col(idCol).as("id1"), col("band"), col("band_hash"))
-    val b = cached.select(col(idCol).as("id2"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    try {
+      val a = cached.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+      val b = cached.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+        .localCheckpoint(eager = true)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Full MinHash-LSH near-dup pipeline. */
@@ -120,7 +126,7 @@ object Dedup {
     * so `maxIter` ≈ 5 suffices; each iteration is one shuffle join +
     * one agg, all partial-agg friendly. Returns (id, cluster) for
     * every node that appears in a pair. */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
     // materialize the (small) edge set once: every iteration reuses it
@@ -129,7 +135,7 @@ object Dedup {
       .withColumn("cluster", col("id"))
       .localCheckpoint(eager = true)
     var i = 0
-    var converged = false
+    var converged = e.isEmpty
     while (i < maxIter && !converged) {
       val neighborMin = e
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -148,6 +154,13 @@ object Dedup {
       labels = next.drop("prev")
       i += 1
     }
+    // A silent exit at the iteration cap would return WRONG labels
+    // (chains deeper than maxIter split into several clusters) — that
+    // must never pass as a clean result.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge after $maxIter iterations; " +
+          "raise maxIter (cluster diameter exceeds it)")
     labels
   }
 
@@ -160,16 +173,21 @@ object Dedup {
                              rowsPerBand: Int = 4): DataFrame = {
     val mh = minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairs(lshBands(mh, idCol, numPerms, rowsPerBand), idCol)
-    val agree = (0 until numPerms).map(i =>
-      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
-    val aSide = mh.select(col(idCol).as("id1") +:
-      (0 until numPerms).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
-    val bSide = mh.select(col(idCol).as("id2") +:
-      (0 until numPerms).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
-    pairs.join(aSide, "id1").join(bSide, "id2")
-      .select(col("id1"), col("id2"),
-        round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
+    try {
+      val pairs = candidatePairs(lshBands(mh, idCol, numPerms, rowsPerBand), idCol)
+      val agree = (0 until numPerms).map(i =>
+        when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
+      val aSide = mh.select(col(idCol).as("id1") +:
+        (0 until numPerms).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+      val bSide = mh.select(col(idCol).as("id2") +:
+        (0 until numPerms).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+      // few rows (one per candidate pair) — materialize eagerly so the
+      // signature cache can be dropped before returning
+      pairs.join(aSide, "id1").join(bSide, "id2")
+        .select(col("id1"), col("id2"),
+          round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
+        .localCheckpoint(eager = true)
+    } finally mh.unpersist(blocking = false)
   }
 
   /** n-gram Jaccard similarity for pairs sharing at least one shingle.

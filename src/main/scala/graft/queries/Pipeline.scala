@@ -493,7 +493,7 @@ object Pipeline {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms"))
     AsOfJoin.backward(purchases, views, "user_id", "ts_ms", "ts_ms",
-        rightPayload = Seq("view_id"))
+        rightPayload = Seq("view_id"), rightTiebreak = Some("view_id"))
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         col("asof_view_id").as("view_id"), col("asof_ts").as("view_ms"))
       .orderBy("event_id")

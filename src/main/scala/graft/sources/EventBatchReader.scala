@@ -46,8 +46,16 @@ object EventBatchReader {
         posexplode(col("_env.batch")).as(Seq("batch_idx", "evt")))
       .select(
         col("write_key"), col("request_ip"), col("received_at"), col("batch_idx"),
+        // Fallback id for events that arrive without a messageId. The
+        // reference assigns a random UUID (gateway.go
+        // setRandomMessageIDWhenEmpty); random ids break Spark task-retry
+        // determinism, so hash the full envelope identity instead —
+        // received_at + request_ip + writeKey disambiguate two envelopes
+        // that carry the same event name at the same batch position.
         coalesce(col("evt.messageId"),
-          md5(concat_ws(":", col("write_key"), col("batch_idx"), col("evt.event")))).as("message_id"),
+          md5(concat_ws(":", col("write_key"), col("batch_idx"),
+            col("received_at").cast("string"), col("request_ip"),
+            col("evt.event"), col("evt.sentAt")))).as("message_id"),
         col("evt.userId").as("user_id"),
         col("evt.event").as("event"),
         to_timestamp(col("evt.originalTimestamp")).as("original_timestamp"),

@@ -47,10 +47,12 @@ for name in names:
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         fails.append((name, f"columns differ: spark={gc} oracle={wc}")); continue
+    # dtype divergence is a FAIL, not a note — the driver gate hashes
+    # typed values, so a local dtype mismatch predicts a driver miss
     dt_mismatch = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gc
                    if str(got[c].dtype) != str(want[c].dtype)]
     if dt_mismatch:
-        print(f"DTYPE: {name}: {dt_mismatch}")
+        fails.append((name, f"dtype differ: {dt_mismatch}")); continue
     got, want = got[gc], want[wc]
     if len(got) != len(want):
         fails.append((name, f"rowcount differ: spark={len(got)} oracle={len(want)}")); continue
@@ -66,8 +68,6 @@ for name in names:
                     eq = (math.isnan(a) and math.isnan(b)) or a == b
             except Exception:
                 pass
-            if not eq and str(a) == str(b):
-                eq = True
             if not eq:
                 bad = f"col {c} row {i}: spark={a!r} oracle={b!r}"
                 break
