@@ -499,6 +499,32 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------- p_asof_forward
+  // Forward as-of: each purchase picks the user's NEXT view at or
+  // after the purchase (follow-up behavior analysis). Same union +
+  // one-shuffle window scan as backward, descending.
+  private val asofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_ms")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms"))
+    AsOfJoin.forward(purchases, views, "user_id", "ts_ms", "ts_ms",
+        rightPayload = Seq("view_id"), rightTiebreak = Some("view_id"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("asof_view_id").as("view_id"), col("asof_ts").as("view_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofForwardSql =
+    s"""SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.ts_ms AS view_ms
+       |FROM (SELECT user_id, event_id, $tsMsSql AS ts_ms FROM events
+       |      WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT user_id, event_id AS view_id, $tsMsSql AS ts_ms
+       |      FROM events WHERE event_type = 'view') v
+       |  ON p.user_id = v.user_id AND v.ts_ms >= p.ts_ms
+       |ORDER BY p.event_id""".stripMargin
+
   private val asofJoinSql =
     s"""SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.ts_ms AS view_ms
        |FROM (SELECT user_id, event_id, $tsMsSql AS ts_ms FROM events
@@ -570,6 +596,7 @@ object Pipeline {
     "p_merge_upsert" -> mergeUpsert,
     "p_stream_sessions" -> streamSessions,
     "p_asof_join" -> asofJoin,
+    "p_asof_forward" -> asofForward,
     "p_health_report" -> healthReport,
     "p_writekey_auth" -> writekeyAuth,
     "p_payload_size" -> payloadSize,
@@ -598,6 +625,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,
+    "p_asof_forward" -> asofForwardSql,
     "p_health_report" -> healthReportSql,
     "p_writekey_auth" -> writekeyAuthSql,
     "p_payload_size" -> payloadSizeSql,

@@ -678,8 +678,91 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q8
+  // Market share (TPC-H Q8 shape): among ASIA-region customers'
+  // orders of PROMO parts, the revenue share delivered by NATION_2
+  // suppliers, per order year. 7-table star: lineitem is the only
+  // shuffle-bearing input — every dim is an explicit broadcast, and
+  // the share divides two exact decimal sums as doubles.
+  private val q8: Q = (s, d) => {
+    val region = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+    val cnat = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region")))
+    val snat = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name")))
+    val promo = broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select("p_partkey"))
+    val supp = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+    val cust = broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val rev = money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(promo, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(cnat, col("c_nationkey") === col("cn_key"))
+      .join(region, col("cn_region") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(snat, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(coalesce(dbl(sum(when(col("sn_name") === "NATION_2", rev))), lit(0.0)) /
+          dbl(sum(rev)), 4).as("mkt_share"),
+        dbl(sum(rev)).as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    """SELECT year(o_orderdate) AS o_year,
+      | ROUND(COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+      |     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE), 0) /
+      |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS mkt_share,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation cn ON c_nationkey = cn.n_nationkey
+      | JOIN region ON cn.n_regionkey = r_regionkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  // Part-value concentration (TPC-H Q11 shape, adapted: testdata has
+  // no partsupp, so value = lineitem revenue per part). HAVING
+  // against a global scalar subquery; the threshold is scale-free
+  // (1.5 × mean part value) and derived from the exact decimal total
+  // over a distinct count, so both engines compare identical doubles.
+  private val q11: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pv = li.groupBy("l_partkey").agg(dsum(col("l_extendedprice")).as("value"))
+    val thr = li.agg((lit(1.5) * dbl(sum(money(col("l_extendedprice")))) /
+      countDistinct(col("l_partkey"))).as("_thr"))
+    pv.join(broadcast(thr))
+      .filter(col("value") > col("_thr"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  private val q11Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, value FROM pv
+      |WHERE value > (SELECT 1.5 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |               / COUNT(DISTINCT l_partkey) FROM lineitem)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q8_market_share" -> q8,
+    "q11_part_value" -> q11,
     "q30_sketch_distinct" -> q30,
     "q29_running_share" -> q29,
     "q27_nation_volume" -> q27,
@@ -710,6 +793,8 @@ object Relational {
     "q22_cube" -> q22)
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql,
+    "q11_part_value" -> q11Sql,
     "q29_running_share" -> q29Sql,
     "q27_nation_volume" -> q27Sql,
     "q28_setops" -> q28Sql,

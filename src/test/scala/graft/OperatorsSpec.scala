@@ -63,6 +63,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_quote_id")))
   }
 
+  test("AsOfJoin.forward picks earliest right row at or after left ts") {
+    val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("key", "ts", "trade_id")
+    val quotes = Seq((1L, 90L, 101L), (1L, 100L, 102L), (1L, 300L, 103L), (2L, 40L, 104L))
+      .toDF("key", "qts", "quote_id")
+    val out = AsOfJoin.forward(trades, quotes, "key", "ts", "qts", Seq("quote_id"))
+      .orderBy("trade_id").collect()
+    // trade@100 sees quote@100 (>= is inclusive); trade@200 sees quote@300
+    assert(out(0).getAs[Long]("asof_quote_id") == 102L)
+    assert(out(0).getAs[Long]("asof_ts") == 100L)
+    assert(out(1).getAs[Long]("asof_quote_id") == 103L)
+    // key 2 trade@50: latest quote was @40, nothing after -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_quote_id")))
+  }
+
+  test("AsOfJoin tiebreak is deterministic on duplicate right timestamps") {
+    val left = Seq((1L, 100L, 1L)).toDF("key", "ts", "lid")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L))
+      .toDF("key", "rts", "rid")
+    val back = AsOfJoin.backward(left, right, "key", "ts", "rts", Seq("rid"),
+      rightTiebreak = Some("rid")).collect()
+    assert(back(0).getAs[Long]("asof_rid") == 9L) // max wins backward
+    val fwd = AsOfJoin.forward(left, right, "key", "ts", "rts", Seq("rid"),
+      rightTiebreak = Some("rid")).collect()
+    assert(fwd(0).getAs[Long]("asof_rid") == 7L) // min wins forward
+  }
+
   test("Sessionize.withMaxEvents sub-splits long sessions") {
     val ev = (0 until 12).map(i => (1L, i.toLong, i * 1000L))
       .toDF("user_id", "event_id", "ts_ms")
