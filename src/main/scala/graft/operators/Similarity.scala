@@ -107,6 +107,66 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** K-means coarse quantizer for IVF — real Lloyd iterations, fully
+    * deterministic (no runtime entropy):
+    *  - init: the k sample vectors with the smallest md5(id) rank (a
+    *    deterministic pseudo-random draw);
+    *  - train on a hash-selected sample (`1/trainMod` of rows — IVF
+    *    standard practice: train on a sliver, assign everything);
+    *  - each Lloyd step assigns the sample to the nearest centroid
+    *    with the codegen'd dot product and recomputes centroids via
+    *    position-exploded partial agg (ONE shuffle of k·dim rows).
+    * Centroids live driver-side between steps (k·dim doubles —
+    * kilobytes at any corpus scale); the expensive parts (assignment,
+    * mean) are distributed. Returns (id, cell) for every input row.
+    *
+    * Assignment metric: squared L2 via argmin(‖c‖² − 2⟨x,c⟩) — ‖x‖²
+    * is constant per row and drops out. Ties break toward the lower
+    * cell index (struct min), so assignment is deterministic. */
+  def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 16, iters: Int = 5, trainMod: Int = 5): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol).as("_v"))
+    val sample = base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+      .localCheckpoint(eager = true)
+
+    def collectVecs(d: DataFrame, c: String): Array[Array[Double]] =
+      d.select(col(c)).collect()
+        .map(_.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case dd: Double => dd
+        }.toArray)
+
+    var centroids: Array[Array[Double]] =
+      collectVecs(sample.orderBy(md5(col(idCol).cast("string"))).limit(k), "_v")
+
+    def assignExpr(cs: Array[Array[Double]]): Column = {
+      val scored = cs.zipWithIndex.map { case (cvec, j) =>
+        val carr = array(cvec.map(lit): _*)
+        val c2 = cvec.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("_v"), carr)).as("s"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j")
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = sample.withColumn("cell", assignExpr(centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("centroid"))
+        .orderBy("cell")
+      val updated = means.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty cells keep their previous centroid (standard Lloyd fix)
+      centroids = centroids.indices
+        .map(j => updated.getOrElse(j, centroids(j))).toArray
+    }
+    base.select(col(idCol), assignExpr(centroids).cast("long").as("cell"))
+  }
+
   /** Near-duplicate pairs by cosine within a blocking key (label /
     * cluster / LSH bucket) — the blocking key keeps the self-join
     * from going quadratic across the whole corpus. */

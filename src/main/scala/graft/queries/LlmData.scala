@@ -240,12 +240,16 @@ object LlmData {
   }
 
   // -------------------------------------------------------- s_ivf_topk
-  // IVF coarse-quantize (label cells) → probe 2 cells → exact rerank.
+  // Real IVF: k-means coarse quantizer (deterministic Lloyd, trained
+  // on a hash sample) → probe 2 cells → exact rerank within them.
   // Approximate by construction → rows-only.
   private val ivfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", cellCol = "label", k = 3, nprobe = 2)
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4)
+    val quantized = emb.join(cells, "vec_id")
+    Similarity.ivfTopK(quantized.filter(col("vec_id") < 10), quantized,
+        "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 2)
       .orderBy("qid", "rnk")
   }
 

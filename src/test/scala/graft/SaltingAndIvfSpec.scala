@@ -43,6 +43,28 @@ class SaltingAndIvfSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
+  test("kmeansCells separates well-split groups deterministically") {
+    // two tight groups far apart in 2-D; every id in a group must get
+    // the same cell and the two groups different cells
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f) else Array(0.0f, 10.0f)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01f, base(1) + (i % 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCells(vecs, "vec_id", "embedding",
+      k = 2, iters = 4, trainMod = 2)
+    val byGroup = cells.withColumn("grp", $"vec_id" % 2)
+      .groupBy("grp").agg(org.apache.spark.sql.functions.collect_set($"cell").as("cs"))
+      .orderBy("grp").collect()
+    val g0 = byGroup(0).getSeq[Long](1).toSet
+    val g1 = byGroup(1).getSeq[Long](1).toSet
+    assert(g0.size == 1 && g1.size == 1 && g0 != g1)
+    // deterministic: rerun produces identical assignment
+    val again = Similarity.kmeansCells(vecs, "vec_id", "embedding",
+      k = 2, iters = 4, trainMod = 2)
+    assert(cells.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
+
   test("CatalogReader round-trips csv and json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
