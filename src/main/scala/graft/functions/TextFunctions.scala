@@ -33,6 +33,13 @@ object TextFunctions {
       .otherwise("fr")
   }
 
+  /** Canonical cleaning pass (LLM-corpus normalization): lowercase,
+    * non-alphanumerics → space, whitespace runs collapsed, trimmed.
+    * ASCII-class regexes only, so the semantics are engine-portable
+    * (DuckDB: same pattern with the 'g' flag). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   def wsTokenCount(text: Column): Column = size(split(text, " "))
 
   /** BPE-ish pre-tokenizer piece count: letter runs, single digits,

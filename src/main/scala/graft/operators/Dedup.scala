@@ -42,6 +42,21 @@ object Dedup {
         count(lit(1)).as("n_dups"),
         min(col(tsMsCol)).as("first_ms"))
 
+  /** TTL-bucketed exact dedup: keep-first per key within TTL-sized
+    * time buckets. A gateway dedup store expires seen ids after a
+    * TTL; bucketing event time by that TTL gives the same guarantee
+    * (a duplicate landing in the keeper's bucket is dropped) as ONE
+    * partial-agg shuffle — no per-key state store, no growth over
+    * time, so it scales to unbounded retention at 100 TB. */
+  def keepFirstWithinTtl(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                         tsMsCol: String, ttlMs: Long): DataFrame =
+    df.withColumn("ttl_bucket", expr(s"$tsMsCol div $ttlMs"))
+      .groupBy((keyCols :+ "ttl_bucket").map(col): _*)
+      .agg(
+        min(col(orderCol)).as("keeper_id"),
+        count(lit(1)).as("n_dups"),
+        min(col(tsMsCol)).as("first_ms"))
+
   /** Exact content dedup by hash (content-defined identity). */
   def byContentHash(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(md5(col(contentCol)).as("content_hash"))

@@ -312,6 +312,26 @@ object LlmData {
       |  + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6) AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ t_normalize
+  // Canonical corpus cleaning (the pass that precedes shingling /
+  // tokenizing in an LLM data pipeline): lowercase, strip
+  // non-alphanumerics, collapse whitespace. Pure projection — no
+  // shuffle, fully codegen'd.
+  private val normalizeQ: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), T.normalize(col("text")).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
+  private val normalizeSql =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |   TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+      |        ' +', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, norm_text, CAST(LENGTH(norm_text) AS BIGINT) AS n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- t_tokens
   private val tokens: Q = (s, d) => {
     val t = col("text")
@@ -482,6 +502,7 @@ object LlmData {
     "t_langid" -> langid,
     "t_quality" -> quality,
     "t_tokens" -> tokens,
+    "t_normalize" -> normalizeQ,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal)
 
@@ -501,5 +522,6 @@ object LlmData {
     "t_langid" -> langidSql,
     "t_quality" -> qualitySql,
     "t_tokens" -> tokensSql,
+    "t_normalize" -> normalizeSql,
     "t_fingerprint" -> fingerprintSql)
 }

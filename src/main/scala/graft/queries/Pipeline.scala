@@ -334,6 +334,21 @@ object Pipeline {
        |FROM events GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------- p_dedup_ttl
+  // Gateway dedup with an expiring id store: keep-first per
+  // (user, event type) within 1-day TTL buckets — stateless bucketed
+  // equivalent of a TTL'd dedup cache, one partial-agg shuffle.
+  private val dedupTtl: Q = (s, d) =>
+    Dedup.keepFirstWithinTtl(Tables.events(s, d), Seq("user_id", "event_type"),
+        orderCol = "event_id", tsMsCol = "ts_ms", ttlMs = 86400000L)
+      .orderBy("user_id", "event_type", "ttl_bucket")
+
+  private val dedupTtlSql =
+    s"""SELECT user_id, event_type, ($tsMsSql) // 86400000 AS ttl_bucket,
+       | MIN(event_id) AS keeper_id, COUNT(*) AS n_dups, MIN($tsMsSql) AS first_ms
+       |FROM events GROUP BY user_id, event_type, ttl_bucket
+       |ORDER BY user_id, event_type, ttl_bucket""".stripMargin
+
   // ----------------------------------------------- p_schema_project
   private val schemaProject: Q = (s, d) =>
     TransformRules.projectToSchema(
@@ -620,6 +635,7 @@ object Pipeline {
     "p_batch_assign" -> batchAssign,
     "p_incremental_window" -> incremental,
     "p_dedup_exact" -> dedupExact,
+    "p_dedup_ttl" -> dedupTtl,
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
@@ -649,5 +665,6 @@ object Pipeline {
     "p_batch_assign" -> batchAssignSql,
     "p_incremental_window" -> incrementalSql,
     "p_dedup_exact" -> dedupExactSql,
+    "p_dedup_ttl" -> dedupTtlSql,
     "p_schema_project" -> schemaProjectSql)
 }

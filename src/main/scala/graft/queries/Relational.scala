@@ -759,10 +759,39 @@ object Relational {
       |               / COUNT(DISTINCT l_partkey) FROM lineitem)
       |ORDER BY value DESC, l_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q31
+  // UNPIVOT (wide → long): the warehouse melt that BI activation
+  // needs for measure-as-rows tools. Native Dataset.unpivot — a
+  // zero-shuffle projection expansion on top of the partial agg.
+  private val q31: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dbl(sum(rate(col("l_discount")))).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  private val q31Sql =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |   CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q8_market_share" -> q8,
     "q11_part_value" -> q11,
+    "q31_unpivot" -> q31,
     "q30_sketch_distinct" -> q30,
     "q29_running_share" -> q29,
     "q27_nation_volume" -> q27,
@@ -795,6 +824,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q8_market_share" -> q8Sql,
     "q11_part_value" -> q11Sql,
+    "q31_unpivot" -> q31Sql,
     "q29_running_share" -> q29Sql,
     "q27_nation_volume" -> q27Sql,
     "q28_setops" -> q28Sql,

@@ -83,6 +83,18 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming gateway dedup — the TTL'd seen-ids store as a stream
+    * op: `dropDuplicatesWithinWatermark` keeps the first event per id
+    * and expires state once the watermark passes, so the state store
+    * is bounded by (arrival rate × watermark), not by history — the
+    * streaming twin of `Dedup.keepFirstWithinTtl`. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming status-ledger view: latest status per job via
     * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
     * partial-agg friendly, same shape as the batch JobLedger). */

@@ -34,4 +34,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
+
+  test("q8: all seven dims broadcast — lineitem never sort-merge joins") {
+    val plan = formatted("q8_market_share")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    // part filter reaches the scan
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(p_type,PROMO)"))
+  }
+
+  test("q11: global threshold joins as broadcast scalar, lineitem scans prune") {
+    val plan = formatted("q11_part_value")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("l_shipdate") && !readSchemas.contains("l_quantity"))
+  }
+
+  test("as-of joins plan exactly one shuffle into the window scan") {
+    for (name <- Seq("p_asof_join", "p_asof_forward")) {
+      val plan = formatted(name)
+      assert(plan.contains("Window"), name)
+      // one Exchange for the key partition (plus possibly the final
+      // orderBy range exchange) — never a join operator
+      assert(!plan.contains("Join"), name)
+    }
+  }
 }

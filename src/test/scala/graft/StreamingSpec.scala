@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L))
   }
 
+  test("streaming dedup keeps first event per id within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Double)]
+    val events = input.toDF().toDF("event_id", "event_type", "ts_ms", "value")
+    val deduped = StreamingPipeline.dedupStream(events, Seq("event_id"),
+      watermark = "1 minute")
+
+    // id 1 arrives three times (different payloads), id 2 once
+    input.addData(
+      (1L, "click", 1000L, 1.0), (1L, "click", 2000L, 2.0),
+      (2L, "view", 3000L, 3.0), (1L, "click", 4000L, 4.0))
+
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("dedup_out").orderBy("event_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // keep-FIRST: id 1 survives with its earliest payload
+    assert(rows(0).getDouble(3) == 1.0)
+  }
+
   test("streaming fanout counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Double)]
