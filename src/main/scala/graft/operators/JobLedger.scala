@@ -42,6 +42,23 @@ object JobLedger {
       .select(col(jobCol), col("attempts"), col("last_ms"))
   }
 
+  /** GetUnprocessed analogue (jobsdb.go GetUnprocessed: jobs with no
+    * job_status row yet): job groups that never reached the terminal
+    * status. Left-anti on the job key — one shuffle per side, the
+    * anti-join never expands rows, and both aggs are partial-agg
+    * friendly. */
+  def unprocessed(df: DataFrame, jobCols: Seq[String], statusCol: String,
+                  terminalValue: String, tsMsCol: String): DataFrame = {
+    val done = df.filter(col(statusCol) === terminalValue)
+      .select(jobCols.map(col): _*).distinct()
+    df.join(done, jobCols, "left_anti")
+      .groupBy(jobCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_pending"),
+        min(col(tsMsCol)).as("first_ms"),
+        max(col(tsMsCol)).as("last_ms"))
+  }
+
   /** Dead-letter view: jobs that accumulated >= maxRetry failures →
     * aborted (jobsdb.go maxRetryNumber / AbortedState). */
   def deadLetter(df: DataFrame, jobCol: String, statusCol: String,

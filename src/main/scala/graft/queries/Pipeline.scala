@@ -334,6 +334,52 @@ object Pipeline {
        |FROM events GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------- p_hopping_rate
+  // Hopping-window event rates (2 h window, 1 h hop) via the native
+  // window() expression — each event lands in exactly w/hop windows
+  // row-locally (projection expansion), then one partial-agg shuffle.
+  // The oracle expands the same windows with generate_series.
+  private val hoppingRate: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"), col("n"))
+      .orderBy("win_start_ms", "event_type")
+
+  private val hoppingRateSql =
+    s"""WITH e AS (SELECT $tsMsSql AS ts_ms, event_type FROM events),
+       |x AS (SELECT ts_ms, event_type,
+       |        unnest(generate_series(ts_ms // 3600000 - 1, ts_ms // 3600000, 1))
+       |          * 3600000 AS win_start_ms
+       |      FROM e)
+       |SELECT win_start_ms, event_type, COUNT(*) AS n
+       |FROM x WHERE win_start_ms <= ts_ms AND ts_ms < win_start_ms + 7200000
+       |GROUP BY win_start_ms, event_type
+       |ORDER BY win_start_ms, event_type""".stripMargin
+
+  // -------------------------------------------------- p_unprocessed
+  // jobsdb GetUnprocessed: (user, day) job groups with no terminal
+  // 'purchase' status that day — the queue-scan that feeds the
+  // processor main loop, as one anti-join instead of polling.
+  private val unprocessedQ: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("day", expr("ts_ms div 86400000"))
+    JobLedger.unprocessed(ev, Seq("user_id", "day"), "event_type",
+        terminalValue = "purchase", tsMsCol = "ts_ms")
+      .orderBy("user_id", "day")
+  }
+
+  private val unprocessedSql =
+    s"""WITH e AS (SELECT user_id, ($tsMsSql) // 86400000 AS day, event_type,
+       |                  $tsMsSql AS ts_ms FROM events)
+       |SELECT user_id, day, COUNT(*) AS n_pending,
+       | MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms
+       |FROM e ev
+       |WHERE NOT EXISTS (SELECT 1 FROM e t
+       |  WHERE t.user_id = ev.user_id AND t.day = ev.day
+       |    AND t.event_type = 'purchase')
+       |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
   // ---------------------------------------------------- p_dedup_ttl
   // Gateway dedup with an expiring id store: keep-first per
   // (user, event type) within 1-day TTL buckets — stateless bucketed
@@ -636,6 +682,8 @@ object Pipeline {
     "p_incremental_window" -> incremental,
     "p_dedup_exact" -> dedupExact,
     "p_dedup_ttl" -> dedupTtl,
+    "p_unprocessed" -> unprocessedQ,
+    "p_hopping_rate" -> hoppingRate,
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
@@ -666,5 +714,7 @@ object Pipeline {
     "p_incremental_window" -> incrementalSql,
     "p_dedup_exact" -> dedupExactSql,
     "p_dedup_ttl" -> dedupTtlSql,
+    "p_unprocessed" -> unprocessedSql,
+    "p_hopping_rate" -> hoppingRateSql,
     "p_schema_project" -> schemaProjectSql)
 }
