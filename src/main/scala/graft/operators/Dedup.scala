@@ -279,6 +279,10 @@ object Dedup {
     // list AND the doc-frequency per shingle; set sizes and pairs
     // both derive from it — vs. the naive 3-subplan shape that
     // rescans and re-shingles the corpus per use.
+    // perShingle feeds BOTH the size agg and the pair expansion; the
+    // identical shuffle subtree is shared at runtime via
+    // ReusedExchange, so no explicit materialization (measured: a
+    // localCheckpoint here is net-slower — it blocks AQE downstream)
     val perShingle = shingles(df, idCol, textCol, k)
       .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
       .groupBy("shingle")

@@ -560,6 +560,34 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------- p_interval_join
+  // All views within the hour before each purchase (attribution
+  // WINDOW, not just the nearest view): bucketed time-band join —
+  // the left side explodes to ≤2 hour-buckets, the shuffle key is
+  // (user, bucket), so one hyperactive user spreads across buckets.
+  private val intervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_ms")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("vts"))
+    IntervalJoin.bucketed(purchases, views, "user_id", "ts_ms", "vts",
+        beforeMs = 3600000L, afterMs = 0L, rightPayload = Seq("view_id"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("r_view_id").as("view_id"), col("_rts").as("view_ms"))
+      .orderBy("event_id", "view_id")
+  }
+
+  private val intervalJoinSql =
+    s"""SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.ts_ms AS view_ms
+       |FROM (SELECT user_id, event_id, $tsMsSql AS ts_ms FROM events
+       |      WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, event_id AS view_id, $tsMsSql AS ts_ms
+       |      FROM events WHERE event_type = 'view') v
+       |  ON p.user_id = v.user_id
+       | AND v.ts_ms BETWEEN p.ts_ms - 3600000 AND p.ts_ms
+       |ORDER BY p.event_id, v.view_id""".stripMargin
+
   // ---------------------------------------------- p_asof_forward
   // Forward as-of: each purchase picks the user's NEXT view at or
   // after the purchase (follow-up behavior analysis). Same union +
@@ -658,6 +686,7 @@ object Pipeline {
     "p_stream_sessions" -> streamSessions,
     "p_asof_join" -> asofJoin,
     "p_asof_forward" -> asofForward,
+    "p_interval_join" -> intervalJoin,
     "p_health_report" -> healthReport,
     "p_writekey_auth" -> writekeyAuth,
     "p_payload_size" -> payloadSize,
@@ -690,6 +719,7 @@ object Pipeline {
     "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,
     "p_asof_forward" -> asofForwardSql,
+    "p_interval_join" -> intervalJoinSql,
     "p_health_report" -> healthReportSql,
     "p_writekey_auth" -> writekeyAuthSql,
     "p_payload_size" -> payloadSizeSql,

@@ -83,6 +83,28 @@ object StreamingPipeline {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to every view in
+    * the preceding `beforeMs` on the same user. Both sides carry
+    * watermarks so Spark bounds the join state — buffered rows expire
+    * once the watermark passes the band, the streaming equivalent of
+    * IntervalJoin.bucketed's bounded buckets. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         keyCol: String, beforeMs: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withColumn("l_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("l_ts", watermark)
+      .select(col(keyCol).as("l_key"), col("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withColumn("r_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("r_ts", watermark)
+      .select(col(keyCol).as("r_key"), col("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts BETWEEN l_ts - interval ${beforeMs / 1000} seconds AND l_ts
+         |""".stripMargin))
+  }
+
   /** Streaming gateway dedup — the TTL'd seen-ids store as a stream
     * op: `dropDuplicatesWithinWatermark` keeps the first event per id
     * and expires state once the watermark passes, so the state store

@@ -78,6 +78,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_quote_id")))
   }
 
+  test("IntervalJoin.bucketed finds all matches in the band, across buckets") {
+    val left = Seq((1L, 10000L, 1L), (2L, 5000L, 2L)).toDF("key", "ts", "lid")
+    // rights at 9000/10000 in band for lid 1 (before=2000, after=0);
+    // 7000 is out; 4000 (other key's window) out for key 1
+    val right = Seq((1L, 9000L, 100L), (1L, 10000L, 101L), (1L, 7000L, 102L),
+      (2L, 4000L, 103L), (2L, 1000L, 104L)).toDF("key", "rts", "rid")
+    val out = IntervalJoin.bucketed(left, right, "key", "ts", "rts",
+      beforeMs = 2000L, afterMs = 0L, rightPayload = Seq("rid"))
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 100L), (1L, 101L), (2L, 103L)))
+  }
+
   test("AsOfJoin tiebreak is deterministic on duplicate right timestamps") {
     val left = Seq((1L, 100L, 1L)).toDF("key", "ts", "lid")
     val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L))

@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L))
   }
 
+  test("stream-stream interval join matches views in the hour before purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val views = MemoryStream[(Long, Long, Long)]
+    val joined = StreamingPipeline.intervalJoinStream(
+      purchases.toDF().toDF("user_id", "event_id", "ts_ms"),
+      views.toDF().toDF("user_id", "event_id", "ts_ms"),
+      "user_id", beforeMs = 3600000L, watermark = "1 minute")
+
+    // purchase at t=2h; views at 1.5h (in band), 30m (out), other user
+    purchases.addData((1L, 100L, 7200000L))
+    views.addData((1L, 200L, 5400000L), (1L, 201L, 1800000L), (2L, 202L, 5400000L))
+
+    val query = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("ij_out").collect()
+    assert(rows.map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet ==
+      Set((100L, 200L)))
+  }
+
   test("streaming dedup keeps first event per id within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Double)]
