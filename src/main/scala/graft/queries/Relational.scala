@@ -787,9 +787,26 @@ object Relational {
       |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // --------------------------------------------------------------- q32
+  // Mergeable quantile sketch per group (approx_percentile): the
+  // scale path for q24's exact percentiles — a sketch merges across
+  // partitions (partial agg), an exact percentile needs the full
+  // sorted column. Rows-only (sketch ≠ SQL-exact); accuracy vs exact
+  // is pinned in SketchSpec.
+  private val q32: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
+      .select(col("o_orderstatus"),
+        round(col("pcts")(0), 2).as("p50"),
+        round(col("pcts")(1), 2).as("p90"),
+        round(col("pcts")(2), 2).as("p99"))
+      .orderBy("o_orderstatus")
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q8_market_share" -> q8,
+    "q32_approx_percentiles" -> q32,
     "q11_part_value" -> q11,
     "q31_unpivot" -> q31,
     "q30_sketch_distinct" -> q30,
