@@ -38,8 +38,11 @@ object Multimodal {
     var i = 0
     while (i < len) { sum += (r.payload(i) & 0xff); i += 1 }
     val mean = if (len == 0) 0.0 else sum.toDouble / len
-    MediaFeatures(r.doc_id, len, math.rint(mean * 100) / 100,
-      r.width, r.height, math.rint(r.width.toDouble / r.height * 1000) / 1000)
+    // half-up rounding (floor(x·scale + .5)) — engine-portable, unlike
+    // rint's banker's rounding, so the DuckDB oracle can replicate it
+    MediaFeatures(r.doc_id, len, math.floor(mean * 100 + 0.5) / 100,
+      r.width, r.height,
+      math.floor(r.width.toDouble / r.height * 1000 + 0.5) / 1000)
   }
 
   /** Partition-batched decode — the mapInPandas-equivalent shape:

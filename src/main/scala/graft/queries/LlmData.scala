@@ -231,12 +231,47 @@ object LlmData {
       |ORDER BY qid, rnk""".stripMargin
 
   // ------------------------------------------------------- s_lsh_topk
-  // Approximate by construction → rows-only.
+  // Approximate by construction, but fully DETERMINISTIC: the ±1
+  // hyperplanes are LCG literals, so the oracle recomputes the exact
+  // sign-bit buckets + in-bucket rerank in SQL (planes interpolated
+  // below, like the minhash coefficients).
   private val lshTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", k = 3, numPlanes = 4, dim = 64)
       .orderBy("qid", "rnk")
+  }
+
+  private val lshTopKSql = {
+    val planeCtes = Similarity.hyperplanes(4, 64).zipWithIndex.map { case (p, j) =>
+      s"SELECT $j AS j, unnest([${p.mkString(",")}]) AS p, " +
+        "unnest(generate_series(1, 64)) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |planes AS ($planeCtes),
+       |proj AS (SELECT f.vec_id, pl.j, SUM(f.x * pl.p) AS pr
+       |         FROM flat f JOIN planes pl ON f.i = pl.i
+       |         GROUP BY f.vec_id, pl.j),
+       |buckets AS (SELECT vec_id,
+       |              SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
+       |            FROM proj GROUP BY vec_id),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |cand AS (SELECT bq.vec_id AS qid, bc.vec_id AS cid
+       |         FROM buckets bq JOIN buckets bc ON bq.bucket = bc.bucket
+       |         WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |dots AS (SELECT c.qid, c.cid, SUM(q.x * t.x) AS dot
+       |         FROM cand c JOIN flat q ON q.vec_id = c.qid
+       |                     JOIN flat t ON t.vec_id = c.cid AND t.i = q.i
+       |         GROUP BY c.qid, c.cid),
+       |scored AS (SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+       |           FROM dots JOIN norms nq ON qid = nq.vec_id
+       |                     JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY cos_sim DESC, cid) AS rnk FROM scored)
+       |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   // -------------------------------------------------------- s_ivf_topk
@@ -392,9 +427,28 @@ object LlmData {
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
   // ----------------------------------------------- m_multimodal_meta
-  // Binary-column plumbing with stubbed decode — rows-only.
+  // Binary-column plumbing with stubbed decode. The stub is
+  // deterministic byte math over the md5 payload, so the oracle
+  // re-derives every feature from the hex digest — the mapPartitions
+  // decode path itself gets hash-checked, not just row-counted.
   private val multimodal: Q = (s, d) =>
     Multimodal.features(Tables.documents(s, d)).orderBy("doc_id")
+
+  private val multimodalSql =
+    """WITH e AS (SELECT doc_id, md5(text) AS h,
+      |            unnest(generate_series(0, 15)) AS i FROM documents),
+      |m AS (SELECT doc_id,
+      |        SUM(CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS s
+      |      FROM e GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(16 AS INTEGER) AS byte_len,
+      | FLOOR((m.s / 16.0) * 100 + 0.5) / 100 AS mean_byte,
+      | CAST(d.doc_id % 64 + 16 AS INTEGER) AS width,
+      | CAST(d.doc_id % 48 + 16 AS INTEGER) AS height,
+      | FLOOR(CAST(d.doc_id % 64 + 16 AS DOUBLE) / (d.doc_id % 48 + 16) * 1000 + 0.5)
+      |   / 1000 AS aspect_q
+      |FROM documents d JOIN m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ s_centroid_dist
   // Per-label centroids (position-exploded partial agg — one shuffle
@@ -523,5 +577,7 @@ object LlmData {
     "t_quality" -> qualitySql,
     "t_tokens" -> tokensSql,
     "t_normalize" -> normalizeSql,
+    "m_multimodal_meta" -> multimodalSql,
+    "s_lsh_topk" -> lshTopKSql,
     "t_fingerprint" -> fingerprintSql)
 }
