@@ -51,6 +51,26 @@ object WarehouseWriter {
   }
 }
 
+object CompactingWriter {
+  /** Small-files compaction — the lake-maintenance pass every 100-TB
+    * pipeline needs: streaming/micro-batch ingestion leaves thousands
+    * of tiny files per partition; queries then pay one task + one
+    * footer read per file. Rewrite with a bounded file-count:
+    * `rowsPerFile` caps records per output file (maxRecordsPerFile),
+    * and the repartition count derives from a cheap count() so the
+    * write produces ⌈n/rowsPerFile⌉ near-uniform files instead of
+    * one-file-per-input-task. Returns the file count written. */
+  def compact(df: DataFrame, path: String, rowsPerFile: Long): Int = {
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    df.repartition(parts)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(path)
+    parts
+  }
+}
+
 object BucketedWriter {
   /** Bucketed + sorted columnar table — the co-location strategy for
     * repeated big-big joins at 100 TB: both fact tables bucketed by

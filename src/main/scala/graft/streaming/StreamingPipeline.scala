@@ -83,6 +83,17 @@ object StreamingPipeline {
       }
   }
 
+  /** Stream-static auth enrichment — gateway writeKey auth on a live
+    * stream (gateway.go getPayloadAndWriteKey): the enabled-sources
+    * config is a static broadcast dim, so each micro-batch filters
+    * without shuffling the stream; config updates re-resolve per
+    * batch when the static side is a re-readable view. */
+  def authFilterStream(events: DataFrame, enabledSources: DataFrame,
+                       keyCol: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(enabledSources.select(keyCol)),
+      Seq(keyCol), "left_semi")
+
   /** Stream-stream interval join: purchases matched to every view in
     * the preceding `beforeMs` on the same user. Both sides carry
     * watermarks so Spark bounds the join state — buffered rows expire

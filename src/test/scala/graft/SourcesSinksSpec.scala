@@ -29,6 +29,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out(1).getAs[String]("message_id").length == 32)
   }
 
+  test("CompactingWriter bounds output file count and rows per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragmented input: 20 partitions of 50 rows would write 20 files
+    val df = spark.range(1000).repartition(20).toDF("id")
+    val parts = graft.sinks.CompactingWriter.compact(df, s"$dir/out", rowsPerFile = 250L)
+    assert(parts == 4)
+    // round-robin partitions are near- (not exactly) uniform, so the
+    // cap may split one of them: bound is parts + 1, far below the 20
+    // input fragments; every file obeys the hard row cap
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length <= parts + 1, s"got ${files.length} files")
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 250L, f.getName)
+    }
+    // roundtrip intact
+    assert(spark.read.parquet(s"$dir/out").count() == 1000L)
+  }
+
   test("WarehouseWriter generates dialect DDL") {
     val schema = TableSchema("audit_events", Seq(
       SchemaField("id", "INT", primaryKey = true),

@@ -37,6 +37,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(3) == 2L))
   }
 
+  test("stream-static auth filter drops disabled writeKeys per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("write_key", "ts_ms")
+    val enabled = Seq("wk-good", "wk-ok").toDF("write_key")
+    val out = StreamingPipeline.authFilterStream(events, enabled, "write_key")
+
+    input.addData(("wk-good", 1L), ("wk-bad", 2L), ("wk-ok", 3L), ("wk-good", 4L))
+
+    val query = out.writeStream
+      .format("memory").queryName("auth_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val keys = spark.table("auth_out").collect().map(_.getString(0))
+    assert(keys.sorted.toSeq == Seq("wk-good", "wk-good", "wk-ok"))
+  }
+
   test("stream-stream interval join matches views in the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Long)]
