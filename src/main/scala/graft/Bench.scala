@@ -33,14 +33,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Timings rounded to ms so the single JSON line stays well under the
-    // driver's stdout tail-capture window (full-precision doubles pushed the
-    // round-1 line past it and the driver recorded parsed:null).
-    def ms3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+    // The driver captures only the LAST 2000 chars of stdout (round-1's
+    // full-precision 2.7k-char line was cut mid-line → parsed:null), and
+    // sbt appends its own "[success]" line after ours. Keep the whole
+    // JSON line comfortably inside that window: per-query entries only
+    // for queries ≥ 0.25 s, with the fast tail reported in aggregate
+    // (n_fast/fast_total) so nothing is silently dropped from the total.
+    def s2(v: Double): String = f"$v%.2f"
+    val (big, fast) = results.partition(_._2 >= 0.25)
+    val qs = big.map { case (k, v) => "\"" + k + "\":" + s2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
