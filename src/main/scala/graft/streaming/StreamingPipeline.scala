@@ -128,6 +128,51 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  case class AttemptEvt(job_id: Long, ts_ms: Long, ok: Boolean)
+  case class RetryState(attempts: Int)
+  case class RetryDecision(job_id: Long, attempts: Int, action: String,
+                           next_attempt_ms: Long)
+
+  /** Streaming router retry state machine (router.go
+    * JobsRequestWorker: attempt counting, failed-job requeue,
+    * abort past maxRetryNumber) — per-job state via
+    * flatMapGroupsWithState, with exponential backoff scheduling:
+    * failure n ⇒ retry at ts + base·2ⁿ⁻¹, until `maxRetry` failures
+    * abort the job; success emits `done` and clears state. The
+    * reference keeps this in per-worker memory + Postgres rows; here
+    * state is sharded by job across executors and checkpointed. */
+  def retryBackoffStream(attempts: Dataset[AttemptEvt], maxRetry: Int,
+                         baseBackoffMs: Long): Dataset[RetryDecision] = {
+    implicit val stEnc = Encoders.product[RetryState]
+    implicit val outEnc = Encoders.product[RetryDecision]
+    implicit val longEnc = Encoders.scalaLong
+
+    attempts
+      .groupByKey(_.job_id)
+      .flatMapGroupsWithState[RetryState, RetryDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (jobId: Long, rows: Iterator[AttemptEvt], state: GroupState[RetryState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ms)
+          var n = state.getOption.map(_.attempts).getOrElse(0)
+          val out = Seq.newBuilder[RetryDecision]
+          sorted.foreach { e =>
+            if (e.ok) {
+              out += RetryDecision(jobId, n, "done", -1L)
+              n = 0
+            } else {
+              n += 1
+              if (n >= maxRetry)
+                out += RetryDecision(jobId, n, "abort", -1L)
+              else
+                out += RetryDecision(jobId, n, "retry",
+                  e.ts_ms + baseBackoffMs * (1L << (n - 1)))
+            }
+          }
+          if (n == 0) state.remove() else state.update(RetryState(n))
+          out.result().iterator
+      }
+  }
+
   /** Streaming status-ledger view: latest status per job via
     * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
     * partial-agg friendly, same shape as the batch JobLedger). */

@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
     assert(click.getDouble(3) == 5.0)
   }
 
+  test("streaming retry state machine: backoff doubles, abort at maxRetry, success clears") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPipeline.AttemptEvt
+    val input = MemoryStream[AttemptEvt]
+    val decisions = StreamingPipeline.retryBackoffStream(
+      input.toDS(), maxRetry = 3, baseBackoffMs = 500L)
+
+    input.addData(
+      // job 1: two failures then success
+      AttemptEvt(1L, 1000L, ok = false), AttemptEvt(1L, 2000L, ok = false),
+      AttemptEvt(1L, 3000L, ok = true),
+      // job 2: three failures -> abort on the third
+      AttemptEvt(2L, 1000L, ok = false), AttemptEvt(2L, 2000L, ok = false),
+      AttemptEvt(2L, 3000L, ok = false))
+
+    val query = decisions.writeStream
+      .format("memory").queryName("retry_out").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("retry_out")
+      .orderBy("job_id", "attempts", "action").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1, "retry", 1500L),   // 1000 + 500·2⁰
+      (1L, 2, "done", -1L),
+      (1L, 2, "retry", 3000L),   // 2000 + 500·2¹
+      (2L, 1, "retry", 1500L),
+      (2L, 2, "retry", 3000L),
+      (2L, 3, "abort", -1L)))
+  }
+
   test("streaming latest-status ledger in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Long)]
