@@ -50,21 +50,36 @@ object Similarity {
       signBit(vec, h) * lit(1 << j)
     }.reduce(_ + _)
 
-  /** Approximate top-k: bucket join then exact rerank within bucket.
-    * Recall < 1 by construction; `numPlanes` trades recall for
-    * bucket size (candidates/2^planes expected). */
+  /** Approximate top-k: MULTI-TABLE sign-bit LSH — `numTables`
+    * independent plane sets (seeded 42+t), a row lands in one bucket
+    * per table, candidates are the distinct union over tables, then
+    * exact rerank. One table's miss probability p compounds to pᴸ:
+    * recall rises steeply with L while candidate volume grows only
+    * linearly (still a banded equi-join Spark hash-partitions on
+    * (table, bucket) — never O(n²)). `numPlanes` trades per-table
+    * bucket size vs selectivity. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("qnrm", norm(col("qvec")))
-      .withColumn("bucket", lshBucket(col("qvec"), planes)))
-    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .withColumn("cnrm", norm(col("cvec")))
-      .withColumn("bucket", lshBucket(col("cvec"), planes))
-    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
+              vecCol: String, k: Int, numPlanes: Int = 4, dim: Int = 64,
+              numTables: Int = 4): DataFrame = {
+    val tablePlanes = (0 until numTables).map(t => hyperplanes(numPlanes, dim, 42L + t))
+    def withBuckets(df: DataFrame): DataFrame =
+      df.select(col("*"), posexplode(array(
+        tablePlanes.map(p => lshBucket(col("_v"), p)): _*)).as(Seq("tbl", "bucket")))
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("_v"))
+        .withColumn("qnrm", norm(col("_v")))).withColumnRenamed("_v", "qvec"))
+    val c = withBuckets(
+      candidates.select(col(idCol).as("cid"), col(vecCol).as("_v"))
+        .withColumn("cnrm", norm(col("_v")))).withColumnRenamed("_v", "cvec")
+    val pairs = q.select("qid", "qvec", "qnrm", "tbl", "bucket")
+      .join(c.select("cid", "cvec", "cnrm", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      // distinct union of candidates across tables before the rerank
+      .groupBy("qid", "cid")
+      .agg(first(col("qvec")).as("qvec"), first(col("qnrm")).as("qnrm"),
+        first(col("cvec")).as("cvec"), first(col("cnrm")).as("cnrm"))
+    val scored = pairs.select(col("qid"), col("cid"),
+      cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }

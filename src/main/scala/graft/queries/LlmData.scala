@@ -243,23 +243,25 @@ object LlmData {
   }
 
   private val lshTopKSql = {
-    val planeCtes = Similarity.hyperplanes(4, 64).zipWithIndex.map { case (p, j) =>
-      s"SELECT $j AS j, unnest([${p.mkString(",")}]) AS p, " +
-        "unnest(generate_series(1, 64)) AS i"
-    }.mkString("\nUNION ALL ")
+    val planeCtes = (for {
+      t <- 0 until 4
+      (p, j) <- Similarity.hyperplanes(4, 64, 42L + t).zipWithIndex
+    } yield s"SELECT $t AS t, $j AS j, unnest([${p.mkString(",")}]) AS p, " +
+      "unnest(generate_series(1, 64)) AS i").mkString("\nUNION ALL ")
     s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |               unnest(generate_series(1, len(embedding))) AS i
        |              FROM embeddings),
        |planes AS ($planeCtes),
-       |proj AS (SELECT f.vec_id, pl.j, SUM(f.x * pl.p) AS pr
+       |proj AS (SELECT f.vec_id, pl.t, pl.j, SUM(f.x * pl.p) AS pr
        |         FROM flat f JOIN planes pl ON f.i = pl.i
-       |         GROUP BY f.vec_id, pl.j),
-       |buckets AS (SELECT vec_id,
+       |         GROUP BY f.vec_id, pl.t, pl.j),
+       |buckets AS (SELECT vec_id, t,
        |              SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
-       |            FROM proj GROUP BY vec_id),
+       |            FROM proj GROUP BY vec_id, t),
        |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
-       |cand AS (SELECT bq.vec_id AS qid, bc.vec_id AS cid
-       |         FROM buckets bq JOIN buckets bc ON bq.bucket = bc.bucket
+       |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
+       |         FROM buckets bq JOIN buckets bc
+       |           ON bq.t = bc.t AND bq.bucket = bc.bucket
        |         WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
        |dots AS (SELECT c.qid, c.cid, SUM(q.x * t.x) AS dot
        |         FROM cand c JOIN flat q ON q.vec_id = c.qid
@@ -284,7 +286,7 @@ object LlmData {
       k = 8, iters = 4, trainMod = 4)
     val quantized = emb.join(cells, "vec_id")
     Similarity.ivfTopK(quantized.filter(col("vec_id") < 10), quantized,
-        "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 2)
+        "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 3)
       .orderBy("qid", "rnk")
   }
 

@@ -65,6 +65,20 @@ class SaltingAndIvfSpec extends SparkSpec {
       again.orderBy("vec_id").collect().toSeq)
   }
 
+  test("ANN recall floors: multi-table LSH and k-means IVF vs brute force") {
+    val names = Seq("s_cosine_topk", "s_lsh_topk", "s_ivf_topk")
+    val Seq(bf, lsh, ivf) = names.map { n =>
+      SparkEntry.queries(n)(spark, sf)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lshRecall = (bf & lsh).size.toDouble / bf.size
+    val ivfRecall = (bf & ivf).size.toDouble / bf.size
+    // floors, not targets: recall is deterministic for fixed
+    // planes/seeds, so a drop means the algorithm changed
+    assert(lshRecall >= 0.4, s"LSH recall@3 = $lshRecall")
+    assert(ivfRecall >= 0.4, s"IVF recall@3 = $ivfRecall")
+  }
+
   test("CatalogReader round-trips csv and json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
