@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: linear-scaling smoke test. Replicates the sf0.1 events /
+  * documents tables N× (disjoint id spaces, shifted timestamps — same
+  * distribution, N× the keys) into /tmp, then times representative
+  * operators at 1× and N×. A super-linear ratio flags an operator
+  * whose plan would not survive a 100-TB scale-up.
+  *   sbt "runMain graft.tools.ScaleSmoke [N]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sf = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$n"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // replicate with disjoint keys: copy i shifts ids/users by i·10⁹
+    val ev = graft.sources.Tables.events(spark, sf)
+    val maxDoc = 1000000000L
+    val evN = (0 until n).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * maxDoc))
+        .withColumn("user_id", col("user_id") + lit(i * maxDoc))
+    }.reduce(_ unionAll _)
+    evN.write.mode("overwrite").parquet(s"$out/events")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val docsN = (0 until n).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        // prefix every token with the replica tag: replica shingle
+        // spaces are fully disjoint, so the near-dup STRUCTURE is
+        // replicated N× rather than every replica being a near-dup of
+        // the original (which would grow pairs quadratically by
+        // construction and measure the data, not the operator)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+    }.reduce(_ unionAll _)
+    docsN.write.mode("overwrite").parquet(s"$out/documents")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+    }
+
+    val ev1 = ev.localCheckpoint(eager = true)
+    val evBig = spark.read.parquet(s"$out/events").localCheckpoint(eager = true)
+    val docs1 = docs.localCheckpoint(eager = true)
+    val docsBig = spark.read.parquet(s"$out/documents").localCheckpoint(eager = true)
+
+    // aggregate over the derived session column — a bare count() lets
+    // Catalyst prune the whole window away
+    def sessionize(df: DataFrame): Long =
+      graft.operators.Sessionize(df, "user_id", "ts_ms", 1800000L,
+        Seq("ts_ms", "event_id"))
+        .agg(sum(col("session_seq"))).collect()(0).getLong(0)
+    def minhash(df: DataFrame): Long =
+      graft.operators.Dedup.minhashLsh(df, "doc_id", "text").count()
+    def agg(df: DataFrame): Long =
+      df.groupBy("event_type").agg(sum("value"), count(lit(1))).count()
+
+    time("agg_x1")(agg(ev1)); time(s"agg_x$n")(agg(evBig))
+    time("sessionize_x1")(sessionize(ev1)); time(s"sessionize_x$n")(sessionize(evBig))
+    time("minhash_x1")(minhash(docs1)); time(s"minhash_x$n")(minhash(docsBig))
+    spark.stop()
+  }
+}
