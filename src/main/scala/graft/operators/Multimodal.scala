@@ -60,4 +60,46 @@ object Multimodal {
     val ds = attachPayload(documents).as[MediaRecord](Encoders.product[MediaRecord])
     decode(ds).toDF()
   }
+
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte],
+                          width: Int, height: Int, scale_q: Double)
+
+  /** Resize pass (stubbed codec): targets a bounding box, preserving
+    * aspect ratio — the real geometry math — while the pixel resample
+    * is a deterministic fake (payload re-hashed with the new dims, so
+    * downstream content-addressing sees a *different* object, exactly
+    * like a real resize). Same mapPartitions batch shape as decode. */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[ResizedMedia] =
+    media.mapPartitions { it =>
+      // per-partition codec init would run here, once
+      it.map { r =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+        val w = math.max(1, math.floor(r.width * scale).toInt)
+        val h = math.max(1, math.floor(r.height * scale).toInt)
+        // ??? real resample goes here; fake: payload keyed by new dims
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        digest.update(r.payload)
+        digest.update(s":${w}x$h".getBytes("UTF-8"))
+        ResizedMedia(r.doc_id, digest.digest(), w, h,
+          math.floor(scale * 1000 + 0.5) / 1000)
+      }
+    }(Encoders.product[ResizedMedia])
+
+  /** Frame sampling (stubbed demux): a "video" doc yields one row per
+    * sampled frame — the one-to-many batch shape real frame extraction
+    * has. Frame count derives from metadata (doc_id % 10 + 1 here, the
+    * duration field in production); every `stride`-th frame is kept and
+    * fingerprinted deterministically (md5 of doc_id:frame_idx — the
+    * stand-in for the decoded frame's content hash). Row-local
+    * projection + explode: no shuffle, embarrassingly parallel at any
+    * corpus size. */
+  def frameSample(documents: DataFrame, stride: Int): DataFrame =
+    documents
+      .select(col("doc_id"), ((col("doc_id") % 10) + 1).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
 }

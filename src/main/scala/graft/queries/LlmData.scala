@@ -452,6 +452,24 @@ object LlmData {
       |FROM documents d JOIN m USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ m_frame_sample
+  // Video frame-sampling plumbing: one row per kept frame (every 2nd
+  // of n_frames = doc_id%10+1), deterministic frame fingerprints —
+  // the one-to-many explode a real demuxer produces, oracle-checked.
+  private val frameSample: Q = (s, d) =>
+    Multimodal.frameSample(Tables.documents(s, d), stride = 2)
+      .orderBy("doc_id", "frame_idx")
+
+  private val frameSampleSql =
+    """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
+      | CAST(frame_idx AS INTEGER) AS frame_idx,
+      | md5(doc_id || ':' || frame_idx) AS frame_fp
+      |FROM (SELECT doc_id,
+      |        unnest(generate_series(0, CAST(doc_id % 10 AS INTEGER))) AS frame_idx
+      |      FROM documents)
+      |WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------ s_centroid_dist
   // Per-label centroids (position-exploded partial agg — one shuffle
   // on (label, pos); at 100 TB this is the map-side-combinable way to
@@ -560,7 +578,8 @@ object LlmData {
     "t_tokens" -> tokens,
     "t_normalize" -> normalizeQ,
     "t_fingerprint" -> fingerprint,
-    "m_multimodal_meta" -> multimodal)
+    "m_multimodal_meta" -> multimodal,
+    "m_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -581,5 +600,6 @@ object LlmData {
     "t_normalize" -> normalizeSql,
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
+    "m_frame_sample" -> frameSampleSql,
     "t_fingerprint" -> fingerprintSql)
 }

@@ -78,6 +78,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_quote_id")))
   }
 
+  test("Multimodal.resize preserves aspect ratio, never upscales, rekeys payload") {
+    import org.apache.spark.sql.Encoders
+    val docs = Seq((100L, "alpha body"), (7L, "beta body")).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.attachPayload(docs)
+      .as[graft.operators.Multimodal.MediaRecord](
+        Encoders.product[graft.operators.Multimodal.MediaRecord])
+    val out = graft.operators.Multimodal.resize(media, maxW = 32, maxH = 32)
+      .collect().map(r => r.doc_id -> r).toMap
+    // doc 100: 52x20 -> bounded by width: 32x12
+    assert(out(100L).width == 32 && out(100L).height == 12)
+    // doc 7: 23x23 already fits -> unchanged (no upscale)
+    assert(out(7L).width == 23 && out(7L).height == 23 && out(7L).scale_q == 1.0)
+    // resample re-keys the bytes
+    val orig = media.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(out(100L).payload.toSeq != orig(100L))
+  }
+
   test("IntervalJoin.bucketed finds all matches in the band, across buckets") {
     val left = Seq((1L, 10000L, 1L), (2L, 5000L, 2L)).toDF("key", "ts", "lid")
     // rights at 9000/10000 in band for lid 1 (before=2000, after=0);
