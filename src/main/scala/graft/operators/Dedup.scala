@@ -226,6 +226,22 @@ object Dedup {
     labels
   }
 
+  /** THE dedup deliverable: the cleaned corpus. Every near-dup
+    * cluster keeps exactly its min-id member (the cluster label IS
+    * the keeper id under min-label propagation); everything else
+    * survives untouched. One anti-join against the (tiny) non-keeper
+    * set — the corpus itself is never shuffled. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+                  maxIter: Int = 10, cacheKey: Option[String] = None): DataFrame = {
+    val clusters = clusterPairs(
+      minhashLsh(df, idCol, textCol, shingleK, numPerms, rowsPerBand, cacheKey),
+      maxIter)
+    val dropped = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** MinHash Jaccard estimation for LSH candidate pairs: the fraction
     * of agreeing signature slots is an unbiased Jaccard estimate —
     * the cheap verification stage between banding (recall) and exact

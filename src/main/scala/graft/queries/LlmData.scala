@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.functions.{TextFunctions => T}
 import graft.operators._
 import graft.sources.Tables
@@ -110,7 +111,10 @@ object LlmData {
           cacheKey = mhKey(s, d)), maxIter = 8)
       .orderBy("id")
 
-  private val dupClustersSql = {
+  /** Shared recursive-closure CTE block: documents → shingles →
+    * minhash → bands → candidate pairs → transitive closure (`walk`).
+    * Reused by the cluster view and the dedup-apply oracle. */
+  private val clusterClosureCtes = {
     val P = Dedup.MinhashP
     val coeffs = Dedup.minhashCoeffs(16)
     val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -139,9 +143,29 @@ object LlmData {
        |walk(id, lbl) AS (
        | SELECT DISTINCT src, src FROM edges
        | UNION
-       | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
-       |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+       | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
   }
+
+  private val dupClustersSql =
+    s"""$clusterClosureCtes
+       |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+
+  // ----------------------------------------------- d_dedup_apply
+  // The cleaned corpus: min-id keeper per near-dup cluster survives,
+  // other members drop, unique docs pass through — one anti-join
+  // against the (tiny) non-keeper set, the corpus never shuffles.
+  private val dedupApply: Q = (s, d) =>
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+        cacheKey = mhKey(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  private val dedupApplySql =
+    s"""$clusterClosureCtes,
+       |clusters AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- d_simhash
   // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
@@ -403,6 +427,67 @@ object LlmData {
       | len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- d_contamination
+  // Train/test contamination check: eval-split docs whose normalized
+  // fingerprint also appears in the train split — the leakage audit
+  // every training-data pipeline runs before shipping a split. Two
+  // derived columns (split bucket, fingerprint) + one equi-join on
+  // the fingerprint; no text ever shuffles, only 16-byte hashes.
+  private val contamination: Q = (s, d) => {
+    val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), split.as("split"), T.fingerprint(col("text")).as("fp"))
+    val trainFps = f.filter(col("split") === "train")
+      .groupBy("fp").agg(count(lit(1)).as("n_train_matches"))
+    f.filter(col("split") =!= "train")
+      .join(trainFps, "fp")
+      .select(col("doc_id"), col("split"), col("fp"), col("n_train_matches"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    """WITH f AS (SELECT doc_id,
+      |    CASE WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+      |         WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |   FROM documents),
+      |tr AS (SELECT fp, COUNT(*) AS n_train_matches FROM f WHERE split = 'train' GROUP BY fp)
+      |SELECT f.doc_id, f.split, f.fp, tr.n_train_matches
+      |FROM f JOIN tr USING (fp) WHERE f.split <> 'train'
+      |ORDER BY f.doc_id""".stripMargin
+
+  // -------------------------------------------------- t_corpus_stats
+  // Per-language dataset-card rollup: doc counts, token volume, and
+  // decimal-exact mean quality — the reporting surface a corpus
+  // release ships with. All partial-agg friendly (one shuffle).
+  private val corpusStats: Q = (s, d) => {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("lang"), T.wsTokenCount(t).cast("long").as("toks"),
+        length(t).cast("long").as("chars"),
+        round(T.qualityScore(t), 6).cast(DecimalType(8, 6)).as("q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        round(sum(col("q")).cast(DoubleType) / count(lit(1)), 6).as("mean_quality"))
+      .orderBy("lang")
+  }
+
+  private val corpusStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      | ROUND(CAST(SUM(CAST(ROUND(
+      |    LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.3
+      |    + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
+      |       / len(string_split(text,' ')) * 0.3
+      |    + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6)
+      |   AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------- d_split_assign
   // Deterministic stratified train/val/test assignment: hash-bucket
   // each doc (content-derived, so re-runs and re-shards agree), split
@@ -579,7 +664,10 @@ object LlmData {
     "t_normalize" -> normalizeQ,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
-    "m_frame_sample" -> frameSample)
+    "m_frame_sample" -> frameSample,
+    "d_dedup_apply" -> dedupApply,
+    "d_contamination" -> contamination,
+    "t_corpus_stats" -> corpusStats)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -601,5 +689,8 @@ object LlmData {
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,
+    "d_dedup_apply" -> dedupApplySql,
+    "d_contamination" -> contaminationSql,
+    "t_corpus_stats" -> corpusStatsSql,
     "t_fingerprint" -> fingerprintSql)
 }
