@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter membership gate — the writeKey-auth path when the
+  * enabled-key set is too large to broadcast as a join side
+  * (gateway.go Authenticate at fleet scale). A semi-join needs the
+  * whole key set on every executor or a shuffle of the fact stream; a
+  * bloom filter compresses 10⁹ keys into a few hundred MB that
+  * broadcasts once and answers membership row-locally with NO false
+  * negatives (authorized traffic always passes) and a bounded
+  * false-positive rate (a sliver of junk survives to the next,
+  * exact, stage — the standard two-phase filter, same pattern Spark's
+  * own runtime row-level filtering uses).
+  *
+  * The probe is a closure over the broadcast sketch (a UDF — the one
+  * place the functions-over-UDFs rule yields, since no Column algebra
+  * can express sketch membership; the sketch lookup is branch-free
+  * hashing, not per-row interpretation).
+  */
+object BloomAuth {
+
+  /** Build the sketch from the enabled-keys frame (driver-side
+    * collect of the SKETCH ONLY — executors stream their partials,
+    * `expectedKeys`/`fpp` size it). */
+  def build(keys: DataFrame, keyCol: String,
+            expectedKeys: Long, fpp: Double = 0.01): BloomFilter =
+    keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+
+  /** Row-local membership probe column. */
+  def mightContain(filter: BloomFilter, key: Column): Column = {
+    val probe = udf((k: Long) => filter.mightContain(k))
+    probe(key)
+  }
+
+  /** Two-phase gate: bloom pre-filter (row-local, no shuffle) then
+    * exact semi-join on the survivors — the exact join now processes
+    * only `fpp` of the unauthorized volume. */
+  def filterAuthorized(events: DataFrame, keys: DataFrame, keyCol: String,
+                       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build(keys, keyCol, expectedKeys, fpp)
+    events.filter(mightContain(bf, events(keyCol)))
+      .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+  }
+}

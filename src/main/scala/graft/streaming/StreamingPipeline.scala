@@ -173,6 +173,29 @@ object StreamingPipeline {
       }
   }
 
+  /** One micro-batch, delivered idempotently: the batch id keys a
+    * dynamic partition overwrite, so redelivery of the same batch
+    * (restart before the checkpoint committed) replaces its own
+    * partition instead of appending duplicates. */
+  def deliverBatch(df: DataFrame, batchId: Long, path: String): Unit =
+    df.withColumn("_batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(path)
+
+  /** Exactly-once warehouse delivery via foreachBatch + `deliverBatch`
+    * — the jobsdb executing→succeeded transactional claim
+    * (jobsdb.go UpdateJobStatus) re-expressed as deterministic
+    * storage layout instead of row locks: at-least-once replay ×
+    * idempotent write = exactly-once output. */
+  def idempotentSink(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        deliverBatch(df.toDF(), batchId, path)
+    }
+
   /** Streaming status-ledger view: latest status per job via
     * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
     * partial-agg friendly, same shape as the batch JobLedger). */

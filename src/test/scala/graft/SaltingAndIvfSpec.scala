@@ -65,6 +65,23 @@ class SaltingAndIvfSpec extends SparkSpec {
       again.orderBy("vec_id").collect().toSeq)
   }
 
+  test("BloomAuth: zero false negatives, bounded false positives, exact after join") {
+    val enabled = spark.range(0, 1000, 3).toDF("key") // every 3rd key
+    val events = spark.range(0, 3000).toDF("key")
+    val bf = graft.operators.BloomAuth.build(enabled, "key", 400, 0.03)
+    // no false negatives: every enabled key passes the sketch
+    val misses = enabled.filter(!graft.operators.BloomAuth.mightContain(bf, $"key")).count()
+    assert(misses == 0L)
+    // bloom-only pass rate is bounded: 334 true + fp on the rest
+    val bloomPass = events.filter(
+      graft.operators.BloomAuth.mightContain(bf, $"key") && $"key" < 1000).count()
+    assert(bloomPass >= 334L && bloomPass <= 334L + 40L, s"bloomPass=$bloomPass")
+    // two-phase gate is EXACT
+    val out = graft.operators.BloomAuth.filterAuthorized(
+      events.filter($"key" < 1000), enabled, "key", 400, 0.03)
+    assert(out.count() == 334L)
+  }
+
   test("ANN recall floors: multi-table LSH and k-means IVF vs brute force") {
     val names = Seq("s_cosine_topk", "s_lsh_topk", "s_ivf_topk")
     val Seq(bf, lsh, ivf) = names.map { n =>

@@ -125,6 +125,30 @@ class StreamingSpec extends SparkSpec {
     assert(click.getDouble(3) == 5.0)
   }
 
+  test("idempotent sink: replayed batch overwrites its partition, no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
+
+    // drive once through a real stream
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"))
+    val query = StreamingPipeline.idempotentSink(
+      input.toDF().toDF("id", "v"), dir)
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.read.parquet(dir).count() == 2L)
+
+    // simulate at-least-once redelivery of batch 0 — count unchanged
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamingPipeline.deliverBatch(batch, 0L, dir)
+    StreamingPipeline.deliverBatch(batch, 0L, dir)
+    assert(spark.read.parquet(dir).count() == 2L)
+    // a NEW batch appends its own partition
+    StreamingPipeline.deliverBatch(Seq((3L, "c")).toDF("id", "v"), 1L, dir)
+    assert(spark.read.parquet(dir).count() == 3L)
+  }
+
   test("streaming retry state machine: backoff doubles, abort at maxRetry, success clears") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingPipeline.AttemptEvt
