@@ -655,30 +655,57 @@ object Pipeline {
   // ---------------------------------------------- p_stream_sessions
   // The STREAMING sessionizer run inside the batch gate: events
   // parquet replayed as a file stream (Trigger.AvailableNow), state
-  // closed by in-stream gaps, result surfaced as a DataFrame.
-  // Rows-only: open sessions legitimately stay in state, so the
-  // closed-session set is a strict subset of the batch sessionizer's.
+  // closed by in-stream gaps — plus END-OF-STREAM PUNCTUATION: one
+  // sentinel event per user at global_max_ts + gap + 1 closes every
+  // still-open session in-stream (the standard flush technique), so
+  // the streaming result matches the BATCH sessionizer exactly and
+  // the DuckDB batch oracle hash-checks the whole state machine.
+  // Sentinel sessions themselves (start >= sentinel ts) are dropped.
   private val streamSessions: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     graft.GraftSession.tune(s)
     // raw file schema (ts = epoch-nanos LongType under nanosAsLong),
     // NOT Tables' normalized one
     val raw = s.read.parquet(s"$d/events.parquet").schema
-    // file stream source needs a directory — stream the sf dir with a
-    // glob filter selecting just the events table
+    // stage a stream dir: the events file + a sentinel file
+    val gapMs = 1800000L
+    val batch = s.read.parquet(s"$d/events.parquet")
+    val sentinelMs = batch.agg(max(expr("ts div 1000000"))).head().getLong(0) + gapMs + 1
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val staging = s"$streamDir/_staging"
+    batch.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(sentinelMs * 1000000L).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      .coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$streamDir/sentinels.parquet"))
+
     val stream = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir)
       .withColumn("ts_ms", expr("ts div 1000000"))
       .select("user_id", "event_type", "ts_ms", "value")
     val name = "graft_stream_sessions"
     val q = graft.streaming.StreamingPipeline
-      .sessionize(stream, gapMs = 1800000L, watermark = "30 minutes")
+      .sessionize(stream, gapMs = gapMs, watermark = "30 minutes")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
-    s.table(name).orderBy("user_id", "start_ms")
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_ms")
+    s.table(name)
+      .filter(col("start_ms") < sentinelMs)
+      .withColumn("session_seq", row_number().over(wSeq).cast("long"))
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
+      .orderBy("user_id", "session_seq")
   }
+
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
@@ -734,6 +761,9 @@ object Pipeline {
     "p_json_extract" -> jsonExtractSql,
     "p_timestamp_skew" -> tsSkewSql,
     "p_sessionize" -> sessionizeSql,
+    // the punctuated stream must reproduce the batch sessionizer
+    // exactly — same oracle
+    "p_stream_sessions" -> sessionizeSql,
     "p_session_split" -> sessionSplitSql,
     "p_backfill_gaps" -> backfillGapsSql,
     "p_job_latest_status" -> latestStatusSql,
