@@ -229,8 +229,11 @@ object Dedup {
   /** THE dedup deliverable: the cleaned corpus. Every near-dup
     * cluster keeps exactly its min-id member (the cluster label IS
     * the keeper id under min-label propagation); everything else
-    * survives untouched. One anti-join against the (tiny) non-keeper
-    * set — the corpus itself is never shuffled. */
+    * survives untouched. One anti-join against the non-keeper id set:
+    * at typical dup rates AQE broadcasts it (corpus never shuffles —
+    * audited in PlanAuditSpec); at extreme dup rates it degrades
+    * gracefully to a shuffled anti-join of 8-byte ids, never of
+    * document text. */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   shingleK: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
                   maxIter: Int = 10, cacheKey: Option[String] = None): DataFrame = {

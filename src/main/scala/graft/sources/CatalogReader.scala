@@ -32,6 +32,28 @@ object CatalogReader {
     }
   }
 
+  /** Streaming source descriptor — the catalogue's queue/stream rows
+    * (schemas/catalogue.yaml: Kafka, AMQP, Javascript SDK). `kafka`
+    * carries the Spark Kafka connector option shape
+    * (kafka.bootstrap.servers / subscribe) — config-only in this
+    * container (no connector jar / broker), the same wiring as the
+    * file and rate formats which ARE exercised in specs. */
+  final case class StreamSpec(
+      format: String, // parquet | json | csv | rate | kafka
+      path: String = "",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty)
+
+  def readStream(spark: SparkSession, spec: StreamSpec): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val r0 = spark.readStream.format(spec.format).options(spec.options)
+    val r = spec.schema.fold(r0)(r0.schema)
+    spec.format match {
+      case "kafka" | "rate" => r.load() // option-driven, no path
+      case _ => r.load(spec.path)
+    }
+  }
+
   /** Default CSV options matching typical export feeds. */
   def csv(spark: SparkSession, path: String, header: Boolean = true,
           inferSchema: Boolean = false, schema: Option[StructType] = None): DataFrame =

@@ -51,6 +51,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchemas.contains("l_shipdate") && !readSchemas.contains("l_quantity"))
   }
 
+  test("d_dedup_apply: AQE broadcasts the small non-keeper side at runtime") {
+    // static stats can't size the checkpointed non-keeper set — the
+    // broadcast decision is AQE's, so audit the EXECUTED plan
+    val df = SparkEntry.queries("d_dedup_apply")(spark, sf)
+    df.collect() // finalize THIS plan (count() would execute a different one)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("as-of joins plan exactly one shuffle into the window scan") {
     for (name <- Seq("p_asof_join", "p_asof_forward")) {
       val plan = formatted(name)

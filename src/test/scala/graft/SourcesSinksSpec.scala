@@ -29,6 +29,26 @@ class SourcesSinksSpec extends SparkSpec {
     assert(out(1).getAs[String]("message_id").length == 32)
   }
 
+  test("fallback message ids are unique across envelopes (same key/idx/event)") {
+    // two envelopes, same writeKey, same batch position, same event
+    // name, no messageId — only receivedAt differs; ids must differ
+    def env(at: String) =
+      s"""{"writeKey":"wk1","requestIP":"10.0.0.1","receivedAt":"$at",
+         |"batch":[{"event":"click","userId":"u1",
+         |"originalTimestamp":"$at","sentAt":"$at"}]}""".stripMargin.replace("\n", "")
+    val out = EventBatchReader.explodeBatches(
+      Seq(env("2024-01-10T00:00:00Z"), env("2024-01-10T00:00:01Z")).toDF("raw"), "raw")
+      .select("message_id").collect().map(_.getString(0))
+    assert(out.length == 2 && out.distinct.length == 2)
+  }
+
+  test("CatalogReader.readStream drives the catalogue's stream formats") {
+    val spec = graft.sources.CatalogReader.StreamSpec(
+      "rate", options = Map("rowsPerSecond" -> "5"))
+    val df = graft.sources.CatalogReader.readStream(spark, spec)
+    assert(df.isStreaming && df.columns.contains("value"))
+  }
+
   test("CompactingWriter bounds output file count and rows per file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     // fragmented input: 20 partitions of 50 rows would write 20 files
