@@ -803,10 +803,49 @@ object Relational {
         round(col("pcts")(2), 2).as("p99"))
       .orderBy("o_orderstatus")
 
+  // --------------------------------------------------------------- q33
+  // Sliding-frame window (ROWS BETWEEN 6 PRECEDING): 7-day moving
+  // average of daily order volume — the rolling-metric frame the
+  // other window queries (running totals, lag, rank) don't cover.
+  // Moving SUM over exact decimals / moving COUNT → deterministic.
+  private val q33: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(money(col("o_totalprice"))).as("day_total"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    // Round via the explicit FLOOR(x·10⁴ + .5) formula on BOTH sides:
+    // cents/count quotients land on exact .00005 midpoints, where
+    // Spark's round (BigDecimal of the double) and DuckDB's ROUND
+    // (×10⁴ then nearest) disagree by one ulp. The shared formula is
+    // the same IEEE op sequence in both engines.
+    val quo = dbl(sum(col("day_total")).over(w)) /
+      dbl(sum(col("n_orders")).over(w))
+    daily.select(col("day"), col("n_orders"),
+        (floor(quo * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("avg_price_7d"))
+      .orderBy("day")
+  }
+
+  private val q33Sql =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |   SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_total,
+      |   COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders,
+      | FLOOR(CAST(SUM(day_total) OVER w AS DOUBLE) /
+      |       CAST(SUM(n_orders) OVER w AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |   AS avg_price_7d
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q8_market_share" -> q8,
     "q32_approx_percentiles" -> q32,
+    "q33_moving_avg" -> q33,
     "q11_part_value" -> q11,
     "q31_unpivot" -> q31,
     "q30_sketch_distinct" -> q30,
@@ -842,6 +881,7 @@ object Relational {
     "q8_market_share" -> q8Sql,
     "q11_part_value" -> q11Sql,
     "q31_unpivot" -> q31Sql,
+    "q33_moving_avg" -> q33Sql,
     "q29_running_share" -> q29Sql,
     "q27_nation_volume" -> q27Sql,
     "q28_setops" -> q28Sql,
