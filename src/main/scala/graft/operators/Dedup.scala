@@ -27,7 +27,7 @@ object Dedup {
     * everything. */
   private val store = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
-  private def memoized(key: String)(build: => DataFrame): DataFrame =
+  private[operators] def memoized(key: String)(build: => DataFrame): DataFrame =
     store.getOrElseUpdate(key, build)
 
   def clearStore(): Unit = store.clear()

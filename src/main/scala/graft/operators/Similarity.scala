@@ -139,7 +139,18 @@ object Similarity {
     * is constant per row and drops out. Ties break toward the lower
     * cell index (struct min), so assignment is deterministic. */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int = 16, iters: Int = 5, trainMod: Int = 5): DataFrame = {
+                  k: Int = 16, iters: Int = 5, trainMod: Int = 5,
+                  cacheKey: Option[String] = None): DataFrame = cacheKey match {
+    // trained cell assignments go through the session store like the
+    // minhash signatures — one training run per (session, corpus)
+    case Some(ck) => Dedup.memoized(s"$ck|kmeans|$k|$iters|$trainMod")(
+      kmeansCellsUncached(df, idCol, vecCol, k, iters, trainMod)
+        .localCheckpoint(eager = true))
+    case None => kmeansCellsUncached(df, idCol, vecCol, k, iters, trainMod)
+  }
+
+  private def kmeansCellsUncached(df: DataFrame, idCol: String, vecCol: String,
+                                  k: Int, iters: Int, trainMod: Int): DataFrame = {
     val base = df.select(col(idCol), col(vecCol).as("_v"))
     val sample = base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
       .localCheckpoint(eager = true)

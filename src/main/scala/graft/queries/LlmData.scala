@@ -307,7 +307,7 @@ object LlmData {
   private val ivfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4)
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
     val quantized = emb.join(cells, "vec_id")
     Similarity.ivfTopK(quantized.filter(col("vec_id") < 10), quantized,
         "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 3)
