@@ -427,6 +427,22 @@ object LlmData {
       | len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- t_length_hist
+  // Power-of-two document-length histogram — the corpus shape survey
+  // (truncation thresholds, outlier hunting) as one partial-agg
+  // shuffle over a codegen'd bucket expression.
+  private val lengthHist: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(floor(log2(greatest(length(col("text")), lit(1)))).cast("long").as("log2_len"))
+      .groupBy("log2_len")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("log2_len")
+
+  private val lengthHistSql =
+    """SELECT CAST(FLOOR(log2(GREATEST(length(text), 1))) AS BIGINT) AS log2_len,
+      | COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY log2_len""".stripMargin
+
   // -------------------------------------------------- d_contamination
   // Train/test contamination check: eval-split docs whose normalized
   // fingerprint also appears in the train split — the leakage audit
@@ -667,7 +683,8 @@ object LlmData {
     "m_frame_sample" -> frameSample,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
-    "t_corpus_stats" -> corpusStats)
+    "t_corpus_stats" -> corpusStats,
+    "t_length_hist" -> lengthHist)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -692,5 +709,6 @@ object LlmData {
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,
     "t_corpus_stats" -> corpusStatsSql,
+    "t_length_hist" -> lengthHistSql,
     "t_fingerprint" -> fingerprintSql)
 }

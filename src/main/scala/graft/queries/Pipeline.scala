@@ -334,6 +334,29 @@ object Pipeline {
        |FROM events GROUP BY user_id, event_type
        |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------- p_source_freshness
+  // Per-source freshness lag vs the pipeline high-water mark
+  // (jobsdb.go JobHealthT freshness angle, per event type): one
+  // partial-agg shuffle + a broadcast scalar join for the global max.
+  private val sourceFreshness: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val perSource = ev.groupBy("event_type")
+      .agg(max(col("ts_ms")).as("last_ms"), count(lit(1)).as("n_events"))
+    val global = ev.agg(max(col("ts_ms")).as("hwm_ms"))
+    perSource.join(broadcast(global))
+      .select(col("event_type"), col("n_events"), col("last_ms"),
+        (col("hwm_ms") - col("last_ms")).as("lag_ms"))
+      .orderBy("event_type")
+  }
+
+  private val sourceFreshnessSql =
+    s"""WITH e AS (SELECT event_type, $tsMsSql AS ts_ms FROM events),
+       |g AS (SELECT MAX(ts_ms) AS hwm_ms FROM e)
+       |SELECT event_type, COUNT(*) AS n_events, MAX(ts_ms) AS last_ms,
+       | g.hwm_ms - MAX(ts_ms) AS lag_ms
+       |FROM e, g GROUP BY event_type, g.hwm_ms
+       |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- p_hopping_rate
   // Hopping-window event rates (2 h window, 1 h hop) via the native
   // window() expression — each event lands in exactly w/hop windows
@@ -740,6 +763,7 @@ object Pipeline {
     "p_dedup_ttl" -> dedupTtl,
     "p_unprocessed" -> unprocessedQ,
     "p_hopping_rate" -> hoppingRate,
+    "p_source_freshness" -> sourceFreshness,
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
@@ -776,5 +800,6 @@ object Pipeline {
     "p_dedup_ttl" -> dedupTtlSql,
     "p_unprocessed" -> unprocessedSql,
     "p_hopping_rate" -> hoppingRateSql,
+    "p_source_freshness" -> sourceFreshnessSql,
     "p_schema_project" -> schemaProjectSql)
 }
