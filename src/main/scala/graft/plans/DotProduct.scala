@@ -53,20 +53,26 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
-  private def getter(t: DataType, arr: String): String = t match {
-    case FloatType => s"(double) $arr.getFloat(i)"
-    case _ => s"$arr.getDouble(i)"
+  private def getter(t: DataType, arr: String, i: String): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // The loop variable must be fresh too: ≥2 DotProducts in one
+      // projection (multi-plane LSH, k-means assignment) land in the
+      // same codegen scope, and a literal `i` collides ("Redefinition
+      // of local variable i") — janino then rejects the whole stage
+      // and Spark silently falls back to interpreted projection.
+      val i = ctx.freshName("i")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  $acc += ${getter(elemType(left), a)} * ${getter(elemType(right), b)};
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

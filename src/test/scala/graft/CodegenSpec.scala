@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Similarity
+import graft.plans.DotProduct
+
+/** Regression tests for generated-code hygiene.
+  *
+  * Round-2 bug: DotProduct.doGenCode used a literal loop variable `i`,
+  * so any projection holding ≥2 dot products (multi-plane LSH bucket,
+  * k-means assignment) failed janino compilation ("Redefinition of
+  * local variable i") and Spark silently fell back to interpreted
+  * projection — exactly the hot path the expression exists to fuse.
+  * The first test goes through GenerateUnsafeProjection.generate,
+  * which THROWS on compile failure instead of falling back, so a
+  * reintroduced collision fails loudly; the second runs the real
+  * lshBucket shape end-to-end and cross-checks the codegen'd values
+  * against the interpreted HOF composition.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private def floatVec(xs: Float*): Literal =
+    Literal.create(xs, ArrayType(FloatType))
+
+  test("16 DotProducts compile into one generated projection") {
+    // 4 tables × 4 planes — the real lshTopK projection shape. Distinct
+    // literals per dot so common-subexpression elimination can't merge
+    // them back into a single loop.
+    val exprs: Seq[Expression] = (0 until 16).map { j =>
+      DotProduct(floatVec(1.0f + j, 2.0f), floatVec(3.0f, 4.0f + j))
+    }
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = proj(InternalRow.empty)
+    (0 until 16).foreach { j =>
+      val expected = (1.0 + j) * 3.0 + 2.0 * (4.0 + j)
+      assert(row.getDouble(j) === expected)
+    }
+  }
+
+  test("multi-plane lshBucket matches the interpreted HOF composition end-to-end") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
+      (2L, Array(-0.5f, 1.0f, -2.0f, -0.25f)),
+      (3L, Array(3.0f, 0.5f, -0.75f, 1.5f))
+    ).toDF("id", "_v")
+    val tablePlanes = (0 until 4).map(t => Similarity.hyperplanes(4, 4, 42L + t))
+    // 16 dot products in one projection via the codegen'd expression…
+    val fused = df.select(col("id"), array(
+      tablePlanes.map(p => Similarity.lshBucket(col("_v"), p)): _*).as("b"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    // …vs the builtin higher-order composition (interpreted reference)
+    def hofBucket(p: Seq[Seq[Double]]) = p.zipWithIndex.map { case (h, j) =>
+      (VectorFunctions.dotHof(col("_v"), array(h.map(lit): _*)) > 0)
+        .cast("int") * lit(1 << j)
+    }.reduce(_ + _)
+    val ref = df.select(col("id"), array(
+      tablePlanes.map(hofBucket): _*).as("b"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(fused.toSeq == ref.toSeq)
+  }
+}
