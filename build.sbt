@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default logger wraps
+// every line in "[info] ", which breaks line-oriented JSON parsing of
+// the Bench/Verify output (a consumer doing json.loads per line sees
+// "[info] {...}" and fails). StdoutOutput passes the child's stdout
+// through untouched; showSuccess drops the trailing "[success] Total
+// time…" line so the bench JSON is the LAST line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,23 +28,51 @@ object Bench {
       SparkEntry.queries.get("q3_shipping_priority").foreach(q => q(spark, sfDir).count())
     } catch { case _: Throwable => () }
 
+    // (name, seconds, ok) — a throwing query is NOT swallowed into a
+    // normal-looking time: it is reported by name in "failed" and its
+    // stack goes to stderr for diagnosis.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+      }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // The driver captures only the LAST 2000 chars of stdout (round-1's
     // full-precision 2.7k-char line was cut mid-line → parsed:null), and
-    // sbt appends its own "[success]" line after ours. Keep the whole
-    // JSON line comfortably inside that window: per-query entries only
-    // for queries ≥ 0.25 s, with the fast tail reported in aggregate
-    // (n_fast/fast_total) so nothing is silently dropped from the total.
+    // sbt used to append its own "[success]" line after ours (disabled
+    // in build.sbt). Keep the whole JSON line comfortably inside that
+    // window: per-query entries only for queries ≥ 0.25 s, with the
+    // fast tail reported in aggregate (n_fast/fast_total) so nothing is
+    // silently dropped from the total.
     def s2(v: Double): String = f"$v%.2f"
-    val (big, fast) = results.partition(_._2 >= 0.25)
-    val qs = big.map { case (k, v) => "\"" + k + "\":" + s2(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, _, false) => n }
+    val times = results.map { case (n, v, _) => (n, v) }
+    val total = if (times.nonEmpty) times.map(_._2).sum else 0.0
+    def render(cutoff: Double): String = {
+      val (big, fast) = times.partition(_._2 >= cutoff)
+      val qs = big.map { case (k, v) => "\"" + k + "\":" + s2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"sf":"$sfDir"}"""
+    }
+    // Adaptive cutoff: raise the per-query reporting threshold until
+    // the line fits the driver's 2000-char stdout tail with headroom
+    // (the total/n_fast/fast_total aggregates keep full coverage).
+    val line = Seq(0.25, 0.5, 1.0, 2.0, 5.0).map(render)
+      .find(_.length <= 1900).getOrElse(render(Double.MaxValue))
+    // Belt-and-braces for consumers that miss the stdout line: the
+    // UNTRUNCATED per-query JSON lands in BENCH_local.json next to the
+    // build (files have no tail window).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+        (render(0.0) + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Printed AFTER spark.stop() so no executor/log line can land
+    // between this and process exit: the JSON is the last stdout line.
+    println(line)
+    System.out.flush()
   }
 }
