@@ -519,11 +519,48 @@ object Relational {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // --------------------------------------------------------------- q25
+  // Distributed NTILE: a partition-less `Window.orderBy` sorts the whole
+  // table in ONE task — a scale-killer at 100 TB. Two-phase instead:
+  //  1. ONE cheap partial agg collects ~P approx-percentile boundary
+  //    VALUES to the driver (P doubles — same driver-held-scalars
+  //    pattern as the k-means centroids). Bucketing against those
+  //    literals is purely map-side and — unlike repartitionByRange,
+  //    whose sampled ranges can differ between executions — gives the
+  //    IDENTICAL assignment in every job that uses it.
+  //  2. row_number INSIDE each bucket (window keyed by bucket — fully
+  //    parallel); per-bucket counts (one tiny agg) become cumulative
+  //    offsets, so global rank = offset + local row number. Buckets are
+  //    value-ordered, so the rank is exact even when boundary values
+  //    repeat, and the NTILE(10) bucket arithmetic is a literal branch
+  //    chain — no division, exact at any rank.
   private val q25: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, d)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val basedf = Tables.customer(s, d).select(col("c_acctbal"), col("c_custkey"))
+    val fracs = (1 until p).map(_.toDouble / p)
+    val bounds = basedf
+      .agg(percentile_approx(col("c_acctbal"), typedLit(fracs), lit(1000)).as("b"))
+      .collect()(0).getSeq[Double](0).sorted.reverse
+    val bucket = bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, k), rest) => when(col("c_acctbal") > lit(b), k).otherwise(rest)
+    }
+    val ranked = basedf
+      .withColumn("bkt", bucket)
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("c_acctbal").desc, col("c_custkey"))))
+    val counts = ranked.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val (base, rem) = (total / 10, total % 10)
+    val r = element_at(typedLit(offsets), col("bkt")) + col("lrn")
+    val cum = (1 to 10).map(j => j * base + math.min(j, rem))
+    val decile = (1 to 9).foldRight(lit(10): Column) { (j, rest) =>
+      when(r <= lit(cum(j - 1)), j).otherwise(rest)
+    }
+    ranked
+      .withColumn("decile", decile.cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         dsum(col("c_acctbal")).as("sum_bal"),

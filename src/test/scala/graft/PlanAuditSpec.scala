@@ -61,6 +61,19 @@ class PlanAuditSpec extends SparkSpec {
       plan.linesIterator.take(25).mkString("\n"))
   }
 
+  test("q25: no partition-less window — every Window node is keyed") {
+    // The old plan NTILE'd the whole customer table in ONE task
+    // ("No Partition Defined for Window operation"). The two-phase
+    // decile keeps row_number inside range partitions, so every
+    // Window in the plan must carry a partition spec.
+    val df = SparkEntry.queries("q25_decile")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
   test("as-of joins plan exactly one shuffle into the window scan") {
     for (name <- Seq("p_asof_join", "p_asof_forward")) {
       val plan = formatted(name)
