@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership gate — the writeKey-auth path when the
@@ -29,11 +30,24 @@ object BloomAuth {
             expectedKeys: Long, fpp: Double = 0.01): BloomFilter =
     keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
 
-  /** Row-local membership probe column. */
-  def mightContain(filter: BloomFilter, key: Column): Column = {
-    val probe = udf((k: Long) => filter.mightContain(k))
-    probe(key)
-  }
+  /** Row-local membership probe column, dispatched on the key's type:
+    * `DataFrame.stat.bloomFilter` inserts strings as UTF-8 bytes and
+    * integral keys as longs, so the probe MUST hash the same way — a
+    * long-typed probe against a string-built sketch never matches (and
+    * the analyzer's string→bigint cast nulls the key first), which
+    * would silently drop every row. Anything non-string/non-integral
+    * fails fast instead of failing empty. */
+  def mightContain(filter: BloomFilter, key: Column, keyType: DataType): Column =
+    keyType match {
+      case StringType =>
+        udf((k: String) => k != null && filter.mightContainString(k))
+          .apply(key)
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && filter.mightContainLong(k))
+          .apply(key.cast(LongType))
+      case other => throw new IllegalArgumentException(
+        s"BloomAuth supports string and integral keys, got $other")
+    }
 
   /** Two-phase gate: bloom pre-filter (row-local, no shuffle) then
     * exact semi-join on the survivors — the exact join now processes
@@ -41,7 +55,7 @@ object BloomAuth {
   def filterAuthorized(events: DataFrame, keys: DataFrame, keyCol: String,
                        expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = build(keys, keyCol, expectedKeys, fpp)
-    events.filter(mightContain(bf, events(keyCol)))
+    events.filter(mightContain(bf, events(keyCol), events.schema(keyCol).dataType))
       .join(keys.select(keyCol).distinct(), Seq(keyCol), "left_semi")
   }
 }

@@ -129,7 +129,8 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(idCols)
 
   case class AttemptEvt(job_id: Long, ts_ms: Long, ok: Boolean)
-  case class RetryState(attempts: Int)
+  case class AttemptEvtW(job_id: Long, ts_ms: Long, ok: Boolean, ts: Timestamp)
+  case class RetryState(attempts: Int, aborted: Boolean)
   case class RetryDecision(job_id: Long, attempts: Int, action: String,
                            next_attempt_ms: Long)
 
@@ -138,38 +139,68 @@ object StreamingPipeline {
     * abort past maxRetryNumber) — per-job state via
     * flatMapGroupsWithState, with exponential backoff scheduling:
     * failure n ⇒ retry at ts + base·2ⁿ⁻¹, until `maxRetry` failures
-    * abort the job; success emits `done` and clears state. The
-    * reference keeps this in per-worker memory + Postgres rows; here
-    * state is sharded by job across executors and checkpointed. */
+    * abort the job; success emits `done` and clears state.
+    *
+    * Aborted is TERMINAL (jobsdb.go AbortedState): the abort leaves a
+    * tombstone, so later attempts for a poison-pill job are dropped
+    * silently instead of re-emitting `abort` with a rising counter —
+    * and the tombstone itself expires once the event-time watermark
+    * passes abort_ts + `tombstoneTtlMs`, so state stays bounded by the
+    * abort rate × TTL, not by history. The reference keeps this in
+    * per-worker memory + Postgres rows; here state is sharded by job
+    * across executors and checkpointed. */
   def retryBackoffStream(attempts: Dataset[AttemptEvt], maxRetry: Int,
-                         baseBackoffMs: Long): Dataset[RetryDecision] = {
+                         baseBackoffMs: Long,
+                         tombstoneTtlMs: Long = 3600000L,
+                         watermark: String = "10 minutes"): Dataset[RetryDecision] = {
+    implicit val evtEnc = Encoders.product[AttemptEvtW]
     implicit val stEnc = Encoders.product[RetryState]
     implicit val outEnc = Encoders.product[RetryDecision]
     implicit val longEnc = Encoders.scalaLong
 
-    attempts
+    attempts.toDF()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+      .as[AttemptEvtW]
       .groupByKey(_.job_id)
       .flatMapGroupsWithState[RetryState, RetryDecision](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (jobId: Long, rows: Iterator[AttemptEvt], state: GroupState[RetryState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts_ms)
-          var n = state.getOption.map(_.attempts).getOrElse(0)
-          val out = Seq.newBuilder[RetryDecision]
-          sorted.foreach { e =>
-            if (e.ok) {
-              out += RetryDecision(jobId, n, "done", -1L)
-              n = 0
-            } else {
-              n += 1
-              if (n >= maxRetry)
-                out += RetryDecision(jobId, n, "abort", -1L)
-              else
-                out += RetryDecision(jobId, n, "retry",
-                  e.ts_ms + baseBackoffMs * (1L << (n - 1)))
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (jobId: Long, rows: Iterator[AttemptEvtW], state: GroupState[RetryState]) =>
+          if (state.hasTimedOut) {
+            // expired abort tombstone — drop the row, nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var st = state.getOption.getOrElse(RetryState(0, aborted = false))
+            var lastMs = 0L
+            val out = Seq.newBuilder[RetryDecision]
+            sorted.foreach { e =>
+              lastMs = e.ts_ms
+              if (st.aborted) {
+                // terminal: an aborted job never retries or completes
+              } else if (e.ok) {
+                out += RetryDecision(jobId, st.attempts, "done", -1L)
+                st = RetryState(0, aborted = false)
+              } else {
+                val n = st.attempts + 1
+                if (n >= maxRetry) {
+                  out += RetryDecision(jobId, n, "abort", -1L)
+                  st = RetryState(n, aborted = true)
+                } else {
+                  out += RetryDecision(jobId, n, "retry",
+                    e.ts_ms + baseBackoffMs * (1L << (n - 1)))
+                  st = RetryState(n, aborted = false)
+                }
+              }
             }
+            if (st.aborted) {
+              state.update(st)
+              state.setTimeoutTimestamp(lastMs + tombstoneTtlMs)
+            } else if (st.attempts == 0) state.remove()
+            else state.update(st)
+            out.result().iterator
           }
-          if (n == 0) state.remove() else state.update(RetryState(n))
-          out.result().iterator
       }
   }
 

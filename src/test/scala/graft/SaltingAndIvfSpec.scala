@@ -70,16 +70,40 @@ class SaltingAndIvfSpec extends SparkSpec {
     val events = spark.range(0, 3000).toDF("key")
     val bf = graft.operators.BloomAuth.build(enabled, "key", 400, 0.03)
     // no false negatives: every enabled key passes the sketch
-    val misses = enabled.filter(!graft.operators.BloomAuth.mightContain(bf, $"key")).count()
+    val misses = enabled.filter(
+      !graft.operators.BloomAuth.mightContain(bf, $"key",
+        org.apache.spark.sql.types.LongType)).count()
     assert(misses == 0L)
     // bloom-only pass rate is bounded: 334 true + fp on the rest
     val bloomPass = events.filter(
-      graft.operators.BloomAuth.mightContain(bf, $"key") && $"key" < 1000).count()
+      graft.operators.BloomAuth.mightContain(bf, $"key",
+        org.apache.spark.sql.types.LongType) && $"key" < 1000).count()
     assert(bloomPass >= 334L && bloomPass <= 334L + 40L, s"bloomPass=$bloomPass")
     // two-phase gate is EXACT
     val out = graft.operators.BloomAuth.filterAuthorized(
       events.filter($"key" < 1000), enabled, "key", 400, 0.03)
     assert(out.count() == 334L)
+  }
+
+  test("BloomAuth: string writeKeys probe the sketch the way build inserted them") {
+    // regression: a long-typed probe against a string-built sketch
+    // nulled every key (string→bigint cast) and dropped ALL rows
+    val enabled = spark.range(0, 200).selectExpr("concat('wk-', id) AS write_key")
+    val events = spark.range(0, 600)
+      .selectExpr("concat('wk-', id) AS write_key", "id AS payload")
+    val out = graft.operators.BloomAuth.filterAuthorized(
+      events, enabled, "write_key", 200, 0.03)
+    assert(out.count() == 200L)
+    // no false negatives on the sketch alone
+    val bf = graft.operators.BloomAuth.build(enabled, "write_key", 200, 0.03)
+    val misses = enabled.filter(!graft.operators.BloomAuth.mightContain(
+      bf, $"write_key", org.apache.spark.sql.types.StringType)).count()
+    assert(misses == 0L)
+    // unsupported key types fail fast, not empty
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomAuth.mightContain(bf, $"write_key",
+        org.apache.spark.sql.types.DoubleType)
+    }
   }
 
   test("ANN recall floors: multi-table LSH and k-means IVF vs brute force") {

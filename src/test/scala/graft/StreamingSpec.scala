@@ -182,6 +182,30 @@ class StreamingSpec extends SparkSpec {
       (2L, 3, "abort", -1L)))
   }
 
+  test("retry abort is terminal: post-abort attempts are dropped, state tombstoned") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPipeline.AttemptEvt
+    val input = MemoryStream[AttemptEvt]
+    val decisions = StreamingPipeline.retryBackoffStream(
+      input.toDS(), maxRetry = 2, baseBackoffMs = 500L)
+
+    // batch 1: two failures -> retry then abort
+    input.addData(AttemptEvt(9L, 1000L, ok = false), AttemptEvt(9L, 2000L, ok = false))
+    val query = decisions.writeStream
+      .format("memory").queryName("retry_term_out").outputMode("append")
+      .start()
+    query.processAllAvailable()
+    // batch 2: the poison-pill job fails again, and even "succeeds" —
+    // aborted is terminal (jobsdb AbortedState), both must be dropped
+    input.addData(AttemptEvt(9L, 3000L, ok = false), AttemptEvt(9L, 4000L, ok = true))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("retry_term_out").orderBy("attempts").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq((9L, 1, "retry"), (9L, 2, "abort")))
+  }
+
   test("streaming latest-status ledger in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Long)]
