@@ -31,16 +31,24 @@ object WarehouseWriter {
       "TIMESTAMP" -> "DATETIMEOFFSET", "DATE" -> "DATE"),
     "clickhouse" -> Map("INT" -> "Int64", "FLOAT" -> "Float64",
       "BOOLEAN" -> "UInt8", "STRING" -> "String",
-      "TIMESTAMP" -> "DateTime64(3)", "DATE" -> "Date"))
+      "TIMESTAMP" -> "DateTime64(3)", "DATE" -> "Date"),
+    // embedded Derby — the in-JVM test database for the JDBC sink
+    "derby" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE",
+      "BOOLEAN" -> "BOOLEAN", "STRING" -> "VARCHAR(4000)",
+      "TIMESTAMP" -> "TIMESTAMP", "DATE" -> "DATE"))
 
   /** CREATE TABLE DDL for a destination schema in a target dialect
-    * (azure-synapse.go CreateTable analogue). */
-  def ddl(schema: TableSchema, dialect: String): String = {
+    * (azure-synapse.go CreateTable analogue). `ifNotExists = false`
+    * for dialects without the clause (Derby) — JdbcSink.createTable
+    * then guards via JDBC metadata instead. */
+  def ddl(schema: TableSchema, dialect: String,
+          ifNotExists: Boolean = true): String = {
     val types = dialectTypes(dialect)
     val cols = schema.fields.map { case SchemaField(n, t, pk) =>
       s"  $n ${types.getOrElse(t.toUpperCase, "TEXT")}" + (if (pk) " PRIMARY KEY" else "")
     }
-    s"CREATE TABLE IF NOT EXISTS ${schema.tableName} (\n${cols.mkString(",\n")}\n)"
+    val clause = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $clause${schema.tableName} (\n${cols.mkString(",\n")}\n)"
   }
 
   /** Partitioned columnar write — the warehouse-load path. At 100 TB
