@@ -43,11 +43,15 @@ object Dedup {
         min(col(tsMsCol)).as("first_ms"))
 
   /** TTL-bucketed exact dedup: keep-first per key within TTL-sized
-    * time buckets. A gateway dedup store expires seen ids after a
-    * TTL; bucketing event time by that TTL gives the same guarantee
-    * (a duplicate landing in the keeper's bucket is dropped) as ONE
-    * partial-agg shuffle — no per-key state store, no growth over
-    * time, so it scales to unbounded retention at 100 TB. */
+    * time buckets — an APPROXIMATION of a TTL'd seen-id store, not an
+    * exact equivalent: duplicates in the SAME bucket are always
+    * dropped, but a pair straddling a bucket boundary both survive
+    * even when they are < TTL apart (effective dedup window is
+    * (0, TTL] depending on phase within the bucket). In exchange it's
+    * ONE partial-agg shuffle with no per-key state store and no
+    * growth over time, so it scales to unbounded retention at 100 TB;
+    * use `streaming.StreamingPipeline.dedupStream` when the strict
+    * within-TTL guarantee matters. */
   def keepFirstWithinTtl(df: DataFrame, keyCols: Seq[String], orderCol: String,
                          tsMsCol: String, ttlMs: Long): DataFrame =
     df.withColumn("ttl_bucket", expr(s"$tsMsCol div $ttlMs"))

@@ -30,7 +30,7 @@ object LlmData {
   // pairs materialize once, every later query reuses them — the
   // signature-store pattern a 100-TB dedup pipeline runs as tables.
   private def mhKey(s: SparkSession, d: String): Option[String] =
-    Some(s"${System.identityHashCode(s)}|$d")
+    Some(s"${org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(s)}|$d")
 
   private val minhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",

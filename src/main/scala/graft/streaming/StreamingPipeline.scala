@@ -86,13 +86,32 @@ object StreamingPipeline {
   /** Stream-static auth enrichment — gateway writeKey auth on a live
     * stream (gateway.go getPayloadAndWriteKey): the enabled-sources
     * config is a static broadcast dim, so each micro-batch filters
-    * without shuffling the stream; config updates re-resolve per
-    * batch when the static side is a re-readable view. */
+    * without shuffling the stream. NOTE: the static side's plan is
+    * resolved ONCE at query start — for hot config reloads use
+    * [[authFilterRefreshing]], which re-resolves per micro-batch. */
   def authFilterStream(events: DataFrame, enabledSources: DataFrame,
                        keyCol: String): DataFrame =
     events.join(
       org.apache.spark.sql.functions.broadcast(enabledSources.select(keyCol)),
       Seq(keyCol), "left_semi")
+
+  /** Hot-reloading auth gate — the backendconfig polling loop
+    * (backendconfig/configdb.go: sources/destinations re-fetched on an
+    * interval and hot-applied) as Spark streaming: `resolveKeys` runs
+    * at the START of every micro-batch, so a key enabled or revoked
+    * between batches takes effect on the very next batch — no query
+    * restart. The per-batch cost is one tiny broadcast (the config
+    * dim), never a stream shuffle. */
+  def authFilterRefreshing(events: DataFrame, resolveKeys: () => DataFrame,
+                           keyCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val keys = org.apache.spark.sql.functions.broadcast(
+          resolveKeys().select(keyCol))
+        sink(df.join(keys, Seq(keyCol), "left_semi").toDF(), batchId)
+    }
 
   /** Stream-stream interval join: purchases matched to every view in
     * the preceding `beforeMs` on the same user. Both sides carry

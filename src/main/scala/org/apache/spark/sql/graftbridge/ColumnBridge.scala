@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable, collision-free id for a session (`private[sql]
+    * sessionUUID`) — identityHashCode keys can recycle after GC and
+    * hand a new session cached frames bound to a stopped context. */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => other.toString
+  }
 }

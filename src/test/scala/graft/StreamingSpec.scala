@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sorted.toSeq == Seq("wk-good", "wk-good", "wk-ok"))
   }
 
+  test("config refresh: a writeKey revoked between micro-batches is gone next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // mutable config source — the backendconfig poll target
+    @volatile var enabledKeys = Seq("wk-a", "wk-b")
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val writer = StreamingPipeline.authFilterRefreshing(
+      input.toDF().toDF("write_key", "ts_ms"),
+      () => enabledKeys.toDF("write_key"), "write_key") { (df, batchId) =>
+      df.collect().foreach(r => seen.synchronized {
+        seen += ((batchId, r.getString(0))) })
+    }
+
+    input.addData(("wk-a", 1L), ("wk-b", 2L), ("wk-c", 3L))
+    val query = writer.start()
+    query.processAllAvailable()
+    // revoke wk-b, enable wk-c — next batch must see the new config
+    enabledKeys = Seq("wk-a", "wk-c")
+    input.addData(("wk-a", 4L), ("wk-b", 5L), ("wk-c", 6L))
+    query.processAllAvailable()
+    query.stop()
+
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byBatch.size == 2, s"per-batch output: $byBatch")
+    val batches = byBatch.keys.toSeq.sorted
+    assert(byBatch(batches.head) == Seq("wk-a", "wk-b"))
+    assert(byBatch(batches.last) == Seq("wk-a", "wk-c"))
+  }
+
   test("stream-stream interval join matches views in the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Long)]
