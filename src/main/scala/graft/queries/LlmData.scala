@@ -168,8 +168,12 @@ object LlmData {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- d_simhash
-  // Native Catalyst expression (graft.plans.SimHash64) — engine-native,
-  // rows-only check. Emits fingerprint + a 16-bit band for bucketing.
+  // Native Catalyst expression (graft.plans.SimHash64). The oracle
+  // replays the FULL pipeline in DuckDB SQL: FNV-1a 64 is a
+  // list_reduce fold in HUGEINT arithmetic mod 2^64 (the xor only ever
+  // touches the low byte, so BIGINT xor on h%256 suffices), bit counts
+  // explode over generate_series(0,63), and the unsigned result maps
+  // to Spark's signed long at the end — bit-exact, not rows-only.
   private val simhash: Q = (s, d) => {
     graft.plans.SimHash64.register(s)
     Tables.documents(s, d)
@@ -179,6 +183,37 @@ object LlmData {
         expr("simhash & 65535").as("band16"))
       .orderBy("doc_id")
   }
+
+  private val simhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      |),
+      |hashes AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(1, length(tok)), i -> unicode(substr(tok,i,1))::HUGEINT)),
+      |    (h, b) -> (((h // 256) * 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |  ) AS h FROM toks
+      |),
+      |bits AS (
+      |  SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM hashes
+      |),
+      |counts AS (
+      |  SELECT doc_id, bit,
+      |    SUM(CASE WHEN (h // CAST(POWER(2, bit) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+      |  FROM bits GROUP BY doc_id, bit
+      |),
+      |sim AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN c > 0 THEN CAST(POWER(2, bit) AS HUGEINT) ELSE 0::HUGEINT END) AS sh
+      |  FROM counts GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN sh >= 9223372036854775808::HUGEINT
+      |       THEN sh - 18446744073709551616::HUGEINT ELSE sh END AS BIGINT) AS simhash,
+      |  CAST(sh % 65536 AS BIGINT) AS band16
+      |FROM sim ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------- d_ngram_jaccard
   private val ngramJaccard: Q = (s, d) =>
@@ -710,5 +745,6 @@ object LlmData {
     "d_contamination" -> contaminationSql,
     "t_corpus_stats" -> corpusStatsSql,
     "t_length_hist" -> lengthHistSql,
-    "t_fingerprint" -> fingerprintSql)
+    "t_fingerprint" -> fingerprintSql,
+    "d_simhash" -> simhashSql)
 }

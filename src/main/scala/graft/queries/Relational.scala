@@ -704,16 +704,35 @@ object Relational {
   // --------------------------------------------------------------- q30
   // Sketch-based distinct counting: HyperLogLog++ replaces exact
   // COUNT(DISTINCT) at 100 TB (no expand, mergeable partial state).
-  // Rows-only: the sketch estimate is engine-specific by design;
-  // RelationalSketchSpec pins it within 5% of exact.
+  // The sketch estimate itself is engine-specific, so the GATE row
+  // carries the exact counts plus an in-query accuracy verdict: the
+  // oracle returns the exact values and TRUE, and the hash only
+  // matches when the sketch lands within the pinned 5% — the accuracy
+  // claim is now oracle-checked instead of rows-only. (The exact
+  // countDistinct branch exists for the gate; the operator a 100-TB
+  // user calls is the approx_count_distinct sketch.)
   private val q30: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ap_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"), col("n_lines"),
+        (abs(col("ap_parts") - col("n_parts")) <= col("n_parts") * 0.05 &&
+          abs(col("ap_orders") - col("n_orders")) <= col("n_orders") * 0.05)
+          .as("sketch_within_5pct"))
       .orderBy("l_returnflag")
+
+  private val q30Sql =
+    """SELECT l_returnflag,
+      | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      | COUNT(*) AS n_lines,
+      | TRUE AS sketch_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q8
   // Market share (TPC-H Q8 shape): among ASIA-region customers'
@@ -828,17 +847,32 @@ object Relational {
   // Mergeable quantile sketch per group (approx_percentile): the
   // scale path for q24's exact percentiles — a sketch merges across
   // partitions (partial agg), an exact percentile needs the full
-  // sorted column. Rows-only (sketch ≠ SQL-exact); accuracy vs exact
-  // is pinned in SketchSpec.
+  // sorted column. Same gate design as q30: exact percentiles +
+  // in-query sketch-accuracy verdict, so the oracle (quantile_cont,
+  // the q24 pairing) hash-checks the 5% claim instead of rows-only.
   private val q32: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
-      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ex"))
       .select(col("o_orderstatus"),
-        round(col("pcts")(0), 2).as("p50"),
-        round(col("pcts")(1), 2).as("p90"),
-        round(col("pcts")(2), 2).as("p99"))
+        round(col("ex")(0).cast(DoubleType), 4).as("p50"),
+        round(col("ex")(1).cast(DoubleType), 4).as("p90"),
+        round(col("ex")(2).cast(DoubleType), 4).as("p99"),
+        (abs(col("ap")(0) - col("ex")(0)) <= col("ex")(0) * 0.05 &&
+          abs(col("ap")(1) - col("ex")(1)) <= col("ex")(1) * 0.05 &&
+          abs(col("ap")(2) - col("ex")(2)) <= col("ex")(2) * 0.05)
+          .as("sketch_within_5pct"))
       .orderBy("o_orderstatus")
+
+  private val q32Sql =
+    """SELECT o_orderstatus,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+      | ROUND(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4) AS p99,
+      | TRUE AS sketch_within_5pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // --------------------------------------------------------------- q33
   // Sliding-frame window (ROWS BETWEEN 6 PRECEDING): 7-day moving
@@ -945,5 +979,7 @@ object Relational {
     "q19_disjunctive" -> q19Sql,
     "q20_distinct_topk" -> q20Sql,
     "q21_grouping_sets" -> q21Sql,
-    "q22_cube" -> q22Sql)
+    "q22_cube" -> q22Sql,
+    "q30_sketch_distinct" -> q30Sql,
+    "q32_approx_percentiles" -> q32Sql)
 }
