@@ -35,6 +35,28 @@ object Router {
     df.withColumn("batch_id", ((row_number().over(w) - 1) / size).cast("long"))
   }
 
+  /** Gateway intake micro-batching (gateway.go:144 webRequestBatcher):
+    * the reference closes a batch when `maxBatchSize` requests
+    * accumulate OR `batchTimeout` elapses with no arrival. Replayed
+    * over event time: an inter-arrival gap > timeout starts a new
+    * batch run (gap sessionization) and the size cap splits inside a
+    * run — ONE shuffle on the source key, both passes windowed on the
+    * same partitioning (Spark reuses the exchange). Emits one row per
+    * closed batch (the envelope the gateway would enqueue). */
+  def gatewayBatches(df: DataFrame, sourceCol: String, tsMsCol: String,
+                     orderCol: String, batchTimeoutMs: Long,
+                     maxBatchSize: Int): DataFrame =
+    Sessionize.withMaxEvents(df, sourceCol, tsMsCol, gapMs = batchTimeoutMs,
+        maxEvents = maxBatchSize, orderCols = Seq(tsMsCol, orderCol))
+      .groupBy(col(sourceCol), col("session_seq").as("run_seq"),
+        col("session_part").as("batch_part"))
+      .agg(
+        count(lit(1)).as("n_in_batch"),
+        min(col(orderCol)).as("first_id"),
+        max(col(orderCol)).as("last_id"),
+        min(col(tsMsCol)).as("start_ms"),
+        max(col(tsMsCol)).as("end_ms"))
+
   /** Batch envelope summary — one row per `{"payload":[...]}` the
     * reference would POST (integrations/types.go BatchPayloadT). */
   def batchSummary(df: DataFrame, destCol: String, orderCol: String,

@@ -478,6 +478,84 @@ object LlmData {
       | COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY log2_len""".stripMargin
 
+  // ------------------------------------------------ t_char_entropy
+  // Character-distribution Shannon entropy per doc — the classic
+  // gibberish/boilerplate quality signal (low entropy = repeated
+  // filler, near-max = random noise). Shape: explode to chars, two
+  // partial-agg shuffles on (doc, char) and doc — no windows, no
+  // joins beyond the per-doc length broadcast-sized frame. Rounded by
+  // the shared FLOOR(x·10⁴+.5) formula (sum association order differs
+  // across engines; the formula is the same IEEE op sequence).
+  private val charEntropy: Q = (s, d) => {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val lens = counts.groupBy("doc_id").agg(sum(col("c")).as("len"))
+    val p = col("c").cast(DoubleType) / col("len").cast(DoubleType)
+    counts.join(lens, "doc_id")
+      .groupBy("doc_id")
+      .agg((-sum(p * log2(p))).as("h"), first(col("len")).as("n_chars"))
+      .select(col("doc_id"),
+        (floor(col("h") * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("entropy_bits"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val charEntropySql =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents),
+      |counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+      |lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM counts GROUP BY doc_id)
+      |SELECT doc_id,
+      | FLOOR(-SUM((CAST(c AS DOUBLE)/CAST(len AS DOUBLE))
+      |            * log2(CAST(c AS DOUBLE)/CAST(len AS DOUBLE))) * 10000.0 + 0.5)
+      |   / 10000.0 AS entropy_bits,
+      | MAX(len) AS n_chars
+      |FROM counts JOIN lens USING (doc_id)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- t_bigram_nll
+  // Perplexity proxy: per-doc mean negative log-likelihood under the
+  // corpus's own bigram model, nll(w1 w2) = ln c(w1) − ln c(w1 w2)
+  // (≥ 0; low = formulaic text, high = surprising/rare continuations
+  // — the cheap in-corpus stand-in for an LM quality filter). Corpus
+  // counts are two partial-agg shuffles; per-doc scoring joins each
+  // bigram instance to the two count tables on their keys — all
+  // equi-joins, no windows, linear at 100 TB.
+  private val bigramNll: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), lower(col("text")).as("text"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bg = Dedup.shingles(docs, "doc_id", "text", k = 2)
+      .withColumn("w1", element_at(split(col("shingle"), " "), 1))
+    val c2 = bg.groupBy("shingle").agg(count(lit(1)).as("c2"))
+    val nll = log(col("c1").cast(DoubleType)) - log(col("c2").cast(DoubleType))
+    bg.join(c2, "shingle").join(uni, col("w1") === col("w"))
+      .groupBy("doc_id")
+      .agg(sum(nll).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("s") / col("n_bigrams").cast(DoubleType) * lit(10000.0) + lit(0.5))
+          / lit(10000.0)).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramNllSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c1
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |starts AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS s FROM starts),
+      |c2 AS (SELECT s, COUNT(*) AS c2 FROM bg GROUP BY s)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | FLOOR(SUM(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+      |       / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_nll
+      |FROM bg JOIN c2 USING (s) JOIN uni ON uni.w = bg.w1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- d_contamination
   // Train/test contamination check: eval-split docs whose normalized
   // fingerprint also appears in the train split — the leakage audit
@@ -719,7 +797,9 @@ object LlmData {
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
     "t_corpus_stats" -> corpusStats,
-    "t_length_hist" -> lengthHist)
+    "t_length_hist" -> lengthHist,
+    "t_char_entropy" -> charEntropy,
+    "t_bigram_nll" -> bigramNll)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -746,5 +826,7 @@ object LlmData {
     "t_corpus_stats" -> corpusStatsSql,
     "t_length_hist" -> lengthHistSql,
     "t_fingerprint" -> fingerprintSql,
-    "d_simhash" -> simhashSql)
+    "d_simhash" -> simhashSql,
+    "t_char_entropy" -> charEntropySql,
+    "t_bigram_nll" -> bigramNllSql)
 }

@@ -291,6 +291,36 @@ object Pipeline {
       | COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------- p_gateway_batch
+  // gateway.go:144 webRequestBatcher: close a batch at maxBatchSize
+  // OR when batchTimeout passes with no arrival — replayed over event
+  // time as gap-run sessionization + size split (one shuffle on the
+  // source key, both window passes share the exchange).
+  private val gatewayBatch: Q = (s, d) =>
+    Router.gatewayBatches(Tables.events(s, d), "event_type", "ts_ms",
+        "event_id", batchTimeoutMs = 3600000L, maxBatchSize = 20)
+      .orderBy("event_type", "run_seq", "batch_part")
+
+  private val gatewayBatchSql =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, $tsMsSql AS ts_ms FROM events),
+       |b AS (
+       |  SELECT event_type, event_id, ts_ms,
+       |   CASE WHEN lag(ts_ms) OVER w IS NULL
+       |     OR ts_ms - lag(ts_ms) OVER w > 3600000 THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)),
+       |s AS (
+       |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY event_type
+       |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq FROM b),
+       |p AS (
+       |  SELECT *, (ROW_NUMBER() OVER (PARTITION BY event_type, run_seq
+       |    ORDER BY ts_ms, event_id) - 1) // 20 AS batch_part FROM s)
+       |SELECT event_type, run_seq, batch_part, COUNT(*) AS n_in_batch,
+       | MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+       | MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+       |FROM p GROUP BY event_type, run_seq, batch_part
+       |ORDER BY event_type, run_seq, batch_part""".stripMargin
+
   // ----------------------------------------------- p_batch_assign
   private val batchAssign: Q = (s, d) =>
     Router.batchSummary(Tables.events(s, d), "event_type", "event_id", size = 10)
@@ -758,6 +788,7 @@ object Pipeline {
     "p_dlq_aborted" -> dlq,
     "p_router_fanout" -> routerFanout,
     "p_batch_assign" -> batchAssign,
+    "p_gateway_batch" -> gatewayBatch,
     "p_incremental_window" -> incremental,
     "p_dedup_exact" -> dedupExact,
     "p_dedup_ttl" -> dedupTtl,
@@ -795,6 +826,7 @@ object Pipeline {
     "p_dlq_aborted" -> dlqSql,
     "p_router_fanout" -> routerFanoutSql,
     "p_batch_assign" -> batchAssignSql,
+    "p_gateway_batch" -> gatewayBatchSql,
     "p_incremental_window" -> incrementalSql,
     "p_dedup_exact" -> dedupExactSql,
     "p_dedup_ttl" -> dedupTtlSql,

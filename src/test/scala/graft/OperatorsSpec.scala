@@ -165,4 +165,27 @@ class OperatorsSpec extends SparkSpec {
     val out = Dedup.ngramJaccard(df, "doc_id", "text", 3, 50, 0.5).collect()
     assert(out.length == 1 && out(0).getDouble(3) == 1.0)
   }
+
+  test("Router.gatewayBatches: size cap and timeout both close batches") {
+    // src A: 5 events 1s apart (one run), size cap 3 → batches of 3+2;
+    // src A again after a 10-min silence → new run;
+    // src B: single event → its own run/batch.
+    val rows = (0 until 5).map(i => ("A", 1000L + i * 1000L, i.toLong)) ++
+      Seq(("A", 700000L, 10L), ("B", 5000L, 20L))
+    val df = rows.toDF("src", "ts_ms", "event_id")
+    val out = Router.gatewayBatches(df, "src", "ts_ms", "event_id",
+        batchTimeoutMs = 60000L, maxBatchSize = 3)
+      .orderBy("src", "run_seq", "batch_part").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("A", 1L, 0L, 3L),  // first run, size-capped at 3
+      ("A", 1L, 1L, 2L),  // remainder of the run
+      ("A", 2L, 0L, 1L),  // timeout gap opened a new run
+      ("B", 1L, 0L, 1L)))
+    // cap invariant on real data
+    val ev = graft.sources.Tables.events(spark, sf)
+    val real = Router.gatewayBatches(ev, "event_type", "ts_ms", "event_id",
+      3600000L, 20)
+    assert(real.agg(max("n_in_batch")).head().getLong(0) <= 20L)
+  }
 }
