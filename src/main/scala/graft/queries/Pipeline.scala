@@ -321,6 +321,29 @@ object Pipeline {
        |FROM p GROUP BY event_type, run_seq, batch_part
        |ORDER BY event_type, run_seq, batch_part""".stripMargin
 
+  // ---------------------------------------------- p_rollup_merge
+  // Incremental-view maintenance identity: per-(type, day) partial
+  // summaries merged down to per-type totals must equal a direct
+  // aggregation of the raw events — the oracle computes the direct
+  // form, so the hash proves merge associativity on real data. This
+  // is the update path for a running summary fed by HighWaterMark
+  // windows: each poll contributes a partial, merge folds it in.
+  private val rollupMerge: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("day", expr("ts_ms div 86400000"))
+    val daily = IncrementalAgg.partial(ev, Seq("event_type", "day"), "value")
+    IncrementalAgg.render(IncrementalAgg.merge(daily, Seq("event_type")))
+      .select(col("event_type"), col("n_events"), col("total_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("event_type")
+  }
+
+  private val rollupMergeSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      | MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------- p_batch_assign
   private val batchAssign: Q = (s, d) =>
     Router.batchSummary(Tables.events(s, d), "event_type", "event_id", size = 10)
@@ -789,6 +812,7 @@ object Pipeline {
     "p_router_fanout" -> routerFanout,
     "p_batch_assign" -> batchAssign,
     "p_gateway_batch" -> gatewayBatch,
+    "p_rollup_merge" -> rollupMerge,
     "p_incremental_window" -> incremental,
     "p_dedup_exact" -> dedupExact,
     "p_dedup_ttl" -> dedupTtl,
@@ -827,6 +851,7 @@ object Pipeline {
     "p_router_fanout" -> routerFanoutSql,
     "p_batch_assign" -> batchAssignSql,
     "p_gateway_batch" -> gatewayBatchSql,
+    "p_rollup_merge" -> rollupMergeSql,
     "p_incremental_window" -> incrementalSql,
     "p_dedup_exact" -> dedupExactSql,
     "p_dedup_ttl" -> dedupTtlSql,

@@ -188,4 +188,19 @@ class OperatorsSpec extends SparkSpec {
       3600000L, 20)
     assert(real.agg(max("n_in_batch")).head().getLong(0) <= 20L)
   }
+
+  test("IncrementalAgg: merged partials equal direct aggregation for any split") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val direct = IncrementalAgg.partial(ev, Seq("event_type"), "value")
+      .orderBy("event_type").collect().toSeq
+    // split by an arbitrary hash, partial each slice, merge the union
+    val slices = (0 until 3).map(i =>
+      IncrementalAgg.partial(
+        ev.filter(pmod(col("event_id"), lit(3)) === i),
+        Seq("event_type"), "value"))
+    val merged = IncrementalAgg.merge(slices.reduce(_ unionByName _),
+        Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(merged == direct)
+  }
 }

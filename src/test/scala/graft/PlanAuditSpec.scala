@@ -74,6 +74,17 @@ class PlanAuditSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("p_gateway_batch: both window passes and the agg share ONE hash exchange") {
+    // hash(event_type) satisfies the clustering of the finer window
+    // and group keys (subset rule), so the run-split window, the
+    // size-split window, and the batch aggregation all ride the same
+    // shuffle; only the presentation orderBy adds a range exchange.
+    val plan = formatted("p_gateway_batch")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("as-of joins plan exactly one shuffle into the window scan") {
     for (name <- Seq("p_asof_join", "p_asof_forward")) {
       val plan = formatted(name)
