@@ -527,12 +527,19 @@ object LlmData {
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val bg = Dedup.shingles(docs, "doc_id", "text", k = 2)
-      .withColumn("w1", element_at(split(col("shingle"), " "), 1))
     val c2 = bg.groupBy("shingle").agg(count(lit(1)).as("c2"))
+    // score each DISTINCT bigram once (vocabulary-sized join of the
+    // two count tables), then a single join maps instances to scores —
+    // instance rows never join twice, and AQE broadcasts the scored
+    // vocab when it fits
     val nll = log(col("c1").cast(DoubleType)) - log(col("c2").cast(DoubleType))
-    bg.join(c2, "shingle").join(uni, col("w1") === col("w"))
+    val vocabScore = c2
+      .withColumn("w1", element_at(split(col("shingle"), " "), 1))
+      .join(uni, col("w1") === col("w"))
+      .select(col("shingle"), nll.as("nll"))
+    bg.join(vocabScore, "shingle")
       .groupBy("doc_id")
-      .agg(sum(nll).as("s"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("nll")).as("s"), count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("s") / col("n_bigrams").cast(DoubleType) * lit(10000.0) + lit(0.5))
           / lit(10000.0)).as("avg_nll"))
