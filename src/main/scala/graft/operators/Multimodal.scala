@@ -102,4 +102,23 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
+
+  /** Audio chunking (stubbed demux) — frameSample's audio twin: an
+    * "audio" doc yields one row per fixed-duration chunk (the window
+    * shape ASR/feature pipelines consume), the last chunk truncated
+    * at the clip end. Duration derives from metadata (doc_id-keyed
+    * here; the real duration field in production); chunk fingerprints
+    * stand in for decoded-chunk content hashes. Row-local explode —
+    * no shuffle, embarrassingly parallel at any corpus size. */
+  def audioChunks(documents: DataFrame, chunkMs: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        ((col("doc_id") % 90000) + 1000).cast("long").as("duration_ms"))
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((duration_ms - 1) DIV $chunkMs AS BIGINT)"))).as("chunk_idx"))
+      .select(col("doc_id"), col("duration_ms"), col("chunk_idx"),
+        (col("chunk_idx") * chunkMs).as("start_ms"),
+        least(col("chunk_idx") * chunkMs + chunkMs, col("duration_ms")).as("end_ms"),
+        md5(concat_ws(":", col("doc_id"), col("chunk_idx"))).as("chunk_fp"))
 }

@@ -681,6 +681,27 @@ object LlmData {
     Multimodal.frameSample(Tables.documents(s, d), stride = 2)
       .orderBy("doc_id", "frame_idx")
 
+  // ------------------------------------------------ m_audio_chunks
+  // Audio chunking plumbing: one row per fixed 10s window of each
+  // clip (metadata-derived duration), last chunk truncated at clip
+  // end — frameSample's audio twin, oracle-checked.
+  private val audioChunks: Q = (s, d) =>
+    Multimodal.audioChunks(Tables.documents(s, d), chunkMs = 10000)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val audioChunksSql =
+    """WITH a AS (
+      |  SELECT doc_id, (doc_id % 90000) + 1000 AS duration_ms FROM documents),
+      |c AS (
+      |  SELECT doc_id, duration_ms,
+      |   unnest(generate_series(0, (duration_ms - 1) // 10000)) AS chunk_idx
+      |  FROM a)
+      |SELECT doc_id, duration_ms, chunk_idx,
+      | chunk_idx * 10000 AS start_ms,
+      | LEAST(chunk_idx * 10000 + 10000, duration_ms) AS end_ms,
+      | md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   private val frameSampleSql =
     """SELECT doc_id, CAST(doc_id % 10 + 1 AS INTEGER) AS n_frames,
       | CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -801,6 +822,7 @@ object LlmData {
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
+    "m_audio_chunks" -> audioChunks,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
     "t_corpus_stats" -> corpusStats,
@@ -828,6 +850,7 @@ object LlmData {
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,
+    "m_audio_chunks" -> audioChunksSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,
     "t_corpus_stats" -> corpusStatsSql,

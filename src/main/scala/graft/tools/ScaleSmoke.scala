@@ -66,10 +66,30 @@ object ScaleSmoke {
       graft.operators.Dedup.minhashLsh(df, "doc_id", "text").count()
     def agg(df: DataFrame): Long =
       df.groupBy("event_type").agg(sum("value"), count(lit(1))).count()
+    def gatewayBatch(df: DataFrame): Long =
+      graft.operators.Router.gatewayBatches(df, "event_type", "ts_ms",
+        "event_id", 3600000L, 20)
+        .agg(sum(col("n_in_batch"))).collect()(0).getLong(0)
+    def bigramNll(df: DataFrame): Long = {
+      // inline the t_bigram_nll shape over an arbitrary docs frame
+      val docs = df.select(col("doc_id"), lower(col("text")).as("text"))
+      val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val bg = graft.operators.Dedup.shingles(docs, "doc_id", "text", k = 2)
+      val c2 = bg.groupBy("shingle").agg(count(lit(1)).as("c2"))
+      val score = c2.withColumn("w1", element_at(split(col("shingle"), " "), 1))
+        .join(uni, col("w1") === col("w"))
+        .select(col("shingle"),
+          (log(col("c1").cast("double")) - log(col("c2").cast("double"))).as("nll"))
+      bg.join(score, "shingle").groupBy("doc_id")
+        .agg(avg(col("nll"))).count()
+    }
 
     time("agg_x1")(agg(ev1)); time(s"agg_x$n")(agg(evBig))
     time("sessionize_x1")(sessionize(ev1)); time(s"sessionize_x$n")(sessionize(evBig))
     time("minhash_x1")(minhash(docs1)); time(s"minhash_x$n")(minhash(docsBig))
+    time("gateway_batch_x1")(gatewayBatch(ev1)); time(s"gateway_batch_x$n")(gatewayBatch(evBig))
+    time("bigram_nll_x1")(bigramNll(docs1)); time(s"bigram_nll_x$n")(bigramNll(docsBig))
     spark.stop()
   }
 }
