@@ -295,17 +295,18 @@ object Dedup {
     * quadratically explode on common n-grams (the standard blocking
     * cap; dropped shingles only shrink measured similarity of
     * boilerplate, which is what you want at 100 TB). */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
-                   maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    // Single scan, shuffling on the 60-bit shingle hash (not the
-    // string). ONE groupBy(shingle) with collect_set yields the doc
-    // list AND the doc-frequency per shingle; set sizes and pairs
-    // both derive from it — vs. the naive 3-subplan shape that
-    // rescans and re-shingles the corpus per use.
-    // perShingle feeds BOTH the size agg and the pair expansion; the
-    // identical shuffle subtree is shared at runtime via
-    // ReusedExchange, so no explicit materialization (measured: a
-    // localCheckpoint here is net-slower — it blocks AQE downstream)
+  /** Shared pair machinery for the shingle-overlap family: one scan,
+    * shuffling on the 60-bit shingle hash (not the string). ONE
+    * groupBy(shingle) with collect_set yields the doc list AND the
+    * doc-frequency per shingle; set sizes and pairs both derive from
+    * it — vs. the naive 3-subplan shape that rescans and re-shingles
+    * the corpus per use. perShingle feeds BOTH the size agg and the
+    * pair expansion; the identical shuffle subtree is shared at
+    * runtime via ReusedExchange, so no explicit materialization
+    * (measured: a localCheckpoint here is net-slower — it blocks AQE
+    * downstream). Returns (id1, id2, n_inter, size1, size2). */
+  private def shingleOverlapStats(df: DataFrame, idCol: String, textCol: String,
+                                  k: Int, maxDocFreq: Int): DataFrame = {
     val perShingle = shingles(df, idCol, textCol, k)
       .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
       .groupBy("shingle")
@@ -327,10 +328,30 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id1"), col("set_size").as("size1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("set_size").as("size2")), "id2")
+  }
+
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   maxDocFreq: Int, minJaccard: Double): DataFrame =
+    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq)
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("size1") + col("size2") - col("n_inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id1", "id2", "n_inter", "jaccard")
-  }
+
+  /** Near-containment pairs — the dedup category Jaccard misses: a
+    * short doc embedded in a much longer one scores a LOW Jaccard
+    * (union is dominated by the long doc) but a HIGH containment
+    * coefficient |A∩B| / min(|A|,|B|). Same single-scan banded shape
+    * and pair cap as [[ngramJaccard]]; emits which side is contained
+    * so the dedup policy can keep the superset doc. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String, k: Int,
+                       maxDocFreq: Int, minContainment: Double): DataFrame =
+    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq)
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("size1"), col("size2")), 6))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained_id",
+        when(col("size1") <= col("size2"), col("id1")).otherwise(col("id2")))
+      .select("id1", "id2", "n_inter", "containment", "contained_id")
 }

@@ -221,6 +221,40 @@ object LlmData {
         k = 3, maxDocFreq = 50, minJaccard = 0.1)
       .orderBy("id1", "id2")
 
+  // --------------------------------------------- d_containment_dup
+  // Near-containment: |A∩B| / min(|A|,|B|) catches a short doc
+  // embedded in a long one, which Jaccard under-scores (the union is
+  // dominated by the long doc). Emits which side is contained so the
+  // dedup policy keeps the superset doc.
+  private val containmentDup: Q = (s, d) =>
+    Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
+        k = 3, maxDocFreq = 50, minContainment = 0.5)
+      .orderBy("id1", "id2")
+
+  private val containmentDupSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |sh0 AS (SELECT doc_id,
+      |         TRY_CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT) AS shingle
+      |        FROM starts),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+      |         JOIN (SELECT shingle FROM sh GROUP BY shingle
+      |               HAVING COUNT(DISTINCT doc_id) <= 50) f USING (shingle)),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      |          FROM rare a JOIN rare b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT id1, id2, n_inter,
+      |  ROUND(CAST(n_inter AS DOUBLE) / LEAST(s1.set_size, s2.set_size), 6) AS containment,
+      |  CASE WHEN s1.set_size <= s2.set_size THEN id1 ELSE id2 END AS contained_id
+      |FROM inter
+      | JOIN sizes s1 ON s1.doc_id = id1
+      | JOIN sizes s2 ON s2.doc_id = id2
+      |WHERE ROUND(CAST(n_inter AS DOUBLE) / LEAST(s1.set_size, s2.set_size), 6) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+
   private val ngramJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
@@ -811,6 +845,7 @@ object LlmData {
     "d_dup_clusters" -> dupClusters,
     "d_simhash" -> simhash,
     "d_ngram_jaccard" -> ngramJaccard,
+    "d_containment_dup" -> containmentDup,
     "d_embedding_neardup" -> embNearDup,
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_topk" -> lshTopK,
@@ -841,6 +876,7 @@ object LlmData {
     "d_minhash_estimate" -> minhashEstimateSql,
     "d_dup_clusters" -> dupClustersSql,
     "d_ngram_jaccard" -> ngramJaccardSql,
+    "d_containment_dup" -> containmentDupSql,
     "d_embedding_neardup" -> embNearDupSql,
     "s_cosine_topk" -> cosineTopKSql,
     "t_langid" -> langidSql,
