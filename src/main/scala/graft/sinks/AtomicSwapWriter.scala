@@ -62,21 +62,25 @@ object AtomicSwapWriter {
     val live = currentVersion(root).map(v => s"v_$v")
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
-    val doomed = Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p))
-      .filter(p => p.getFileName.toString.startsWith("v_"))
-      .filterNot(p => live.contains(p.getFileName.toString))
-      .toSeq
+    val doomed = withStream(Files.list(rootPath))(
+      _.filter(p => Files.isDirectory(p))
+        .filter(p => p.getFileName.toString.startsWith("v_"))
+        .filterNot(p => live.contains(p.getFileName.toString))
+        .toSeq)
     doomed.foreach { dir =>
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      withStream(Files.walk(dir))(_.toSeq.reverse.foreach(Files.delete))
     }
     doomed.map(_.toString)
   }
 
-  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
+  /** Files.list/walk hold a directory handle until closed. */
+  private def withStream[A, T](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => T): T =
+    try {
+      val it = s.iterator()
+      f(new Iterator[A] {
+        def hasNext: Boolean = it.hasNext
+        def next(): A = it.next()
+      })
+    } finally s.close()
 }
