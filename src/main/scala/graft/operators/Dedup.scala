@@ -290,11 +290,6 @@ object Dedup {
         round(agree.cast("double") / numPerms, 6).as("jaccard_est"))
   }
 
-  /** n-gram Jaccard similarity for pairs sharing at least one shingle.
-    * `maxDocFreq` drops stop-shingles so the shingle join cannot
-    * quadratically explode on common n-grams (the standard blocking
-    * cap; dropped shingles only shrink measured similarity of
-    * boilerplate, which is what you want at 100 TB). */
   /** Shared pair machinery for the shingle-overlap family: one scan,
     * shuffling on the 60-bit shingle hash (not the string). ONE
     * groupBy(shingle) with collect_set yields the doc list AND the
@@ -330,6 +325,11 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id2"), col("set_size").as("size2")), "id2")
   }
 
+  /** n-gram Jaccard similarity for pairs sharing at least one shingle.
+    * `maxDocFreq` drops stop-shingles so the shingle join cannot
+    * quadratically explode on common n-grams (the standard blocking
+    * cap; dropped shingles only shrink measured similarity of
+    * boilerplate, which is what you want at 100 TB). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
                    maxDocFreq: Int, minJaccard: Double): DataFrame =
     shingleOverlapStats(df, idCol, textCol, k, maxDocFreq)

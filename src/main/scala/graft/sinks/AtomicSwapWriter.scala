@@ -57,15 +57,22 @@ object AtomicSwapWriter {
   }
 
   /** Remove orphaned (crashed-load) and superseded snapshot dirs,
-    * keeping the live one. Returns the dirs removed. */
-  def vacuum(root: String): Seq[String] = {
+    * keeping the live one. A non-live dir younger than `minAgeMs` is
+    * spared: it may be an IN-FLIGHT publish that has written its
+    * snapshot but not yet committed the pointer — sweeping it would
+    * let the subsequent commit point _CURRENT at a deleted dir. Age
+    * is the dir's mtime; the default grace comfortably exceeds any
+    * load's write-to-commit window. Returns the dirs removed. */
+  def vacuum(root: String, minAgeMs: Long = 3600000L): Seq[String] = {
     val live = currentVersion(root).map(v => s"v_$v")
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val doomed = withStream(Files.list(rootPath))(
       _.filter(p => Files.isDirectory(p))
         .filter(p => p.getFileName.toString.startsWith("v_"))
         .filterNot(p => live.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toSeq)
     doomed.foreach { dir =>
       withStream(Files.walk(dir))(_.toSeq.reverse.foreach(Files.delete))

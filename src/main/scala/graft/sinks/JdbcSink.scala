@@ -43,12 +43,18 @@ object JdbcSink {
 
   /** Create the destination table from the catalogue schema if absent
     * (createDestinationTable analogue; existence via JDBC metadata —
-    * Derby has no IF NOT EXISTS). */
+    * Derby has no IF NOT EXISTS). The probe tries the identifier in
+    * both fold directions: Derby/Oracle store unquoted names upper,
+    * Postgres lower — a single-case probe would miss on the other
+    * family and the unconditional CREATE would throw on re-run. */
   def createTable(url: String, schema: TableSchema, dialect: String): Unit =
     withConnection(url) { conn =>
-      val rs = conn.getMetaData.getTables(
-        null, null, schema.tableName.toUpperCase, null)
-      val exists = try rs.next() finally rs.close()
+      def probe(name: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      val t = schema.tableName
+      val exists = probe(t.toUpperCase) || probe(t.toLowerCase) || probe(t)
       if (!exists) {
         val st = conn.createStatement()
         try st.executeUpdate(WarehouseWriter.ddl(schema, dialect, ifNotExists = false))
@@ -73,15 +79,24 @@ object JdbcSink {
   /** Insert an iterator of rows inside one transaction on `conn` —
     * prepared multi-row batches, commit at the end, rollback on ANY
     * failure (the all-or-nothing contract of
-    * InsertPayloadInTransaction, per connection). Returns rows
+    * InsertPayloadInTransaction, per connection). `preamble` runs
+    * first INSIDE the same transaction (stagedWrite uses it to delete
+    * a retried task's previous rows — idempotent re-insert). The
+    * caller's autoCommit setting is restored on exit. Returns rows
     * written. */
   def insertRows(conn: Connection, table: String, schema: StructType,
-                 rows: Iterator[Row], batchSize: Int = 500): Long = {
+                 rows: Iterator[Row], batchSize: Int = 500,
+                 preamble: Option[String] = None): Long = {
     val cols = schema.fieldNames
+    val prevAutoCommit = conn.getAutoCommit
     conn.setAutoCommit(false)
     val ps = conn.prepareStatement(
       s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})")
     try {
+      preamble.foreach { sql =>
+        val st = conn.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
       var n = 0L
       var inBatch = 0
       rows.foreach { r =>
@@ -98,7 +113,10 @@ object JdbcSink {
       n
     } catch {
       case t: Throwable => conn.rollback(); throw t
-    } finally ps.close()
+    } finally {
+      ps.close()
+      conn.setAutoCommit(prevAutoCommit)
+    }
   }
 
   /** The reference shape verbatim: one transaction for a batch of
@@ -150,13 +168,23 @@ object JdbcSink {
       }
       s"${f.name} $t"
     }
-    s"CREATE TABLE $stage (${cols.mkString(", ")})"
+    // _task_part keys each Spark partition's rows so a retried task
+    // can delete-then-insert its own slice (idempotent under task
+    // retry); publish never selects it
+    s"CREATE TABLE $stage (${cols.mkString(", ")}, _task_part INTEGER)"
   }
 
   /** Distributed transactional load: partition-parallel staged insert,
     * then one atomic publish (INSERT..SELECT, or MERGE upsert on
     * `pk`). Returns rows published. The staging table is dropped on
-    * every exit path. */
+    * every exit path.
+    *
+    * Idempotent under task RETRY: each task's transaction first
+    * deletes its own partition's rows (`_task_part` key) before
+    * re-inserting, so a retried task replaces rather than duplicates
+    * its slice. (CONCURRENT duplicate attempts — speculative
+    * execution — could still interleave; leave `spark.speculation`
+    * at its default `false` for JDBC loads.) */
   def stagedWrite(df: DataFrame, url: String, target: String,
                   pk: Seq[String] = Nil, batchSize: Int = 500): Long = {
     val stage = s"${target}_STAGE_${java.util.UUID.randomUUID.toString.take(8).replace("-", "")}"
@@ -166,9 +194,15 @@ object JdbcSink {
       try st.executeUpdate(stageDdl(stage, schema)) finally st.close()
     }
     try {
-      df.foreachPartition { (rows: Iterator[Row]) =>
+      val withPart = df.withColumn("_task_part",
+        org.apache.spark.sql.functions.spark_partition_id())
+      val stageSchema = withPart.schema
+      withPart.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          withConnection(url)(conn => insertRows(conn, stage, schema, rows, batchSize))
+          val it = rows.buffered
+          val part = it.head.getInt(it.head.length - 1)
+          withConnection(url)(conn => insertRows(conn, stage, stageSchema, it,
+            batchSize, preamble = Some(s"DELETE FROM $stage WHERE _task_part = $part")))
           ()
         }
       }

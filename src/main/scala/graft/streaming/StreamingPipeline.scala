@@ -215,7 +215,12 @@ object StreamingPipeline {
             }
             if (st.aborted) {
               state.update(st)
-              state.setTimeoutTimestamp(lastMs + tombstoneTtlMs)
+              // clamp above the eviction watermark: an abort driven by
+              // a late event during backfill could place lastMs + TTL
+              // below the watermark, and setTimeoutTimestamp would
+              // throw and kill the query
+              state.setTimeoutTimestamp(math.max(lastMs + tombstoneTtlMs,
+                state.getCurrentWatermarkMs() + 1))
             } else if (st.attempts == 0) state.remove()
             else state.update(st)
             out.result().iterator
