@@ -170,8 +170,10 @@ object LlmData {
   // -------------------------------------------------------- d_simhash
   // Native Catalyst expression (graft.plans.SimHash64). The oracle
   // replays the FULL pipeline in DuckDB SQL: FNV-1a 64 is a
-  // list_reduce fold in HUGEINT arithmetic mod 2^64 (the xor only ever
-  // touches the low byte, so BIGINT xor on h%256 suffices), bit counts
+  // list_reduce fold in HUGEINT arithmetic mod 2^64 over the token's
+  // UTF-8 BYTES (hex(encode(tok)) split into byte pairs — matches
+  // SimHashUtil.fnv1a64's byte stream for ANY input, not just ASCII;
+  // each byte < 256 so BIGINT xor on h%256 suffices), bit counts
   // explode over generate_series(0,63), and the unsigned result maps
   // to Spark's signed long at the end — bit-exact, not rows-only.
   private val simhash: Q = (s, d) => {
@@ -191,7 +193,8 @@ object LlmData {
       |hashes AS (
       |  SELECT doc_id, list_reduce(
       |    list_prepend(14695981039346656037::HUGEINT,
-      |      list_transform(generate_series(1, length(tok)), i -> unicode(substr(tok,i,1))::HUGEINT)),
+      |      list_transform(generate_series(1, octet_length(encode(tok))),
+      |        i -> TRY_CAST('0x' || substr(hex(encode(tok)), 2*i-1, 2) AS BIGINT)::HUGEINT)),
       |    (h, b) -> (((h // 256) * 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
       |  ) AS h FROM toks

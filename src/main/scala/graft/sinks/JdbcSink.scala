@@ -168,10 +168,11 @@ object JdbcSink {
       }
       s"${f.name} $t"
     }
-    // _task_part keys each Spark partition's rows so a retried task
-    // can delete-then-insert its own slice (idempotent under task
-    // retry); publish never selects it
-    s"CREATE TABLE $stage (${cols.mkString(", ")}, _task_part INTEGER)"
+    // graft_task_part keys each Spark partition's rows so a retried
+    // task can delete-then-insert its own slice (idempotent under task
+    // retry); publish never selects it. Letter-leading on purpose:
+    // Derby rejects unquoted identifiers starting with '_'.
+    s"CREATE TABLE $stage (${cols.mkString(", ")}, graft_task_part INTEGER)"
   }
 
   /** Distributed transactional load: partition-parallel staged insert,
@@ -180,7 +181,7 @@ object JdbcSink {
     * every exit path.
     *
     * Idempotent under task RETRY: each task's transaction first
-    * deletes its own partition's rows (`_task_part` key) before
+    * deletes its own partition's rows (`graft_task_part` key) before
     * re-inserting, so a retried task replaces rather than duplicates
     * its slice. (CONCURRENT duplicate attempts — speculative
     * execution — could still interleave; leave `spark.speculation`
@@ -194,7 +195,7 @@ object JdbcSink {
       try st.executeUpdate(stageDdl(stage, schema)) finally st.close()
     }
     try {
-      val withPart = df.withColumn("_task_part",
+      val withPart = df.withColumn("graft_task_part",
         org.apache.spark.sql.functions.spark_partition_id())
       val stageSchema = withPart.schema
       withPart.foreachPartition { (rows: Iterator[Row]) =>
@@ -202,7 +203,7 @@ object JdbcSink {
           val it = rows.buffered
           val part = it.head.getInt(it.head.length - 1)
           withConnection(url)(conn => insertRows(conn, stage, stageSchema, it,
-            batchSize, preamble = Some(s"DELETE FROM $stage WHERE _task_part = $part")))
+            batchSize, preamble = Some(s"DELETE FROM $stage WHERE graft_task_part = $part")))
           ()
         }
       }

@@ -29,8 +29,18 @@ import org.apache.spark.sql.functions.col
   */
 object HighWaterMark {
 
+  /** Source names become file names and JSON values verbatim, so the
+    * character set is restricted up front — a separator would escape
+    * stateDir, a quote would corrupt the JSON (and the corrupted mark
+    * would silently replay from defaultStartMs forever). */
+  private def validSource(source: String): String = {
+    require(source.matches("[A-Za-z0-9_-]+"),
+      s"source name must match [A-Za-z0-9_-]+, got: '$source'")
+    source
+  }
+
   private def stateFile(stateDir: String, source: String) =
-    Paths.get(stateDir, s"hwm_$source.json")
+    Paths.get(stateDir, s"hwm_${validSource(source)}.json")
 
   /** The committed mark, if any. */
   def read(stateDir: String, source: String): Option[Long] = {
@@ -59,7 +69,7 @@ object HighWaterMark {
     val f = stateFile(stateDir, source)
     val tmp = Paths.get(f.toString + ".tmp")
     val body =
-      s"""{"source":"$source","watermark_ms":$watermarkMs}""" + "\n"
+      s"""{"source":"${validSource(source)}","watermark_ms":$watermarkMs}""" + "\n"
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
