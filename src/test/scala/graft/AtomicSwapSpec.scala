@@ -33,7 +33,11 @@ class AtomicSwapSpec extends SparkSpec {
     val live = AtomicSwapWriter.readCurrent(spark, root).collect()
     assert(live.map(_.getString(1)).toSeq == Seq("keep"))
 
-    val removed = AtomicSwapWriter.vacuum(root)
+    // default grace spares the young orphan — it could be an
+    // IN-FLIGHT publish whose pointer commit hasn't landed yet
+    assert(AtomicSwapWriter.vacuum(root).isEmpty)
+
+    val removed = AtomicSwapWriter.vacuum(root, minAgeMs = 0L)
     assert(removed.exists(_.endsWith("v_99")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v_99")))
     // live snapshot survives the vacuum
@@ -45,7 +49,7 @@ class AtomicSwapSpec extends SparkSpec {
     AtomicSwapWriter.publish(Seq((1L, "a")).toDF("id", "v"), root)
     AtomicSwapWriter.publish(Seq((2L, "b")).toDF("id", "v"), root)
     AtomicSwapWriter.publish(Seq((3L, "c")).toDF("id", "v"), root)
-    val removed = AtomicSwapWriter.vacuum(root)
+    val removed = AtomicSwapWriter.vacuum(root, minAgeMs = 0L)
     assert(removed.size == 2)
     assert(AtomicSwapWriter.readCurrent(spark, root).collect()
       .map(_.getString(1)).toSeq == Seq("c"))
