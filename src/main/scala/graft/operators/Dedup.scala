@@ -298,10 +298,16 @@ object Dedup {
     * the corpus per use. perShingle feeds BOTH the size agg and the
     * pair expansion; the identical shuffle subtree is shared at
     * runtime via ReusedExchange, so no explicit materialization
-    * (measured: a localCheckpoint here is net-slower — it blocks AQE
-    * downstream). Returns (id1, id2, n_inter, size1, size2). */
+    * WITHIN one query (measured: a localCheckpoint here is net-slower
+    * — it blocks AQE downstream). ACROSS queries (Jaccard +
+    * containment over the same corpus and params) a `cacheKey`
+    * memoizes the final small stats frame in the session store, the
+    * same materialize-once discipline as the minhash signature store.
+    * Returns (id1, id2, n_inter, size1, size2). */
   private def shingleOverlapStats(df: DataFrame, idCol: String, textCol: String,
-                                  k: Int, maxDocFreq: Int): DataFrame = {
+                                  k: Int, maxDocFreq: Int,
+                                  cacheKey: Option[String]): DataFrame = {
+    def build: DataFrame = {
     val perShingle = shingles(df, idCol, textCol, k)
       .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
       .groupBy("shingle")
@@ -323,6 +329,12 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id1"), col("set_size").as("size1")), "id1")
       .join(sizes.select(col(idCol).as("id2"), col("set_size").as("size2")), "id2")
+    }
+    cacheKey match {
+      case Some(ck) => memoized(s"$ck|ovl|$k|$maxDocFreq")(
+        build.localCheckpoint(eager = true))
+      case None => build
+    }
   }
 
   /** n-gram Jaccard similarity for pairs sharing at least one shingle.
@@ -331,8 +343,9 @@ object Dedup {
     * cap; dropped shingles only shrink measured similarity of
     * boilerplate, which is what you want at 100 TB). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int,
-                   maxDocFreq: Int, minJaccard: Double): DataFrame =
-    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq)
+                   maxDocFreq: Int, minJaccard: Double,
+                   cacheKey: Option[String] = None): DataFrame =
+    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq, cacheKey)
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("size1") + col("size2") - col("n_inter")), 6))
@@ -346,8 +359,9 @@ object Dedup {
     * and pair cap as [[ngramJaccard]]; emits which side is contained
     * so the dedup policy can keep the superset doc. */
   def ngramContainment(df: DataFrame, idCol: String, textCol: String, k: Int,
-                       maxDocFreq: Int, minContainment: Double): DataFrame =
-    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq)
+                       maxDocFreq: Int, minContainment: Double,
+                       cacheKey: Option[String] = None): DataFrame =
+    shingleOverlapStats(df, idCol, textCol, k, maxDocFreq, cacheKey)
       .withColumn("containment",
         round(col("n_inter").cast("double") / least(col("size1"), col("size2")), 6))
       .filter(col("containment") >= minContainment)

@@ -221,7 +221,7 @@ object LlmData {
   // -------------------------------------------------- d_ngram_jaccard
   private val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-        k = 3, maxDocFreq = 50, minJaccard = 0.1)
+        k = 3, maxDocFreq = 50, minJaccard = 0.1, cacheKey = mhKey(s, d))
       .orderBy("id1", "id2")
 
   // --------------------------------------------- d_containment_dup
@@ -231,7 +231,7 @@ object LlmData {
   // dedup policy keeps the superset doc.
   private val containmentDup: Q = (s, d) =>
     Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text",
-        k = 3, maxDocFreq = 50, minContainment = 0.5)
+        k = 3, maxDocFreq = 50, minContainment = 0.5, cacheKey = mhKey(s, d))
       .orderBy("id1", "id2")
 
   private val containmentDupSql =
