@@ -70,4 +70,65 @@ object TextFunctions {
     * word order and duplication). */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
+
+  /** Token n-gram array (space-joined windows of `k` tokens). Empty
+    * when the doc has fewer than `k` tokens — the sequence() guard
+    * matters because sequence(0, -1) would count DOWN. */
+  def tokenNgrams(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Most frequent within-doc n-gram as struct(cnt, gram); ties break
+    * to the lexicographically SMALLEST gram. Row-local: sort the gram
+    * array, then one fold tracks the longest equal-run — O(L log L)
+    * per doc with NO shuffle, vs. the groupBy(doc, gram) shape that
+    * shuffles the whole token stream. The repetition filters run over
+    * every document of a 100-TB corpus, so map-only matters. */
+  def topNgram(toks: Column, k: Int): Column = {
+    val sorted = array_sort(tokenNgrams(toks, k))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("cnt"), lit("").as("gram"))
+    val folded = aggregate(sorted, zero, (st, x) => {
+      val run = when(st.getField("prev") === x, st.getField("run") + 1L)
+        .otherwise(lit(1L))
+      val better = run > st.getField("cnt")
+      struct(x.as("prev"), run.as("run"),
+        when(better, run).otherwise(st.getField("cnt")).as("cnt"),
+        when(better, x).otherwise(st.getField("gram")).as("gram"))
+    })
+    struct(folded.getField("cnt").as("cnt"), folded.getField("gram").as("gram"))
+  }
+
+  /** Count of token positions covered by any within-doc DUPLICATE
+    * n-gram (every occurrence counts — the Gopher "fraction of tokens
+    * inside duplicated n-grams" filter). Row-local like [[topNgram]]:
+    * sort struct(gram, pos), fold runs collecting start positions of
+    * grams seen >= 2 times, expand each start to its k-token interval
+    * and count the distinct union. */
+  def dupNgramCoverage(toks: Column, k: Int): Column = {
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        struct(concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)
+          .as("g"), i.as("p"))))
+      .otherwise(array().cast("array<struct<g:string,p:int>>"))
+    val sorted = array_sort(grams)
+    val zero = struct(lit("").as("prev"),
+      array().cast("array<int>").as("runp"),
+      array().cast("array<int>").as("cov"))
+    val flush = (st: Column) =>
+      when(size(st.getField("runp")) >= 2,
+        concat(st.getField("cov"), st.getField("runp")))
+        .otherwise(st.getField("cov"))
+    val starts = aggregate(sorted, zero, (st, x) => {
+      val same = st.getField("prev") === x.getField("g")
+      struct(x.getField("g").as("prev"),
+        when(same, concat(st.getField("runp"), array(x.getField("p"))))
+          .otherwise(array(x.getField("p"))).as("runp"),
+        when(same, st.getField("cov")).otherwise(flush(st)).as("cov"))
+    }, flush)
+    size(array_distinct(flatten(
+      transform(starts, p => sequence(p, p + (k - 1))))))
+  }
 }

@@ -817,6 +817,60 @@ object LlmData {
       |     '\bkey\b', '<redacted>', 'g') <> text AS changed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- t_repetition
+  // Gopher-style within-doc repetition filters re-expressed over
+  // token n-grams (the corpus is single-line, so line/paragraph
+  // variants are degenerate): fraction of tokens claimed by the most
+  // frequent bigram (2*cnt/n, overlap-unaware like the character
+  // variant in the paper) and the fraction of token positions covered
+  // by any trigram occurring >= 2 times in the doc (exact interval
+  // union). ZERO-shuffle: both metrics are row-local sort+fold HOFs
+  // (TextFunctions.topNgram / dupNgramCoverage) — a pure map over the
+  // corpus, the shape you want when the filter runs on every document
+  // of a 100-TB crawl. The oracle recomputes both via unnest+GROUP BY.
+  private val repetition: Q = (s, d) => {
+    val top = T.topNgram(col("t"), 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        top.getField("gram").as("top_bigram"),
+        top.getField("cnt").cast("long").as("top_cnt"),
+        round(top.getField("cnt") * lit(2.0d) / size(col("t")), 6)
+          .as("top_bigram_frac"),
+        round(T.dupNgramCoverage(col("t"), 3).cast("double") / size(col("t")), 6)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+      |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+      |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+      |top AS (SELECT doc_id, g AS top_bigram, c AS top_cnt
+      |        FROM (SELECT doc_id, g, c,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+      |              FROM bgc) WHERE rn = 1),
+      |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, i
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)),
+      |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
+      |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+2)) AS pos
+      |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
+      |        GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      | COALESCE(top.top_bigram, '') AS top_bigram,
+      | COALESCE(top.top_cnt, 0) AS top_cnt,
+      | ROUND(COALESCE(top.top_cnt, 0) * 2.0 / b.n_tokens, 6) AS top_bigram_frac,
+      | ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_trigram_frac
+      |FROM base b
+      | LEFT JOIN top USING (doc_id)
+      | LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- d_fingerprint_dup
   // Near-dup clusters by normalized fingerprint (word-order/dup
   // invariant): the cheap set-identity tier between exact-hash and
@@ -866,7 +920,8 @@ object LlmData {
     "t_corpus_stats" -> corpusStats,
     "t_length_hist" -> lengthHist,
     "t_char_entropy" -> charEntropy,
-    "t_bigram_nll" -> bigramNll)
+    "t_bigram_nll" -> bigramNll,
+    "t_repetition" -> repetition)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -897,5 +952,6 @@ object LlmData {
     "t_fingerprint" -> fingerprintSql,
     "d_simhash" -> simhashSql,
     "t_char_entropy" -> charEntropySql,
-    "t_bigram_nll" -> bigramNllSql)
+    "t_bigram_nll" -> bigramNllSql,
+    "t_repetition" -> repetitionSql)
 }

@@ -86,4 +86,31 @@ class SimilarityAndTextSpec extends SparkSpec {
       .agg(min("q"), max("q")).head()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("topNgram: run-length over the sorted grams, ties break to smallest") {
+    def top(text: String): (Long, String) = {
+      val r = Seq(text).toDF("text")
+        .select(T.topNgram(split(col("text"), " "), 2).as("t"))
+        .select("t.cnt", "t.gram").head()
+      (r.getLong(0), r.getString(1))
+    }
+    assert(top("a b a b a b") == (3L, "a b"))      // "a b"x3 beats "b a"x2
+    // "a b" / "b c" / "c d" all x2 -> tie breaks to the smallest gram
+    assert(top("a b c d a b c d") == (2L, "a b"))
+    assert(top("p q r s") == (1L, "p q"))          // all x1 -> first sorted gram
+    assert(top("one") == (0L, ""))                 // shorter than the gram
+  }
+
+  test("dupNgramCoverage: exact interval union, every occurrence counts") {
+    def cov(text: String): Int =
+      Seq(text).toDF("text")
+        .select(T.dupNgramCoverage(split(col("text"), " "), 3).as("c"))
+        .head().getInt(0)
+    // "a b c" occurs at 0 and 4: covers 0-2 and 4-6 -> 6 of 7
+    assert(cov("a b c q a b c") == 6)
+    // overlapping duplicate runs merge: "a a a a" trigram "a a a" at 0,1 -> covers 0-3
+    assert(cov("a a a a") == 4)
+    assert(cov("p q r s") == 0)                    // no duplicate trigram
+    assert(cov("p q") == 0)                        // shorter than the gram
+  }
 }
