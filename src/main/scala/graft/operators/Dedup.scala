@@ -368,4 +368,43 @@ object Dedup {
       .withColumn("contained_id",
         when(col("size1") <= col("size2"), col("id1")).otherwise(col("id2")))
       .select("id1", "id2", "n_inter", "containment", "contained_id")
+
+  /** Cross-corpus duplicate-SPAN coverage — the fixed-k approximation
+    * of suffix-array exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): a token k-gram
+    * appearing in >= `minDocs` distinct documents marks all its
+    * occurrences, and each doc reports the fraction of token
+    * positions covered by the interval union of its marked spans
+    * (what an ExactSubstr pass would cut).
+    *
+    * Scale shape: occurrences shuffle ONCE on a 64-bit gram hash
+    * (xxhash64 — never the gram string); doc-frequency is a two-phase
+    * distinct+count (both partial-agg); the frequent-gram set is
+    * small boilerplate so AQE broadcasts the occurrence join at
+    * runtime; the interval union is row-local per doc (positions
+    * bounded by doc length). No all-pairs stage anywhere. */
+  def crossDocSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minDocs: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+    val occ = df
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokenNgrams(toks, k))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
+    val freq = occ.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+    val covered = occ.join(freq.select("h"), "h")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("starts"))
+      .select(col(idCol),
+        size(array_distinct(flatten(transform(col("starts"),
+          p => sequence(p, p + (k - 1)))))).cast("long").as("nc"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("nc"), lit(0L)).as("n_covered"),
+        round(coalesce(col("nc"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("covered_frac"))
+  }
 }

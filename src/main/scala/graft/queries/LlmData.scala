@@ -871,6 +871,32 @@ object LlmData {
       | LEFT JOIN cov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- d_substr_dup
+  // Cross-corpus duplicate-span coverage (ExactSubstr-lite): 5-gram
+  // spans shared by >= 2 docs, per-doc interval-union coverage. The
+  // oracle groups by the gram STRING; the Spark side shuffles a
+  // 64-bit xxhash of it — same result, an engineering key choice.
+  private val substrDup: Q = (s, d) =>
+    Dedup.crossDocSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .orderBy("doc_id")
+
+  private val substrDupSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+      |gr AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g, i
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM toks)),
+      |freq AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+      |         WHERE df >= 2),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
+      |        FROM (SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i+4)) AS pos
+      |              FROM gr JOIN freq USING (g))
+      |        GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens, COALESCE(cov.nc, 0) AS n_covered,
+      | ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / b.n_tokens, 6) AS covered_frac
+      |FROM base b LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- d_fingerprint_dup
   // Near-dup clusters by normalized fingerprint (word-order/dup
   // invariant): the cheap set-identity tier between exact-hash and
@@ -921,7 +947,8 @@ object LlmData {
     "t_length_hist" -> lengthHist,
     "t_char_entropy" -> charEntropy,
     "t_bigram_nll" -> bigramNll,
-    "t_repetition" -> repetition)
+    "t_repetition" -> repetition,
+    "d_substr_dup" -> substrDup)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -953,5 +980,6 @@ object LlmData {
     "d_simhash" -> simhashSql,
     "t_char_entropy" -> charEntropySql,
     "t_bigram_nll" -> bigramNllSql,
-    "t_repetition" -> repetitionSql)
+    "t_repetition" -> repetitionSql,
+    "d_substr_dup" -> substrDupSql)
 }

@@ -203,4 +203,21 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("event_type").collect().toSeq
     assert(merged == direct)
   }
+
+  test("crossDocSpanCoverage: shared k-grams mark interval unions per doc") {
+    // docs 1 and 2 share the 3-gram "a b c" (doc 2 twice, overlapping
+    // occurrences merge); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "q a b c a b c"),
+      (3L, "u v w u v w")).toDF("doc_id", "text")
+    val r = Dedup.crossDocSpanCoverage(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: positions 0-2 covered (3 of 6)
+    assert(r(0).getLong(2) == 3L && r(0).getDouble(3) == 0.5)
+    // doc 2: starts 1 and 4 cover 1-3 and 4-6 -> 6 of 7
+    assert(r(1).getLong(2) == 6L)
+    // doc 3's repeated "u v w" is WITHIN one doc only -> not cross-doc
+    assert(r(2).getLong(2) == 0L && r(2).getDouble(3) == 0.0)
+  }
 }
