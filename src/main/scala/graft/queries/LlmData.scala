@@ -897,6 +897,54 @@ object LlmData {
       |FROM base b LEFT JOIN cov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- t_filter_chain
+  // The composed curation funnel: length floor -> language keep ->
+  // quality-score floor -> repetition cap, reported as per-stage
+  // in/removed/out counts from ONE conditional aggregation (operators
+  // .FilterChain). The language stage keeps the LABELED lang here —
+  // the corpus's marker words make the n-gram classifier degenerate
+  // (everything scores 'en'); a production chain plugs T.langId in.
+  // The repetition cap reuses the zero-shuffle dupNgramCoverage fold.
+  private val filterChain: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    FilterChain.funnel(Tables.documents(s, d), Seq(
+      "length" -> (n >= 20),
+      "language" -> (col("lang") === "en"),
+      "quality" -> (T.qualityScore(col("text")) >= 0.5d),
+      "repetition" ->
+        (round(T.dupNgramCoverage(toks, 2).cast("double") / n, 6) <= 0.2d)))
+  }
+
+  private val filterChainSql =
+    """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+      |tg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, i
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+      |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
+      |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
+      |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
+      |        GROUP BY doc_id),
+      |flags AS (SELECT doc_id,
+      |   (len(t) >= 20) AS p1,
+      |   (lang = 'en') AS p2,
+      |   (ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE)/100.0)*0.3
+      |    + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
+      |       / len(t) * 0.3
+      |    + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6) >= 0.5) AS p3,
+      |   (ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / len(t), 6) <= 0.2) AS p4
+      |  FROM toks LEFT JOIN cov USING (doc_id)),
+      |agg AS (SELECT COUNT(*) AS c0,
+      |  COUNT(*) FILTER (WHERE p1) AS c1,
+      |  COUNT(*) FILTER (WHERE p1 AND p2) AS c2,
+      |  COUNT(*) FILTER (WHERE p1 AND p2 AND p3) AS c3,
+      |  COUNT(*) FILTER (WHERE p1 AND p2 AND p3 AND p4) AS c4 FROM flags)
+      |SELECT 1 AS stage_no, 'length' AS stage, c0 AS docs_in, c0 - c1 AS docs_removed, c1 AS docs_out FROM agg
+      |UNION ALL SELECT 2, 'language', c1, c1 - c2, c2 FROM agg
+      |UNION ALL SELECT 3, 'quality', c2, c2 - c3, c3 FROM agg
+      |UNION ALL SELECT 4, 'repetition', c3, c3 - c4, c4 FROM agg
+      |ORDER BY stage_no""".stripMargin
+
   // ----------------------------------------------- d_fingerprint_dup
   // Near-dup clusters by normalized fingerprint (word-order/dup
   // invariant): the cheap set-identity tier between exact-hash and
@@ -948,7 +996,8 @@ object LlmData {
     "t_char_entropy" -> charEntropy,
     "t_bigram_nll" -> bigramNll,
     "t_repetition" -> repetition,
-    "d_substr_dup" -> substrDup)
+    "d_substr_dup" -> substrDup,
+    "t_filter_chain" -> filterChain)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -981,5 +1030,6 @@ object LlmData {
     "t_char_entropy" -> charEntropySql,
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,
-    "d_substr_dup" -> substrDupSql)
+    "d_substr_dup" -> substrDupSql,
+    "t_filter_chain" -> filterChainSql)
 }

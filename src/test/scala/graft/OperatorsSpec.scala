@@ -220,4 +220,18 @@ class OperatorsSpec extends SparkSpec {
     // doc 3's repeated "u v w" is WITHIN one doc only -> not cross-doc
     assert(r(2).getLong(2) == 0L && r(2).getDouble(3) == 0.0)
   }
+
+  test("FilterChain.funnel: sequential semantics, one aggregate job") {
+    val docs = Seq((1L, 5, "en"), (2L, 50, "en"), (3L, 50, "de"), (4L, 50, "en"))
+      .toDF("id", "n", "lang")
+    val f = FilterChain.funnel(docs, Seq(
+      "len" -> (col("n") >= 10),
+      "lang" -> (col("lang") === "en"),
+      "cap" -> (col("id") <= 2)))
+      .collect()
+    assert(f.map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("len", 4L, 1L, 3L), ("lang", 3L, 1L, 2L), ("cap", 2L, 1L, 1L)))
+    // doc 1 passes "cap" but fails the length stage — sequential, not
+    // independent: it is counted removed at stage 1 only
+  }
 }
