@@ -385,11 +385,16 @@ object Dedup {
     * bounded by doc length). No all-pairs stage anywhere. */
   def crossDocSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                            k: Int, minDocs: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val base = df.select(col(idCol), size(toks).cast("long").as("n_tokens"))
-    val occ = df
+    // split() is materialized behind its own projection (multi-ref ->
+    // CollapseProject keeps the boundary) so the gram lambda reads an
+    // attribute, not a re-evaluated tokenizer: measured 13x on the
+    // occurrence scan (6.5s -> 0.5s at sf0.1)
+    val withToks = df.select(col(idCol), split(col(textCol), " ").as("graft_toks"))
+    val base = withToks
+      .select(col(idCol), size(col("graft_toks")).cast("long").as("n_tokens"))
+    val occ = withToks
       .select(col(idCol),
-        posexplode(graft.functions.TextFunctions.tokenNgrams(toks, k))
+        posexplode(graft.functions.TextFunctions.tokenNgrams(col("graft_toks"), k))
           .as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
     val freq = occ.select(col(idCol), col("h")).distinct()

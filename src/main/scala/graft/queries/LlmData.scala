@@ -906,14 +906,17 @@ object LlmData {
   // (everything scores 'en'); a production chain plugs T.langId in.
   // The repetition cap reuses the zero-shuffle dupNgramCoverage fold.
   private val filterChain: Q = (s, d) => {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    FilterChain.funnel(Tables.documents(s, d), Seq(
+    // tokens materialized behind a projection boundary so the
+    // repetition fold reads an attribute (see crossDocSpanCoverage)
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("text"), split(col("text"), " ").as("t"))
+    val n = size(col("t"))
+    FilterChain.funnel(docs, Seq(
       "length" -> (n >= 20),
       "language" -> (col("lang") === "en"),
       "quality" -> (T.qualityScore(col("text")) >= 0.5d),
       "repetition" ->
-        (round(T.dupNgramCoverage(toks, 2).cast("double") / n, 6) <= 0.2d)))
+        (round(T.dupNgramCoverage(col("t"), 2).cast("double") / n, 6) <= 0.2d)))
   }
 
   private val filterChainSql =

@@ -711,20 +711,27 @@ object Relational {
   // claim is now oracle-checked instead of rows-only. (The exact
   // countDistinct branch exists for the gate; the operator a 100-TB
   // user calls is the approx_count_distinct sketch.)
-  private val q30: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  private val q30: Q = (s, d) => {
+    // The sketch and exact branches run as SEPARATE aggregations
+    // joined on the 4-row group key: mixing countDistinct (Expand
+    // rewrite) and HLL buffers in one agg makes the planner update
+    // sketch state per EXPANDED row — measured 9.4s vs 1.3+0.7s split.
+    val li = Tables.lineitem(s, d)
+    val ap = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap_parts"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ap_orders"))
+    li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap_parts"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ap_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lines"))
+      .join(ap, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_orders"), col("n_lines"),
         (abs(col("ap_parts") - col("n_parts")) <= col("n_parts") * 0.05 &&
           abs(col("ap_orders") - col("n_orders")) <= col("n_orders") * 0.05)
           .as("sketch_within_5pct"))
       .orderBy("l_returnflag")
+  }
 
   private val q30Sql =
     """SELECT l_returnflag,

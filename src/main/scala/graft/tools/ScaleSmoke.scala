@@ -85,11 +85,22 @@ object ScaleSmoke {
         .agg(avg(col("nll"))).count()
     }
 
+    def repetition(df: DataFrame): Long =
+      df.select(graft.functions.TextFunctions
+          .dupNgramCoverage(split(col("text"), " "), 3).as("c"))
+        .agg(sum(col("c"))).collect()(0).getLong(0)
+    def substrDup(df: DataFrame): Long =
+      graft.operators.Dedup
+        .crossDocSpanCoverage(df, "doc_id", "text", k = 5, minDocs = 2)
+        .agg(sum(col("n_covered"))).collect()(0).getLong(0)
+
     time("agg_x1")(agg(ev1)); time(s"agg_x$n")(agg(evBig))
     time("sessionize_x1")(sessionize(ev1)); time(s"sessionize_x$n")(sessionize(evBig))
     time("minhash_x1")(minhash(docs1)); time(s"minhash_x$n")(minhash(docsBig))
     time("gateway_batch_x1")(gatewayBatch(ev1)); time(s"gateway_batch_x$n")(gatewayBatch(evBig))
     time("bigram_nll_x1")(bigramNll(docs1)); time(s"bigram_nll_x$n")(bigramNll(docsBig))
+    time("repetition_x1")(repetition(docs1)); time(s"repetition_x$n")(repetition(docsBig))
+    time("substr_dup_x1")(substrDup(docs1)); time(s"substr_dup_x$n")(substrDup(docsBig))
     spark.stop()
   }
 }
