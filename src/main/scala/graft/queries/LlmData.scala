@@ -631,6 +631,95 @@ object LlmData {
       |FROM f JOIN tr USING (fp) WHERE f.split <> 'train'
       |ORDER BY f.doc_id""".stripMargin
 
+  // ------------------------------------------------- d_ngram_contam
+  // N-GRAM-level decontamination (the GPT-3/Llama report method):
+  // an eval-split doc is contaminated in proportion to the distinct
+  // token 5-grams it shares with ANY train doc — catches partial
+  // leakage that d_contamination's whole-doc fingerprint misses.
+  // Same hash-derived split; grams shuffle as 64-bit hashes (the
+  // oracle matches on the gram string). Train grams dedup to one row
+  // per distinct gram; eval grams dedup per (doc, gram); the join is
+  // hash-partitioned on the gram key with no text movement.
+  private val ngramContam: Q = (s, d) => {
+    val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
+    val sp = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), sp.as("split"), split(col("text"), " ").as("t"))
+    val grams = f.select(col("doc_id"), col("split"),
+        explode(T.tokenNgrams(col("t"), 5)).as("gram"))
+      .select(col("doc_id"), col("split"), xxhash64(col("gram")).as("h"))
+    val train = grams.filter(col("split") === "train").select("h").distinct()
+    val ev = grams.filter(col("split") =!= "train")
+      .select("doc_id", "split", "h").distinct()
+    val sizes = ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    ev.join(train, "h")
+      .groupBy("doc_id", "split").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("split"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramContamSql =
+    """WITH f AS (SELECT doc_id,
+      |    CASE WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+      |         WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    string_split(text, ' ') AS t
+      |   FROM documents),
+      |g AS (SELECT doc_id, split, array_to_string(t[i:i+4], ' ') AS gram
+      |      FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t)-4)) AS i FROM f)),
+      |tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+      |ev AS (SELECT DISTINCT doc_id, split, gram FROM g WHERE split <> 'train'),
+      |sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id),
+      |sh AS (SELECT ev.doc_id, ev.split, COUNT(*) AS n_shared
+      |       FROM ev JOIN tr USING (gram) GROUP BY ev.doc_id, ev.split)
+      |SELECT sh.doc_id, sh.split, sh.n_shared, sz.n_grams,
+      | ROUND(CAST(sh.n_shared AS DOUBLE) / sz.n_grams, 6) AS contam_frac
+      |FROM sh JOIN sz USING (doc_id)
+      |ORDER BY sh.doc_id""".stripMargin
+
+  // --------------------------------------------------- t_tfidf_top
+  // Distinctive vocabulary per source: tf-idf with source-level
+  // document frequency (tf = occurrences within the source, df =
+  // number of sources containing the token), top-3 per source with a
+  // deterministic (score desc, token asc) tiebreak. Shapes: one
+  // partial-agg shuffle for tf, a small (tok, df) side joined on the
+  // token, the source count as a broadcast scalar (never a driver
+  // constant), and the rank window partitioned by source — bounded
+  // domain, no global window. ln/round are IEEE-identical in DuckDB.
+  private val tfidfTop: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ns = tf.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(dfx, "tok")
+      .crossJoin(broadcast(ns))
+      .select(col("source"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("source", "tok", "tf", "df", "score", "rank")
+      .orderBy("source", "rank")
+  }
+
+  private val tfidfTopSql =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+      |dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |ns AS (SELECT COUNT(DISTINCT source) AS n FROM tf),
+      |sc AS (SELECT source, tok, tf, df,
+      |        ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+      |       FROM tf JOIN dfx USING (tok) CROSS JOIN ns),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tok ASC) AS rank
+      |      FROM sc)
+      |SELECT source, tok, tf, df, score, rank FROM r WHERE rank <= 3
+      |ORDER BY source, rank""".stripMargin
+
   // -------------------------------------------------- t_corpus_stats
   // Per-language dataset-card rollup: doc counts, token volume, and
   // decimal-exact mean quality — the reporting surface a corpus
@@ -1000,7 +1089,9 @@ object LlmData {
     "t_bigram_nll" -> bigramNll,
     "t_repetition" -> repetition,
     "d_substr_dup" -> substrDup,
-    "t_filter_chain" -> filterChain)
+    "t_filter_chain" -> filterChain,
+    "d_ngram_contam" -> ngramContam,
+    "t_tfidf_top" -> tfidfTop)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1034,5 +1125,7 @@ object LlmData {
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,
     "d_substr_dup" -> substrDupSql,
-    "t_filter_chain" -> filterChainSql)
+    "t_filter_chain" -> filterChainSql,
+    "d_ngram_contam" -> ngramContamSql,
+    "t_tfidf_top" -> tfidfTopSql)
 }

@@ -94,4 +94,36 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Join"), name)
     }
   }
+
+  test("t_repetition: the repetition folds plan ZERO shuffles") {
+    // both metrics are row-local sort+fold HOFs — only the
+    // presentation orderBy may add a range exchange
+    val plan = formatted("t_repetition")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0, s"expected no hash exchange:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("t_filter_chain: the whole funnel is ONE aggregation of one scan") {
+    val plan = formatted("t_filter_chain")
+    // one scan of documents — stages are flags, not rescans (count
+    // the detail headers; FormattedMode also echoes the node in the
+    // tree section)
+    val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    // single global aggregate: partial+final HashAggregate pair, one
+    // single-partition exchange between them, no joins/windows
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    assert("Arguments: hashpartitioning".r.findAllIn(plan).isEmpty)
+  }
+
+  test("d_substr_dup: gram occurrences shuffle as 64-bit hashes, not strings") {
+    val plan = formatted("d_substr_dup")
+    // every hash exchange in the plan keys on doc_id or the xxhash64
+    // gram key — the gram STRING never appears in an exchange
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("gram")), exchanges.mkString("\n"))
+  }
 }
