@@ -71,6 +71,17 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " "))
 
+  /** Native one-call repetition kernel (graft.plans.RepetitionStats):
+    * struct(top_cnt, top_gram, dup_covered) for the most frequent
+    * kTop-gram and the duplicate-kDup-gram interval coverage. Use
+    * this in hot paths; [[topNgram]] / [[dupNgramCoverage]] are the
+    * builtin-HOF formulations kept as the semantic cross-check. */
+  def repetitionStats(toks: Column, kTop: Int, kDup: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.RepetitionStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks),
+        kTop, kDup))
+
   /** Token n-gram array (space-joined windows of `k` tokens). Empty
     * when the doc has fewer than `k` tokens — the sequence() guard
     * matters because sequence(0, -1) would count DOWN. */

@@ -209,4 +209,31 @@ object Similarity {
         cosineWithNorms(dot(col("v1"), col("v2")), col("n1"), col("n2")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): block the
+    * corpus by deterministic sign-bit LSH buckets — no labels needed
+    * — then mark the higher id of every within-bucket pair above the
+    * cosine threshold for removal (keep-the-lowest exemplar policy,
+    * consistent with the exact-dedup family). Same scale posture as
+    * [[lshTopK]]: the bucket equi-join replaces the O(n²) pair space
+    * with hash-partitioned buckets whose width is tuned by
+    * `numPlanes`; in production the blocking key is a k-means cell
+    * over the same machinery as [[kmeansCells]] — sign-bit planes
+    * keep the operator deterministic so the oracle can replay it. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes).cast("long"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("bucket"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = base.select(col("bucket"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("bucket"), col("id1"), col("id2"),
+        cosineWithNorms(dot(col("v1"), col("v2")), col("n1"), col("n2")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .withColumn("drop_id", col("id2"))
+  }
 }

@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -301,6 +301,49 @@ object LlmData {
       |WHERE ROUND(dot/(n1.nrm*n2.nrm), 6) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  // ----------------------------------------------------- d_semdedup
+  // SemDeDup over LSH sign-bit blocks: label-free embedding dedup.
+  // The 6 deterministic planes (seed 42, same LCG as s_lsh_topk) are
+  // interpolated into the oracle, which replays bucket assignment,
+  // within-bucket cosine, and the keep-the-lowest policy exactly.
+  private val semDedup: Q = (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        numPlanes = 6, dim = 64, minCos = 0.35)
+      .orderBy("id1", "id2")
+
+  private val semDedupSql = {
+    val planeCte = Similarity.hyperplanes(6, 64).zipWithIndex.map {
+      case (p, j) =>
+        s"SELECT $j AS j, unnest([${p.mkString(",")}]) AS p, " +
+          "unnest(generate_series(1, 64)) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |planes AS ($planeCte),
+       |proj AS (SELECT f.vec_id, pl.j, SUM(f.x * pl.p) AS pr
+       |         FROM flat f JOIN planes pl ON f.i = pl.i
+       |         GROUP BY f.vec_id, pl.j),
+       |buckets AS (SELECT vec_id,
+       |              CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM proj GROUP BY vec_id),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |cand AS (SELECT ba.bucket, ba.vec_id AS id1, bb.vec_id AS id2
+       |         FROM buckets ba JOIN buckets bb
+       |           ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id),
+       |dots AS (SELECT c.bucket, c.id1, c.id2, SUM(a.x * b.x) AS dot
+       |         FROM cand c JOIN flat a ON a.vec_id = c.id1
+       |                     JOIN flat b ON b.vec_id = c.id2 AND b.i = a.i
+       |         GROUP BY c.bucket, c.id1, c.id2)
+       |SELECT d.bucket, d.id1, d.id2,
+       |  ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cos_sim,
+       |  d.id2 AS drop_id
+       |FROM dots d JOIN norms n1 ON d.id1 = n1.vec_id
+       |            JOIN norms n2 ON d.id2 = n2.vec_id
+       |WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35
+       |ORDER BY d.id1, d.id2""".stripMargin
+  }
+
   // ---------------------------------------------------- s_cosine_topk
   private val cosineTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -918,17 +961,18 @@ object LlmData {
   // corpus, the shape you want when the filter runs on every document
   // of a 100-TB crawl. The oracle recomputes both via unnest+GROUP BY.
   private val repetition: Q = (s, d) => {
-    val top = T.topNgram(col("t"), 2)
+    val st = T.repetitionStats(col("t"), 2, 3)
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"), st.as("st"))
       .select(
         col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        top.getField("gram").as("top_bigram"),
-        top.getField("cnt").cast("long").as("top_cnt"),
-        round(top.getField("cnt") * lit(2.0d) / size(col("t")), 6)
+        col("n").cast("long").as("n_tokens"),
+        col("st.top_gram").as("top_bigram"),
+        col("st.top_cnt").as("top_cnt"),
+        round(col("st.top_cnt") * lit(2.0d) / col("n"), 6)
           .as("top_bigram_frac"),
-        round(T.dupNgramCoverage(col("t"), 3).cast("double") / size(col("t")), 6)
+        round(col("st.dup_covered").cast("double") / col("n"), 6)
           .as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
@@ -1005,7 +1049,8 @@ object LlmData {
       "language" -> (col("lang") === "en"),
       "quality" -> (T.qualityScore(col("text")) >= 0.5d),
       "repetition" ->
-        (round(T.dupNgramCoverage(col("t"), 2).cast("double") / n, 6) <= 0.2d)))
+        (round(T.repetitionStats(col("t"), 2, 2).getField("dup_covered")
+          .cast("double") / n, 6) <= 0.2d)))
   }
 
   private val filterChainSql =
@@ -1091,7 +1136,8 @@ object LlmData {
     "d_substr_dup" -> substrDup,
     "t_filter_chain" -> filterChain,
     "d_ngram_contam" -> ngramContam,
-    "t_tfidf_top" -> tfidfTop)
+    "t_tfidf_top" -> tfidfTop,
+    "d_semdedup" -> semDedup)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1127,5 +1173,6 @@ object LlmData {
     "d_substr_dup" -> substrDupSql,
     "t_filter_chain" -> filterChainSql,
     "d_ngram_contam" -> ngramContamSql,
-    "t_tfidf_top" -> tfidfTopSql)
+    "t_tfidf_top" -> tfidfTopSql,
+    "d_semdedup" -> semDedupSql)
 }

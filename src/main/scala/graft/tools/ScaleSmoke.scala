@@ -44,6 +44,19 @@ object ScaleSmoke {
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
     }.reduce(_ unionAll _)
     docsN.write.mode("overwrite").parquet(s"$out/documents")
+    // embeddings replicate with a per-replica Rademacher diagonal
+    // (deterministic ±1 per (replica, position)): norms and
+    // WITHIN-replica geometry are preserved; cross-replica cosines
+    // decorrelate in EXPECTATION (std ≈ 1/√dim, so a 0.35 threshold
+    // still admits tail pairs — measured: pairs grow super-N× while
+    // the WALL stays ~linear, which is the property under test)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val embN = (0 until n).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * maxDoc))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, p) -> CAST(x * (1 - 2 * ((hash($i, p) % 2 + 2) % 2)) AS FLOAT))"))
+    }.reduce(_ unionAll _)
+    embN.write.mode("overwrite").parquet(s"$out/embeddings")
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -55,6 +68,8 @@ object ScaleSmoke {
     val evBig = spark.read.parquet(s"$out/events").localCheckpoint(eager = true)
     val docs1 = docs.localCheckpoint(eager = true)
     val docsBig = spark.read.parquet(s"$out/documents").localCheckpoint(eager = true)
+    val emb1 = emb.localCheckpoint(eager = true)
+    val embBig = spark.read.parquet(s"$out/embeddings").localCheckpoint(eager = true)
 
     // aggregate over the derived session column — a bare count() lets
     // Catalyst prune the whole window away
@@ -101,6 +116,12 @@ object ScaleSmoke {
     time("bigram_nll_x1")(bigramNll(docs1)); time(s"bigram_nll_x$n")(bigramNll(docsBig))
     time("repetition_x1")(repetition(docs1)); time(s"repetition_x$n")(repetition(docsBig))
     time("substr_dup_x1")(substrDup(docs1)); time(s"substr_dup_x$n")(substrDup(docsBig))
+    def semDedup(df: DataFrame): Long =
+      graft.operators.Similarity
+        .semanticDedup(df, "vec_id", "embedding", numPlanes = 6, dim = 64,
+          minCos = 0.35)
+        .count()
+    time("semdedup_x1")(semDedup(emb1)); time(s"semdedup_x$n")(semDedup(embBig))
     spark.stop()
   }
 }

@@ -64,4 +64,34 @@ class CodegenSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getSeq[Int](1))
     assert(fused.toSeq == ref.toSeq)
   }
+
+  test("multiple RepetitionStats compile into one generated projection") {
+    import graft.plans.RepetitionStats
+    val toks = Literal.create(Seq("a", "b", "a", "b", "a"), ArrayType(StringType))
+    val exprs: Seq[Expression] =
+      Seq(RepetitionStats(toks, 2, 2), RepetitionStats(toks, 2, 3),
+        RepetitionStats(toks, 3, 2))
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = proj(InternalRow.empty)
+    val st0 = row.getStruct(0, 3)
+    // "a b" x2 tops; every bigram duplicates -> all 5 positions covered
+    assert(st0.getLong(0) == 2L && st0.getUTF8String(1).toString == "a b")
+    assert(st0.getInt(2) == 5)
+  }
+
+  test("native RepetitionStats matches the HOF folds on real docs") {
+    import graft.functions.{TextFunctions => T}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val native = docs.select(col("doc_id"),
+        T.repetitionStats(col("t"), 2, 3).as("st"))
+      .select(col("doc_id"), col("st.top_cnt"), col("st.top_gram"),
+        col("st.dup_covered"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = docs.select(col("doc_id"), T.topNgram(col("t"), 2).as("top"),
+        T.dupNgramCoverage(col("t"), 3).as("cov"))
+      .select(col("doc_id"), col("top.cnt"), col("top.gram"), col("cov"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native == hof)
+  }
 }
