@@ -763,6 +763,47 @@ object LlmData {
       |SELECT source, tok, tf, df, score, rank FROM r WHERE rank <= 3
       |ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------- d_sample_budget
+  // Token-budget sampling per source — the data-MIXING primitive: to
+  // hit a target mixture, each source contributes documents in a
+  // deterministic content-hash order until its token budget fills
+  // (reproducible across runs/shards, no rand()). The running total
+  // is a per-source window — partitioned by the mixture key, never
+  // global; a source's scan parallelism is the only sequential zone,
+  // which matches the semantics (budget cuts are inherently ordered).
+  private val sampleBudget: Q = (s, d) => {
+    val budget = 100L
+    val base = Tables.documents(s, d).select(
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(concat(lit("sample:"), col("text"))).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("k", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(col("n_tok")).as("tokens_total"),
+        count(when(col("cum") <= budget, lit(1))).as("docs_kept"),
+        coalesce(sum(when(col("cum") <= budget, col("n_tok"))), lit(0L))
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val sampleBudgetSql =
+    """WITH d AS (SELECT source, doc_id,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    md5('sample:' || text) AS k
+      |   FROM documents),
+      |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+      |SELECT source, COUNT(*) AS docs_total,
+      | CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+      | COUNT(*) FILTER (WHERE cum <= 100) AS docs_kept,
+      | CAST(COALESCE(SUM(n_tok) FILTER (WHERE cum <= 100), 0) AS BIGINT) AS tokens_kept
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   // -------------------------------------------------- t_corpus_stats
   // Per-language dataset-card rollup: doc counts, token volume, and
   // decimal-exact mean quality — the reporting surface a corpus
@@ -1137,7 +1178,8 @@ object LlmData {
     "t_filter_chain" -> filterChain,
     "d_ngram_contam" -> ngramContam,
     "t_tfidf_top" -> tfidfTop,
-    "d_semdedup" -> semDedup)
+    "d_semdedup" -> semDedup,
+    "d_sample_budget" -> sampleBudget)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1174,5 +1216,6 @@ object LlmData {
     "t_filter_chain" -> filterChainSql,
     "d_ngram_contam" -> ngramContamSql,
     "t_tfidf_top" -> tfidfTopSql,
-    "d_semdedup" -> semDedupSql)
+    "d_semdedup" -> semDedupSql,
+    "d_sample_budget" -> sampleBudgetSql)
 }
