@@ -18,19 +18,27 @@ import org.apache.spark.sql.functions._
   * partial-agg reduce of booleans regardless of corpus size. */
 object FilterChain {
 
+  /** The cumulative pass-flag count columns (`c0` = total, `cI` =
+    * docs surviving stages 1..I) — shared by the batch [[funnel]] and
+    * the streaming complete-mode variant
+    * (streaming.StreamingPipeline.funnelStream). */
+  def passCounts(stages: Seq[(String, Column)]): Seq[Column] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val cumulative = stages.scanLeft(lit(true)) {
+      case (acc, (_, p)) => acc && p
+    }.drop(1)
+    count(lit(1)).as("c0") +:
+      cumulative.zipWithIndex.map { case (c, i) =>
+        count(when(c, lit(1))).as(s"c${i + 1}")
+      }
+  }
+
   /** @param stages ordered (name, keep-predicate) pairs; a doc enters
     *               stage i+1 only if every predicate up to i passed.
     * @return one row per stage: (stage_no, stage, docs_in,
     *         docs_removed, docs_out). */
   def funnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    val cumulative = stages.scanLeft(lit(true)) {
-      case (acc, (_, p)) => acc && p
-    }.drop(1)
-    val counts = count(lit(1)).as("c0") +:
-      cumulative.zipWithIndex.map { case (c, i) =>
-        count(when(c, lit(1))).as(s"c${i + 1}")
-      }
+    val counts = passCounts(stages)
     val one = df.agg(counts.head, counts.tail: _*)
     val cells = stages.zipWithIndex.flatMap { case ((name, _), i) =>
       Seq(lit(i + 1), lit(name), col(s"c$i"),

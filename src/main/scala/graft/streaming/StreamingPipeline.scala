@@ -251,6 +251,22 @@ object StreamingPipeline {
         deliverBatch(df.toDF(), batchId, path)
     }
 
+  /** Streaming curation funnel: the SAME cumulative pass-flag
+    * aggregation as operators.FilterChain.funnel, run as a
+    * complete-mode global streaming aggregate — the corpus streams
+    * in and the funnel counters stay current after every micro-batch
+    * (a curation dashboard over an arriving crawl). State is one row
+    * of longs regardless of corpus size; after the last batch the
+    * counts equal the batch funnel's bit-for-bit (pinned in
+    * StreamingSpec). Stack the row into per-stage funnel rows on the
+    * consumer side — generators don't belong inside a complete-mode
+    * streaming agg. */
+  def funnelStream(docs: DataFrame,
+                   stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val counts = graft.operators.FilterChain.passCounts(stages)
+    docs.agg(counts.head, counts.tail: _*)
+  }
+
   /** Streaming status-ledger view: latest status per job via
     * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
     * partial-agg friendly, same shape as the batch JobLedger). */

@@ -154,6 +154,36 @@ class StreamingSpec extends SparkSpec {
     assert(click.getDouble(3) == 5.0)
   }
 
+  test("streaming funnel counts equal the batch funnel after the last batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val stages = Seq(
+      "len" -> (col("n") >= 10),
+      "lang" -> (col("lang") === "en"))
+    val data = Seq((1L, 5, "en"), (2L, 50, "en"), (3L, 50, "de"),
+      (4L, 50, "en"), (5L, 9, "de"))
+
+    val input = MemoryStream[(Long, Int, String)]
+    val docs = input.toDF().toDF("id", "n", "lang")
+    val query = StreamingPipeline.funnelStream(docs, stages).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("complete")
+      .start()
+    // two micro-batches — the funnel must accumulate across them
+    input.addData(data.take(2): _*)
+    query.processAllAvailable()
+    input.addData(data.drop(2): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("funnel_stream").collect().last
+    val batch = data.toDF("id", "n", "lang")
+      .agg(graft.operators.FilterChain.passCounts(stages).head,
+        graft.operators.FilterChain.passCounts(stages).tail: _*)
+      .collect().head
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.toSeq == Seq(5L, 3L, 2L)) // total, past len, past len+lang
+  }
+
   test("idempotent sink: replayed batch overwrites its partition, no duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/out"
