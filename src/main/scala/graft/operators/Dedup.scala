@@ -70,13 +70,18 @@ object Dedup {
     * Shingling is row-local (flatMap via explode) — projection only,
     * no shuffle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // split() materializes behind its own projection (multi-ref ->
+    // CollapseProject keeps the boundary); inline, the transform
+    // lambda would re-tokenize per shingle — measured ~4x on the
+    // shingle scan (see crossDocSpanCoverage for the same pattern)
+    val withToks = df.select(col(idCol), split(col(textCol), " ").as("graft_toks"))
+    val toks = col("graft_toks")
     // n-k+1 shingles at start positions 1..n-k+1 (guarded: Spark's
     // sequence() runs DESCENDING when stop < start, so short docs
     // must yield an empty array explicitly)
     val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol),
+    withToks.select(col(idCol),
         explode(transform(starts, i => array_join(slice(toks, i, lit(k)), " "))).as("shingle"))
   }
 
