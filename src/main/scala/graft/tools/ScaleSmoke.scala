@@ -101,8 +101,9 @@ object ScaleSmoke {
     }
 
     def repetition(df: DataFrame): Long =
-      df.select(graft.functions.TextFunctions
-          .dupNgramCoverage(split(col("text"), " "), 3).as("c"))
+      df.select(split(col("text"), " ").as("t"))
+        .select(graft.functions.TextFunctions
+          .repetitionStats(col("t"), 2, 3).getField("dup_covered").as("c"))
         .agg(sum(col("c"))).collect()(0).getLong(0)
     def substrDup(df: DataFrame): Long =
       graft.operators.Dedup
