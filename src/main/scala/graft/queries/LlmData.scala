@@ -883,6 +883,44 @@ object LlmData {
       |FROM documents d JOIN m USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- m_phash_dup
+  // Perceptual-hash media dedup: quantize the decoded features
+  // (mean-byte band × aspect band — the stub's stand-in for a real
+  // pHash's coarse frequency bands) into a 1-byte-ish bucket and
+  // group media whose bands collide — the "visually same-ish" tier
+  // between exact payload hash and embedding similarity. Shape: the
+  // batched decode (mapPartitions) then ONE partial-agg shuffle on
+  // the tiny band key; the oracle replays the stub decode + banding
+  // from the md5 byte stream.
+  private val phashDup: Q = (s, d) => {
+    val f = Multimodal.features(Tables.documents(s, d))
+    f.select(col("doc_id"),
+        (floor(col("mean_byte") / 16) * 16 +
+          floor(col("aspect_q") * lit(2.0d))).cast("long").as("phash"))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_media") > 1)
+      .orderBy("phash")
+  }
+
+  private val phashDupSql =
+    """WITH e AS (SELECT doc_id, md5(text) AS h,
+      |            unnest(generate_series(0, 15)) AS i FROM documents),
+      |m AS (SELECT doc_id,
+      |        SUM(CAST('0x' || substr(h, 2*i + 1, 2) AS BIGINT)) AS s
+      |      FROM e GROUP BY doc_id),
+      |feat AS (SELECT d.doc_id,
+      |          FLOOR((m.s / 16.0) * 100 + 0.5) / 100 AS mean_byte,
+      |          FLOOR(CAST(d.doc_id % 64 + 16 AS DOUBLE) / (d.doc_id % 48 + 16) * 1000 + 0.5)
+      |            / 1000 AS aspect_q
+      |         FROM documents d JOIN m USING (doc_id)),
+      |ph AS (SELECT doc_id,
+      |        CAST(FLOOR(mean_byte / 16) * 16 + FLOOR(aspect_q * 2.0) AS BIGINT) AS phash
+      |       FROM feat)
+      |SELECT phash, COUNT(*) AS n_media, MIN(doc_id) AS keeper_id
+      |FROM ph GROUP BY phash HAVING COUNT(*) > 1
+      |ORDER BY phash""".stripMargin
+
   // ------------------------------------------------ m_frame_sample
   // Video frame-sampling plumbing: one row per kept frame (every 2nd
   // of n_frames = doc_id%10+1), deterministic frame fingerprints —
@@ -1179,7 +1217,8 @@ object LlmData {
     "d_ngram_contam" -> ngramContam,
     "t_tfidf_top" -> tfidfTop,
     "d_semdedup" -> semDedup,
-    "d_sample_budget" -> sampleBudget)
+    "d_sample_budget" -> sampleBudget,
+    "m_phash_dup" -> phashDup)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1217,5 +1256,6 @@ object LlmData {
     "d_ngram_contam" -> ngramContamSql,
     "t_tfidf_top" -> tfidfTopSql,
     "d_semdedup" -> semDedupSql,
-    "d_sample_budget" -> sampleBudgetSql)
+    "d_sample_budget" -> sampleBudgetSql,
+    "m_phash_dup" -> phashDupSql)
 }
