@@ -61,6 +61,28 @@ object Demo {
     println("== catalog csv read-back == rows=" +
       sources.CatalogReader.csv(spark, s"$out/csv").count())
 
+    // --- LLM corpus curation: repetition stats → funnel → span dedup
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat again", "en"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en"),
+      (3L, "the cat sat on the mat and then it left quietly today", "en"),
+      (4L, "der hund lief schnell", "de"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+        split(col("text"), " ").as("t"))
+    println("== repetition stats (native kernel) ==")
+    corpus.select(col("doc_id"),
+      functions.TextFunctions.repetitionStats(col("t"), 2, 3).as("rep"))
+      .select("doc_id", "rep.top_gram", "rep.top_cnt", "rep.dup_covered")
+      .show(truncate = false)
+    println("== curation funnel ==")
+    operators.FilterChain.funnel(corpus, Seq(
+      "length" -> (size(col("t")) >= 5),
+      "language" -> (col("lang") === "en"))).show(truncate = false)
+    println("== cross-doc duplicate spans (ExactSubstr-lite) ==")
+    operators.Dedup.crossDocSpanCoverage(corpus, "doc_id", "text",
+      k = 5, minDocs = 2).orderBy("doc_id").show(truncate = false)
+
     // --- streaming: same intake as a stream, sessionized
     val stream = sources.EventBatchReader.readStream(spark, s"$out/in")
       .select(
