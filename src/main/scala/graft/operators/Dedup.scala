@@ -110,12 +110,35 @@ object Dedup {
   def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The (id, 60-bit shingle hash) frame BOTH near-dup families
+    * consume — minhash signatures and the Jaccard/containment overlap
+    * stats. With a `cacheKey` it materializes ONCE in the session
+    * store (the "shingle table" a multi-job dedup pipeline persists:
+    * 8-byte hashes per shingle, never the strings), so the second
+    * family skips the corpus scan and re-shingling entirely. */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, cacheKey: Option[String]): DataFrame = {
+    def build = shingles(df, idCol, textCol, k)
+      .select(col(idCol), shingleHash(col("shingle")).as("sh"))
+    cacheKey match {
+      case Some(ck) => memoized(s"$ck|sh|$k")(
+        build.localCheckpoint(eager = true))
+      case None => build
+    }
+  }
+
   /** Wide MinHash signatures: one row per doc, one column per
     * permutation (single shuffle, partial-agg min, no numPerms×
     * row expansion). */
-  def minhash(sh: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+  def minhash(sh: DataFrame, idCol: String, numPerms: Int): DataFrame =
+    minhashFromHashed(
+      sh.select(col(idCol), shingleHash(col("shingle")).as("sh")),
+      idCol, numPerms)
+
+  private def minhashFromHashed(hs: DataFrame, idCol: String,
+                                numPerms: Int): DataFrame = {
     val coeffs = minhashCoeffs(numPerms)
-    val withX = sh.withColumn("x", shingleHash(col("shingle")) % MinhashP)
+    val withX = hs.withColumn("x", col("sh") % MinhashP)
     val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("x") + lit(b)) % MinhashP).as(s"mh$i")
     }
@@ -159,9 +182,10 @@ object Dedup {
                         cacheKey: Option[String]): DataFrame =
     cacheKey match {
       case Some(k) => memoized(s"$k|mh|$shingleK|$numPerms")(
-        minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
-          .localCheckpoint(eager = true))
-      case None => minhash(shingles(df, idCol, textCol, shingleK), idCol, numPerms)
+        minhashFromHashed(hashedShingles(df, idCol, textCol, shingleK, cacheKey),
+          idCol, numPerms).localCheckpoint(eager = true))
+      case None => minhashFromHashed(
+        hashedShingles(df, idCol, textCol, shingleK, None), idCol, numPerms)
     }
 
   /** Full MinHash-LSH near-dup pipeline. With a `cacheKey`, the
@@ -313,8 +337,8 @@ object Dedup {
                                   k: Int, maxDocFreq: Int,
                                   cacheKey: Option[String]): DataFrame = {
     def build: DataFrame = {
-    val perShingle = shingles(df, idCol, textCol, k)
-      .select(col(idCol), shingleHash(col("shingle")).as("shingle"))
+    val perShingle = hashedShingles(df, idCol, textCol, k, cacheKey)
+      .select(col(idCol), col("sh").as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
     // per-doc distinct-shingle counts: one row per doc — AQE
