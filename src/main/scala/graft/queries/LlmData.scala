@@ -415,6 +415,80 @@ object LlmData {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ------------------------------------------------------ s_lsh_recall
+  // ANN quality as a GATE metric: recall@3 of the multi-table LSH
+  // against the exact brute-force top-3, per query. Both sides are
+  // deterministic (LCG planes; cos desc, cid tiebreak), so the oracle
+  // recomputes approx AND exact rankings in SQL and the recall column
+  // is hash-checked — the accuracy claim lives in the driver gate,
+  // not just a spec floor (same discipline as the q30/q32 sketch
+  // verdicts).
+  private val lshRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("qid"), col("cid"))
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3,
+        numPlanes = 4, dim = 64)
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0d, 6)
+          .as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  private val lshRecallSql = {
+    val planeCtes = (for {
+      t <- 0 until 4
+      (p, j) <- Similarity.hyperplanes(4, 64, 42L + t).zipWithIndex
+    } yield s"SELECT $t AS t, $j AS j, unnest([${p.mkString(",")}]) AS p, " +
+      "unnest(generate_series(1, 64)) AS i").mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |exact_dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+       |               FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |               WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id),
+       |exact_ranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |                 FROM exact_dots JOIN norms nq ON qid = nq.vec_id
+       |                                 JOIN norms nc ON cid = nc.vec_id),
+       |exact_top AS (SELECT qid, cid FROM exact_ranked WHERE rnk <= 3),
+       |planes AS ($planeCtes),
+       |proj AS (SELECT f.vec_id, pl.t, pl.j, SUM(f.x * pl.p) AS pr
+       |         FROM flat f JOIN planes pl ON f.i = pl.i
+       |         GROUP BY f.vec_id, pl.t, pl.j),
+       |buckets AS (SELECT vec_id, t,
+       |              SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
+       |            FROM proj GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
+       |         FROM buckets bq JOIN buckets bc
+       |           ON bq.t = bc.t AND bq.bucket = bc.bucket
+       |         WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |adots AS (SELECT c.qid, c.cid, SUM(q.x * t.x) AS dot
+       |          FROM cand c JOIN flat q ON q.vec_id = c.qid
+       |                      JOIN flat t ON t.vec_id = c.cid AND t.i = q.i
+       |          GROUP BY c.qid, c.cid),
+       |aranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |            FROM adots JOIN norms nq ON qid = nq.vec_id
+       |                       JOIN norms nc ON cid = nc.vec_id),
+       |atop AS (SELECT qid, cid FROM aranked WHERE rnk <= 3),
+       |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+       |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
+       |         GROUP BY e.qid)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM (SELECT DISTINCT qid FROM exact_top) q LEFT JOIN hits h USING (qid)
+       |ORDER BY q.qid""".stripMargin
+  }
+
   // -------------------------------------------------------- s_ivf_topk
   // Real IVF: k-means coarse quantizer (deterministic Lloyd, trained
   // on a hash sample) → probe 2 cells → exact rerank within them.
@@ -1218,7 +1292,8 @@ object LlmData {
     "t_tfidf_top" -> tfidfTop,
     "d_semdedup" -> semDedup,
     "d_sample_budget" -> sampleBudget,
-    "m_phash_dup" -> phashDup)
+    "m_phash_dup" -> phashDup,
+    "s_lsh_recall" -> lshRecall)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1257,5 +1332,6 @@ object LlmData {
     "t_tfidf_top" -> tfidfTopSql,
     "d_semdedup" -> semDedupSql,
     "d_sample_budget" -> sampleBudgetSql,
-    "m_phash_dup" -> phashDupSql)
+    "m_phash_dup" -> phashDupSql,
+    "s_lsh_recall" -> lshRecallSql)
 }
