@@ -12,7 +12,8 @@ object ExplainAudit {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q3_shipping_priority", "q6_revenue_delta", "q5_local_supplier",
-        "p_sessionize", "d_minhash_lsh", "s_cosine_topk")
+        "p_sessionize", "d_minhash_lsh", "s_cosine_topk",
+        "t_repetition", "d_substr_dup", "t_filter_chain", "d_semdedup")
     val spark = graft.GraftSession.get()
     names.foreach { n =>
       println(s"\n========== $n ==========")
