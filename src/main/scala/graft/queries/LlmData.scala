@@ -311,13 +311,17 @@ object LlmData {
         numPlanes = 6, dim = 64, minCos = 0.35)
       .orderBy("id1", "id2")
 
-  private val semDedupSql = {
+  /** Shared CTE chain replaying semanticDedup's bucket assignment +
+    * within-bucket cosine pairs; consumed by d_semdedup and the
+    * d_sem_clusters closure (WITH RECURSIVE is inert when the walk
+    * CTE is absent). */
+  private val semDedupCtes = {
     val planeCte = Similarity.hyperplanes(6, 64).zipWithIndex.map {
       case (p, j) =>
         s"SELECT $j AS j, unnest([${p.mkString(",")}]) AS p, " +
           "unnest(generate_series(1, 64)) AS i"
     }.mkString("\nUNION ALL ")
-    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+    s"""WITH RECURSIVE flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |               unnest(generate_series(1, len(embedding))) AS i
        |              FROM embeddings),
        |planes AS ($planeCte),
@@ -334,15 +338,41 @@ object LlmData {
        |dots AS (SELECT c.bucket, c.id1, c.id2, SUM(a.x * b.x) AS dot
        |         FROM cand c JOIN flat a ON a.vec_id = c.id1
        |                     JOIN flat b ON b.vec_id = c.id2 AND b.i = a.i
-       |         GROUP BY c.bucket, c.id1, c.id2)
-       |SELECT d.bucket, d.id1, d.id2,
-       |  ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cos_sim,
-       |  d.id2 AS drop_id
-       |FROM dots d JOIN norms n1 ON d.id1 = n1.vec_id
-       |            JOIN norms n2 ON d.id2 = n2.vec_id
-       |WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35
-       |ORDER BY d.id1, d.id2""".stripMargin
+       |         GROUP BY c.bucket, c.id1, c.id2),
+       |sempairs AS (SELECT d.bucket, d.id1, d.id2,
+       |    ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cos_sim
+       |  FROM dots d JOIN norms n1 ON d.id1 = n1.vec_id
+       |              JOIN norms n2 ON d.id2 = n2.vec_id
+       |  WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35)""".stripMargin
   }
+
+  private val semDedupSql =
+    s"""$semDedupCtes
+       |SELECT bucket, id1, id2, cos_sim, id2 AS drop_id FROM sempairs
+       |ORDER BY id1, id2""".stripMargin
+
+  // ---------------------------------------------------- d_sem_clusters
+  // Transitive closure over the SEMANTIC pair graph — clusterPairs is
+  // edge-source-agnostic, so the same verified min-label machinery
+  // that closes minhash chains closes embedding chains (a~b~c where
+  // (a,c) never shared a bucket still dedups to one exemplar).
+  // Oracle: the semdedup CTEs + the same recursive walk closure used
+  // by d_dup_clusters.
+  private val semClusters: Q = (s, d) =>
+    Dedup.clusterPairs(
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        numPlanes = 6, dim = 64, minCos = 0.35))
+      .orderBy("id")
+
+  private val semClustersSql =
+    s"""$semDedupCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM sempairs
+       |          UNION ALL SELECT id2, id1 FROM sempairs),
+       |walk(id, lbl) AS (
+       | SELECT DISTINCT src, src FROM edges
+       | UNION
+       | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
 
   // ---------------------------------------------------- s_cosine_topk
   private val cosineTopK: Q = (s, d) => {
@@ -1293,7 +1323,8 @@ object LlmData {
     "d_semdedup" -> semDedup,
     "d_sample_budget" -> sampleBudget,
     "m_phash_dup" -> phashDup,
-    "s_lsh_recall" -> lshRecall)
+    "s_lsh_recall" -> lshRecall,
+    "d_sem_clusters" -> semClusters)
 
   val oracle: Map[String, String] = Map(
     "s_centroid_dist" -> centroidDistSql,
@@ -1333,5 +1364,6 @@ object LlmData {
     "d_semdedup" -> semDedupSql,
     "d_sample_budget" -> sampleBudgetSql,
     "m_phash_dup" -> phashDupSql,
-    "s_lsh_recall" -> lshRecallSql)
+    "s_lsh_recall" -> lshRecallSql,
+    "d_sem_clusters" -> semClustersSql)
 }
