@@ -69,13 +69,24 @@ object Dedup {
   /** Word k-shingles of a text column: one row per (id, shingle).
     * Shingling is row-local (flatMap via explode) — projection only,
     * no shuffle. */
+  /** Collision-safe intermediate alias: the token-array projection
+    * needs a name that is not already a column of `df` (an input that
+    * legitimately has a `graft_toks` column would otherwise yield an
+    * ambiguous/incorrect projection). */
+  private[operators] def freeAlias(df: DataFrame, base: String): String = {
+    var a = base
+    while (df.columns.contains(a)) a += "_"
+    a
+  }
+
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     // split() materializes behind its own projection (multi-ref ->
     // CollapseProject keeps the boundary); inline, the transform
     // lambda would re-tokenize per shingle — measured ~4x on the
     // shingle scan (see crossDocSpanCoverage for the same pattern)
-    val withToks = df.select(col(idCol), split(col(textCol), " ").as("graft_toks"))
-    val toks = col("graft_toks")
+    val toksName = freeAlias(df, "graft_toks")
+    val withToks = df.select(col(idCol), split(col(textCol), " ").as(toksName))
+    val toks = col(toksName)
     // n-k+1 shingles at start positions 1..n-k+1 (guarded: Spark's
     // sequence() runs DESCENDING when stop < start, so short docs
     // must yield an empty array explicitly)
@@ -121,7 +132,10 @@ object Dedup {
     def build = shingles(df, idCol, textCol, k)
       .select(col(idCol), shingleHash(col("shingle")).as("sh"))
     cacheKey match {
-      case Some(ck) => memoized(s"$ck|sh|$k")(
+      // idCol/textCol belong in the memo key: two callers sharing a
+      // cacheKey but shingling different columns must not silently
+      // reuse each other's materialized frame
+      case Some(ck) => memoized(s"$ck|sh|$k|$idCol|$textCol")(
         build.localCheckpoint(eager = true))
       case None => build
     }
@@ -418,12 +432,13 @@ object Dedup {
     // CollapseProject keeps the boundary) so the gram lambda reads an
     // attribute, not a re-evaluated tokenizer: measured 13x on the
     // occurrence scan (6.5s -> 0.5s at sf0.1)
-    val withToks = df.select(col(idCol), split(col(textCol), " ").as("graft_toks"))
+    val toksName = freeAlias(df, "graft_toks")
+    val withToks = df.select(col(idCol), split(col(textCol), " ").as(toksName))
     val base = withToks
-      .select(col(idCol), size(col("graft_toks")).cast("long").as("n_tokens"))
+      .select(col(idCol), size(col(toksName)).cast("long").as("n_tokens"))
     val occ = withToks
       .select(col(idCol),
-        posexplode(graft.functions.TextFunctions.tokenNgrams(col("graft_toks"), k))
+        posexplode(graft.functions.TextFunctions.tokenNgrams(col(toksName), k))
           .as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
     val freq = occ.select(col(idCol), col("h")).distinct()

@@ -82,12 +82,31 @@ object RepetitionUtil {
     out
   }
 
+  /** Code-point comparison == UTF-8 byte order. Java String ordering
+    * (UTF-16 code units) disagrees for supplementary-plane chars vs
+    * U+E000–U+FFFF (surrogates sort below 0xE000); the HOF cross-check
+    * (array_sort on UTF8String) and the DuckDB oracle both compare
+    * UTF-8 bytes, so the tiebreak must too. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private val utf8Ordering: java.util.Comparator[String] =
+    (a: String, b: String) => cmpUtf8(a, b)
+
   /** Longest equal-run in the SORTED gram array; strict > to replace
-    * keeps the first (= smallest) gram on ties — the same rule as the
-    * TextFunctions.topNgram fold. */
+    * keeps the first (= smallest in UTF-8 byte order) gram on ties —
+    * the same rule as the TextFunctions.topNgram fold. */
   private def topRun(gs: Array[String]): (Long, String) = {
     if (gs.isEmpty) return (0L, "")
-    val sorted = gs.sorted
+    val sorted = gs.clone()
+    java.util.Arrays.sort(sorted, utf8Ordering)
     var best = 0L; var bestGram = ""; var run = 0L; var prev: String = null
     var i = 0
     while (i < sorted.length) {

@@ -463,12 +463,15 @@ object LlmData {
       .select(col("qid"), col("cid"))
     val hits = exact.join(approx, Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    exact.select("qid").distinct()
+    // denominator = the per-query count of exact neighbors, not the
+    // literal k: a query with < k exact neighbors (tiny corpus /
+    // filtered candidates) must not have its recall understated
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 3.0d, 6)
-          .as("recall_at_3"))
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
       .orderBy("qid")
   }
 
@@ -514,8 +517,10 @@ object LlmData {
        |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
        |         GROUP BY e.qid)
        |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
-       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
-       |FROM (SELECT DISTINCT qid FROM exact_top) q LEFT JOIN hits h USING (qid)
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |       / CAST(q.n_exact AS DOUBLE), 6) AS recall_at_3
+       |FROM (SELECT qid, COUNT(*) AS n_exact FROM exact_top GROUP BY qid) q
+       |LEFT JOIN hits h USING (qid)
        |ORDER BY q.qid""".stripMargin
   }
 
