@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The jobsdb status machine re-expressed over an append-only status
@@ -57,6 +58,42 @@ object JobLedger {
         count(lit(1)).as("n_pending"),
         min(col(tsMsCol)).as("first_ms"),
         max(col(tsMsCol)).as("last_ms"))
+  }
+
+  /** SCD Type-2 history: the append-only ledger compressed to one row
+    * per STATE RUN per key with `[valid_from_ms, valid_to_ms)`
+    * validity, a version sequence and an `is_current` flag — the
+    * warehouse-dimension shape of the jobsdb status machine (each
+    * Postgres row UPDATE in the reference becomes a closed version
+    * here; the open-ended row is the current state).
+    *
+    * Scale shape: ONE shuffle on the key. The change-detection lag,
+    * the run-numbering running sum, the per-run aggregate and the
+    * valid_to lead all require only (key)-clustering, which the first
+    * exchange provides (window-subset rule); per-key history fits a
+    * task by the same argument as sessionization. */
+  def scd2History(df: DataFrame, keyCol: String, stateCol: String,
+                  tsMsCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsMsCol), col(tieBreakCol))
+    val chg = when(
+      lag(col(stateCol), 1).over(w).isNull
+        || lag(col(stateCol), 1).over(w) =!= col(stateCol), 1).otherwise(0)
+    val runs = df
+      .withColumn("_chg", chg)
+      .withColumn("version", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = runs.groupBy(col(keyCol), col("version"))
+      .agg(
+        min(col(stateCol)).as("state"), // constant within a run
+        min(col(tsMsCol)).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(keyCol).orderBy(col("version"))
+    versions
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wv))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select(col(keyCol), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"),
+        col("n_events"))
   }
 
   /** Dead-letter view: jobs that accumulated >= maxRetry failures →

@@ -1288,8 +1288,108 @@ object LlmData {
       |GROUP BY 1 HAVING COUNT(*) > 1
       |ORDER BY fingerprint""".stripMargin
 
+  // ------------------------------------------------- d_bloom_contam
+  // The contamination audit at fleet scale: when the train-fingerprint
+  // set is too large to broadcast as a join side, a Bloom sketch of it
+  // broadcasts instead (MBs for 10⁹ fps) and prefilters eval docs
+  // row-locally; the exact join then processes only the matches plus
+  // the fpp sliver. The gate proves the two-phase path is EXACT — the
+  // oracle is the plain one-join decontamination (no false negatives
+  // by construction, false positives killed by the exact stage).
+  private val bloomContam: Q = (s, d) => {
+    val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
+    val sp = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), sp.as("split"), T.fingerprint(col("text")).as("fp"))
+    val train = f.filter(col("split") === "train")
+    val trainFps = train.groupBy("fp").agg(count(lit(1)).as("n_train_matches"))
+    val bf = BloomAuth.build(train.select("fp"), "fp",
+      expectedKeys = math.max(1000L, train.count()), fpp = 0.03)
+    f.filter(col("split") =!= "train")
+      .filter(BloomAuth.mightContain(bf, col("fp"),
+        org.apache.spark.sql.types.StringType))
+      .join(trainFps, "fp")
+      .select(col("doc_id"), col("split"), col("fp"), col("n_train_matches"))
+      .orderBy("doc_id")
+  }
+
+  // identical semantics to d_contamination — deliberately: the oracle
+  // pins that the bloom-prefiltered plan loses/invents nothing
+  private val bloomContamSql =
+    """WITH f AS (SELECT doc_id,
+      |    CASE WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+      |         WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |   FROM documents),
+      |tr AS (SELECT fp, COUNT(*) AS n_train_matches FROM f WHERE split = 'train' GROUP BY fp)
+      |SELECT f.doc_id, f.split, f.fp, tr.n_train_matches
+      |FROM f JOIN tr USING (fp) WHERE f.split <> 'train'
+      |ORDER BY f.doc_id""".stripMargin
+
+  // ---------------------------------------------------------- t_zipf
+  // Zipf coefficient per source: −slope of the least-squares fit of
+  // ln(freq) on ln(rank) over the top-50 tokens (≈1 for natural
+  // text; a strong deviation flags templated/synthetic corpora — a
+  // dataset-card statistic next to t_corpus_stats).
+  //
+  // Determinism: ln values are rounded(6) per row and cast to
+  // DECIMAL(12,6), so Σx/Σy/Σxy/Σx² are EXACT decimal sums
+  // (association-order-free); the slope arithmetic then runs in
+  // DOUBLE identically in both engines, with the shared
+  // FLOOR(x·10⁴+.5) rounding. The rank window partitions by source
+  // over the per-source vocabulary — a bounded domain (sublinear in
+  // corpus size), same posture as t_tfidf_top.
+  private val zipfSlope: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("source", "tok").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("f").desc, col("tok"))
+    val xy = freq.withColumn("r", row_number().over(w)).filter(col("r") <= 50)
+      .select(col("source"),
+        round(log(col("r").cast(DoubleType)), 6).cast(DecimalType(12, 6)).as("x"),
+        round(log(col("f").cast(DoubleType)), 6).cast(DecimalType(12, 6)).as("y"))
+    val sums = xy.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+      (nD * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n"),
+        (floor(-slope * 1e4 + 0.5) / 1e4).as("zipf_coef"))
+      .orderBy("source")
+  }
+
+  private val zipfSlopeSql =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT source, tok, COUNT(*) AS f FROM toks
+      |       WHERE tok <> '' GROUP BY source, tok),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |         ORDER BY f DESC, tok) AS r FROM tf),
+      |xy AS (SELECT source,
+      |        CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+      |        CAST(ROUND(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+      |       FROM rk WHERE r <= 50),
+      |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |       CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+      |      FROM xy GROUP BY source)
+      |SELECT source, n,
+      | FLOOR(-((CAST(n AS DOUBLE)*sxy - sx*sy)
+      |         / (CAST(n AS DOUBLE)*sxx - sx*sx)) * 10000 + 0.5) / 10000
+      |   AS zipf_coef
+      |FROM s ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "d_bloom_contam" -> bloomContam,
+    "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
     "t_bigram_top" -> bigramTop,
     "t_pii_scrub" -> piiScrub,
@@ -1332,6 +1432,8 @@ object LlmData {
     "d_sem_clusters" -> semClusters)
 
   val oracle: Map[String, String] = Map(
+    "d_bloom_contam" -> bloomContamSql,
+    "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,
     "t_bigram_top" -> bigramTopSql,
     "t_pii_scrub" -> piiScrubSql,

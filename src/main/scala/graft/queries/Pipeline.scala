@@ -699,6 +699,59 @@ object Pipeline {
        |  ON p.user_id = v.user_id AND v.ts_ms <= p.ts_ms
        |ORDER BY p.event_id""".stripMargin
 
+  // --------------------------------------------------------- p_scd2
+  // SCD Type-2 dimension history from the append-only ledger: one
+  // row per state RUN per user with [valid_from, valid_to) validity
+  // — the warehouse history table the reference's row-UPDATE
+  // lifecycle (jobsdb.go status transitions) implies. One shuffle on
+  // user_id; all four window/agg passes ride it (plan-audited).
+  private val scd2: Q = (s, d) =>
+    JobLedger.scd2History(Tables.events(s, d),
+        "user_id", "event_type", "ts_ms", "event_id")
+      .orderBy("user_id", "version")
+
+  private val scd2Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, $tsMsSql AS ts_ms, event_id FROM events),
+       |c AS (
+       |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+       |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |r AS (
+       |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+       |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+       |  FROM c),
+       |v AS (
+       |  SELECT user_id, version, MIN(event_type) AS state,
+       |   MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events
+       |  FROM r GROUP BY user_id, version)
+       |SELECT user_id, version, state, valid_from_ms,
+       | LEAD(valid_from_ms) OVER wv AS valid_to_ms,
+       | LEAD(valid_from_ms) OVER wv IS NULL AS is_current,
+       | n_events
+       |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+       |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------- p_salted_agg
+  // The skew toolkit's two-phase salted aggregation proven in the
+  // gate: per-type counts + decimal-exact value totals computed via
+  // (key, deterministic-salt) partials must hash-equal the oracle's
+  // plain GROUP BY — salting changes the execution shape (no reducer
+  // ever sees a whole hot key), never the result.
+  private val saltedAggQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("v", col("value").cast(DecimalType(12, 2)))
+    Salting.saltedAgg(ev, "event_type", "v", "event_id", buckets = 16)
+      .select(col("event_type"), col("n"),
+        col("total").cast(DoubleType).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val saltedAggSql =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------- p_merge_upsert
   // Delta-style SCD1 merge without Delta: a base snapshot (latest
   // state per key up to day 15) merged with an update stream (later
@@ -785,6 +838,8 @@ object Pipeline {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_scd2" -> scd2,
+    "p_salted_agg" -> saltedAggQ,
     "p_merge_upsert" -> mergeUpsert,
     "p_stream_sessions" -> streamSessions,
     "p_asof_join" -> asofJoin,
@@ -822,6 +877,8 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_scd2" -> scd2Sql,
+    "p_salted_agg" -> saltedAggSql,
     "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,
     "p_asof_forward" -> asofForwardSql,

@@ -83,6 +83,70 @@ object StreamingPipeline {
       }
   }
 
+  case class Scd2State(state: String, valid_from_ms: Long, version: Long, n: Long)
+  /** `valid_to_ms == -1` marks the OPEN (current) version flushed by
+    * state timeout; in-stream closures always carry the real close
+    * timestamp (the next version's valid_from). */
+  case class Scd2Out(user_id: Long, version: Long, state: String,
+                     valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+
+  /** Streaming SCD Type-2 maintenance — the live twin of
+    * `JobLedger.scd2History`: per key, each state CHANGE closes the
+    * previous version in-stream (valid_to = the new valid_from) and
+    * opens the next; the open version lives in one small state row
+    * per key and flushes (valid_to = -1 ⇒ current) when the
+    * watermark passes last-seen + `flushAfterMs`. The jobsdb
+    * row-UPDATE lifecycle as an always-on dimension feed: each
+    * Postgres UPDATE in the reference becomes exactly one closed
+    * version emitted downstream, no history rescans. Replayed with
+    * sentinel punctuation this is hash-equal to the batch builder's
+    * closed versions (see StreamingSpec). */
+  def scd2Stream(events: DataFrame, flushAfterMs: Long,
+                 watermark: String = "10 minutes"): Dataset[Scd2Out] = {
+    implicit val evtEnc = Encoders.product[EvtW]
+    implicit val stEnc = Encoders.product[Scd2State]
+    implicit val outEnc = Encoders.product[Scd2Out]
+    implicit val longEnc = Encoders.scalaLong
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .select("user_id", "event_type", "ts_ms", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[EvtW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EvtW], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Scd2Out(userId, s.version, s.state, s.valid_from_ms, -1L, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Scd2Out]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if s.state == e.event_type =>
+                  cur = Some(s.copy(n = s.n + 1))
+                case Some(s) =>
+                  closed += Scd2Out(userId, s.version, s.state,
+                    s.valid_from_ms, e.ts_ms, s.n)
+                  cur = Some(Scd2State(e.event_type, e.ts_ms, s.version + 1, 1))
+                case None =>
+                  cur = Some(Scd2State(e.event_type, e.ts_ms, 1L, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(sorted.last.ts_ms + flushAfterMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-static auth enrichment — gateway writeKey auth on a live
     * stream (gateway.go getPayloadAndWriteKey): the enabled-sources
     * config is a static broadcast dim, so each micro-batch filters

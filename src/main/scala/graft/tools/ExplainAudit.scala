@@ -13,7 +13,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q3_shipping_priority", "q6_revenue_delta", "q5_local_supplier",
         "p_sessionize", "d_minhash_lsh", "s_cosine_topk",
-        "t_repetition", "d_substr_dup", "t_filter_chain", "d_semdedup")
+        "t_repetition", "d_substr_dup", "t_filter_chain", "d_semdedup",
+        "p_scd2", "p_salted_agg", "d_bloom_contam", "t_zipf")
     val spark = graft.GraftSession.get()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -32,6 +32,25 @@ class OperatorsSpec extends SparkSpec {
     assert(latest(1).getString(1) == "failed")
   }
 
+  test("JobLedger.scd2History builds closed versions, one current row per key") {
+    val ev = Seq(
+      (1L, "a", 100L, 1L), (1L, "a", 200L, 2L), // run 1: a ×2
+      (1L, "b", 300L, 3L),                      // run 2: b
+      (1L, "a", 400L, 4L),                      // run 3: a again (new version)
+      (2L, "x", 50L, 5L))
+      .toDF("user_id", "event_type", "ts_ms", "event_id")
+    val h = JobLedger.scd2History(ev, "user_id", "event_type", "ts_ms", "event_id")
+      .orderBy("user_id", "version").collect()
+    assert(h.length == 4)
+    // (user_id, version, state, valid_from_ms, valid_to_ms, is_current, n_events)
+    assert(h(0).getLong(1) == 1 && h(0).getString(2) == "a" && h(0).getLong(6) == 2)
+    assert(h(0).getLong(3) == 100L && h(0).getLong(4) == 300L && !h(0).getBoolean(5))
+    assert(h(1).getString(2) == "b" && h(1).getLong(4) == 400L && !h(1).getBoolean(5))
+    assert(h(2).getLong(1) == 3 && h(2).getString(2) == "a"
+      && h(2).isNullAt(4) && h(2).getBoolean(5))
+    assert(h(3).getString(2) == "x" && h(3).getBoolean(5) && h(3).isNullAt(4))
+  }
+
   test("JobLedger retry/DLQ split on maxRetry") {
     val st = (1 to 5).map(i => (20L, "failed", i * 10L, i.toLong)) ++
       Seq((21L, "failed", 10L, 6L), (22L, "succeeded", 10L, 7L))

@@ -85,6 +85,18 @@ class PlanAuditSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("p_scd2: lag, run-sum, per-run agg and lead ride ONE hash exchange") {
+    // hashpartitioning(user_id) satisfies the clustering of the
+    // (user_id, version) aggregate AND both user_id windows (subset
+    // rule) — the whole SCD2 build is one shuffle plus the
+    // presentation orderBy's range exchange.
+    val plan = formatted("p_scd2")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"))
+  }
+
   test("as-of joins plan exactly one shuffle into the window scan") {
     for (name <- Seq("p_asof_join", "p_asof_forward")) {
       val plan = formatted(name)
