@@ -1299,8 +1299,15 @@ object LlmData {
   private val bloomContam: Q = (s, d) => {
     val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
     val sp = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    // materialize (doc_id, split, fp) ONCE: the sketch build (a
+    // driver-side action), the exact match-count agg and the eval
+    // probe all read it — without this the corpus is fingerprinted
+    // three times (measured 3.7 s → 1.6 s at sf0.1). At 100 TB this
+    // is the persisted fingerprint table, same discipline as the
+    // minhash signature store.
     val f = Tables.documents(s, d)
       .select(col("doc_id"), sp.as("split"), T.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(eager = true)
     val train = f.filter(col("split") === "train")
     val trainFps = train.groupBy("fp").agg(count(lit(1)).as("n_train_matches"))
     val bf = BloomAuth.build(train.select("fp"), "fp",

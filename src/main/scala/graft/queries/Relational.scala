@@ -343,11 +343,18 @@ object Relational {
   // --------------------------------------------------------------- q17
   private val q17: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
     val part = broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#11").select("p_partkey"))
-    li.join(part, col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    // Restrict the avg subquery to the brand's partkeys BEFORE
+    // aggregating: partkey determines brand, so the per-part average
+    // over the brand-filtered semi-join equals the full-table one for
+    // every surviving part — and the fact aggregation shrinks to the
+    // brand sliver (at 100 TB: aggregate ~1/25th of lineitem, not all
+    // of it). The correlated-subquery SEMANTICS (oracle) are
+    // unchanged; only the plan is.
+    val branded = li.join(part, col("l_partkey") === col("p_partkey"))
+    val avgQty = branded.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+    branded.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(
         round(dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
