@@ -1393,8 +1393,51 @@ object LlmData {
       |   AS zipf_coef
       |FROM s ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ t_seq_pack
+  // Sequence packing (concat-and-chunk, the standard pretraining
+  // batch-prep): documents are ordered deterministically per source
+  // (content hash — reproducible across reruns/shards, like
+  // d_split_assign), logically concatenated, and cut into fixed
+  // token-budget sequences; a doc may straddle a boundary. Per doc:
+  // the sequence its first/last token lands in and the offset within
+  // the first — everything a loader needs to materialize packed
+  // sequences WITHOUT the engine ever concatenating text. One window
+  // shuffle on source; the running token total is the only state. At
+  // 100 TB, pack per (source, hash-shard) to bound the window's sort
+  // — the semantics are per-shard by construction.
+  private val seqPack: Q = (s, d) => {
+    val B = 512L
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      T.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+      Dedup.shingleHash(concat(lit("pack:"), col("text"))).as("ph"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("ph"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum_after - n_tokens) div $B").as("seq_first"),
+        expr(s"(cum_after - 1) div $B").as("seq_last"),
+        ((col("cum_after") - col("n_tokens")) % B).as("offset_in_seq"))
+      .orderBy("source", "seq_first", "offset_in_seq")
+  }
+
+  private val seqPackSql =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    TRY_CAST('0x' || substr(md5('pack:' || text), 1, 15) AS BIGINT) AS ph
+      |   FROM documents),
+      |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |        ORDER BY ph, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+      |      FROM t)
+      |SELECT source, doc_id, n_tokens,
+      | (cum_after - n_tokens) // 512 AS seq_first,
+      | (cum_after - 1) // 512 AS seq_last,
+      | (cum_after - n_tokens) % 512 AS offset_in_seq
+      |FROM c ORDER BY source, seq_first, offset_in_seq""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "t_seq_pack" -> seqPack,
     "d_bloom_contam" -> bloomContam,
     "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
@@ -1439,6 +1482,7 @@ object LlmData {
     "d_sem_clusters" -> semClusters)
 
   val oracle: Map[String, String] = Map(
+    "t_seq_pack" -> seqPackSql,
     "d_bloom_contam" -> bloomContamSql,
     "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,

@@ -48,6 +48,22 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "es", "en"))
   }
 
+  test("t_seq_pack packs each source contiguously from offset 0") {
+    // reconstruct each doc's global token position from (seq_first,
+    // offset) and assert the packed stream has no gaps or overlaps
+    val out = SparkEntry.queries("t_seq_pack")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      var pos = 0L
+      rows.foreach { r =>
+        val n = r.getLong(2)
+        assert(r.getLong(3) * 512 + r.getLong(5) == pos, s"$src gap at $pos")
+        assert(r.getLong(4) == (pos + n - 1) / 512, s"$src seq_last at $pos")
+        pos += n
+      }
+    }
+  }
+
   test("fingerprint is order- and duplication-invariant") {
     val df = Seq(("b a c a b"), ("a b c"), ("c b a x")).toDF("text")
     val fps = df.select(T.fingerprint(col("text")).as("f")).as[String].collect()
