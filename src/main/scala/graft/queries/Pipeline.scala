@@ -732,6 +732,76 @@ object Pipeline {
        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------- p_funnel_steps
+  // Ordered conversion funnel (view → click → purchase per user):
+  // the journey analytics a pipeline server's warehouse activation
+  // feeds. Stage k counts users whose first qualifying stage-k event
+  // STRICTLY follows their first qualifying stage-(k-1) event.
+  // Execution: three chained running-min window passes on the SAME
+  // (user)-partitioned (ts, id)-ordered exchange (the final running
+  // min of a prefix-min IS the global qualifying min, so the per-user
+  // agg needs no second pass over events) + one user-level agg — one
+  // shuffle total, no self-joins (the naive form is a 3-way
+  // self-join on user). Lag sums are exact BIGINT millisecond sums.
+  private val funnelSteps: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val staged = Tables.events(s, d)
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .withColumn("fc", min(when(col("event_type") === "click"
+        && col("fv").isNotNull && col("ts_ms") > col("fv"), col("ts_ms"))).over(w))
+      .withColumn("fp", min(when(col("event_type") === "purchase"
+        && col("fc").isNotNull && col("ts_ms") > col("fc"), col("ts_ms"))).over(w))
+    val users = staged.groupBy("user_id").agg(
+      min(col("fv")).as("view_ts"), min(col("fc")).as("click_ts"),
+      min(col("fp")).as("purchase_ts"))
+    // ONE conditional aggregation (count skips nulls, sum skips
+    // null lags) then unpivot to stage rows — a per-stage
+    // filter+agg union would recompute the window pipeline 3×
+    users.agg(
+        count(col("view_ts")).as("n1"),
+        count(col("click_ts")).as("n2"),
+        count(col("purchase_ts")).as("n3"),
+        sum(col("click_ts") - col("view_ts")).as("l2"),
+        sum(col("purchase_ts") - col("view_ts")).as("l3"))
+      .select(expr(
+        "stack(3, '1_view', n1, 0L, '2_click', n2, l2, '3_purchase', n3, l3)" +
+          " as (stage, n_users, sum_lag_ms)"))
+      .orderBy("stage")
+  }
+
+  private val funnelStepsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, $tsMsSql AS ts_ms, event_id FROM events),
+       |s1 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ms END) OVER w AS fv
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |s2 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+       |    AND ts_ms > fv THEN ts_ms END) OVER w AS fc
+       |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |s3 AS (
+       |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+       |    AND ts_ms > fc THEN ts_ms END) OVER w AS fp
+       |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |u AS (
+       |  SELECT user_id, MIN(fv) AS view_ts, MIN(fc) AS click_ts,
+       |   MIN(fp) AS purchase_ts
+       |  FROM s3 GROUP BY user_id)
+       |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+       |  CAST(SUM(0) AS BIGINT) AS sum_lag_ms FROM u WHERE view_ts IS NOT NULL
+       |UNION ALL
+       |SELECT '2_click', COUNT(*),
+       |  CAST(SUM(click_ts - view_ts) AS BIGINT) FROM u WHERE click_ts IS NOT NULL
+       |UNION ALL
+       |SELECT '3_purchase', COUNT(*),
+       |  CAST(SUM(purchase_ts - view_ts) AS BIGINT) FROM u WHERE purchase_ts IS NOT NULL
+       |ORDER BY stage""".stripMargin
+
   // ---------------------------------------------- p_salted_agg
   // The skew toolkit's two-phase salted aggregation proven in the
   // gate: per-type counts + decimal-exact value totals computed via
@@ -839,6 +909,7 @@ object Pipeline {
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "p_scd2" -> scd2,
+    "p_funnel_steps" -> funnelSteps,
     "p_salted_agg" -> saltedAggQ,
     "p_merge_upsert" -> mergeUpsert,
     "p_stream_sessions" -> streamSessions,
@@ -878,6 +949,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p_scd2" -> scd2Sql,
+    "p_funnel_steps" -> funnelStepsSql,
     "p_salted_agg" -> saltedAggSql,
     "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,

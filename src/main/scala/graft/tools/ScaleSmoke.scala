@@ -123,6 +123,24 @@ object ScaleSmoke {
           minCos = 0.35)
         .count()
     time("semdedup_x1")(semDedup(emb1)); time(s"semdedup_x$n")(semDedup(embBig))
+    // round-6 entries: both are one-window-shuffle shapes — the wall
+    // should track the shuffle volume linearly
+    def scd2(df: DataFrame): Long =
+      graft.operators.JobLedger
+        .scd2History(df, "user_id", "event_type", "ts_ms", "event_id")
+        .agg(sum(col("version"))).collect()(0).getLong(0)
+    def seqPack(df: DataFrame): Long = {
+      val toks = df.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.operators.Dedup.shingleHash(concat(lit("pack:"), col("text"))).as("ph"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("ph"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      toks.withColumn("cum", sum(col("n_tokens")).over(w))
+        .agg(sum(expr("(cum - n_tokens) div 512"))).collect()(0).getLong(0)
+    }
+    time("scd2_x1")(scd2(ev1)); time(s"scd2_x$n")(scd2(evBig))
+    time("seq_pack_x1")(seqPack(docs1)); time(s"seq_pack_x$n")(seqPack(docsBig))
     spark.stop()
   }
 }

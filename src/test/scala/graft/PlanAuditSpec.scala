@@ -97,6 +97,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("p_funnel_steps: three window passes + user agg ride ONE hash exchange") {
+    // the naive funnel is a 3-way self-join on user; here the chained
+    // running-min windows and the per-user agg all share the
+    // user_id partitioning, and the stage summary is one conditional
+    // aggregation, not three filtered rescans
+    val plan = formatted("p_funnel_steps")
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"))
+  }
+
   test("as-of joins plan exactly one shuffle into the window scan") {
     for (name <- Seq("p_asof_join", "p_asof_forward")) {
       val plan = formatted(name)
