@@ -50,6 +50,16 @@ object Demo {
       model.SchemaField("user_id", "STRING"),
       model.SchemaField("at", "TIMESTAMP"))), "postgres"))
 
+    // --- warehouse history + journey analytics over the job ledger
+    val ledger = Seq(
+      (1L, "waiting", 1000L, 1L), (1L, "executing", 2000L, 2L),
+      (1L, "failed", 3000L, 3L), (1L, "executing", 4000L, 4L),
+      (1L, "succeeded", 5000L, 5L), (2L, "waiting", 1500L, 6L))
+      .toDF("job_id", "status", "ts_ms", "sid")
+    println("== SCD2 status history (closed versions + current) ==")
+    operators.JobLedger.scd2History(ledger, "job_id", "status", "ts_ms", "sid")
+      .orderBy("job_id", "version").show()
+
     // --- skew tooling + format catalogue
     val skewed = spark.range(0, 1000).select(
       when(col("id") % 100 === 0, "cold").otherwise("hot").as("k"),

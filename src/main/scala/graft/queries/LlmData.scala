@@ -1393,6 +1393,44 @@ object LlmData {
       |   AS zipf_coef
       |FROM s ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- d_source_overlap
+  // Pairwise source-overlap matrix: for each ordered source pair,
+  // how many of src_a's distinct fingerprints also appear in src_b
+  // (diagonal = source's own distinct-fp count) — the
+  // provenance/contamination view a curation team reads before
+  // mixing sources. Only 16-byte hashes shuffle; the fp self-join
+  // expands each fingerprint by at most (#sources that share it)²,
+  // bounded by the source count, never by corpus size. overlap_frac
+  // uses the shared FLOOR(x·10⁶+.5) rounding (1/128 terminates at
+  // the 7th digit — an exact ROUND midpoint both engines must cut
+  // identically).
+  private val sourceOverlap: Q = (s, d) => {
+    val f = Tables.documents(s, d)
+      .select(col("source"), T.fingerprint(col("text")).as("fp")).distinct()
+    val sizes = f.groupBy(col("source").as("src_a")).agg(count(lit(1)).as("n_a"))
+    f.select(col("source").as("src_a"), col("fp"))
+      .join(f.select(col("source").as("src_b"), col("fp")), "fp")
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes, "src_a")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (floor(col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType)
+          * 1e6 + 0.5) / 1e6).as("overlap_frac"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceOverlapSql =
+    """WITH f AS (SELECT DISTINCT source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |   FROM documents),
+      |sz AS (SELECT source AS src_a, COUNT(*) AS n_a FROM f GROUP BY source),
+      |ov AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+      |       FROM f a JOIN f b USING (fp) GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_inter,
+      | FLOOR(CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) * 1000000 + 0.5)
+      |   / 1000000 AS overlap_frac
+      |FROM ov JOIN sz USING (src_a)
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ------------------------------------------------------ t_seq_pack
   // Sequence packing (concat-and-chunk, the standard pretraining
   // batch-prep): documents are ordered deterministically per source
@@ -1438,6 +1476,7 @@ object LlmData {
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "t_seq_pack" -> seqPack,
+    "d_source_overlap" -> sourceOverlap,
     "d_bloom_contam" -> bloomContam,
     "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
@@ -1483,6 +1522,7 @@ object LlmData {
 
   val oracle: Map[String, String] = Map(
     "t_seq_pack" -> seqPackSql,
+    "d_source_overlap" -> sourceOverlapSql,
     "d_bloom_contam" -> bloomContamSql,
     "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,

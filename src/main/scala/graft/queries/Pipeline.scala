@@ -732,6 +732,41 @@ object Pipeline {
        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY version)
        |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------- p_retry_backoff
+  // The router's retry scheduler as a batch view (router.go
+  // JobsRequestWorker + jobsdb AbortedState): per failing job,
+  // attempt count and the EXPONENTIAL-BACKOFF next-retry time
+  // (base·2^(attempts−1), exponent capped), or a terminal abort past
+  // maxRetry — the batch twin of streaming retryBackoffStream, same
+  // semantics the two ledger views (p_retry_select / p_dlq_aborted)
+  // split on. Integer-exact: the schedule is shiftleft on BIGINTs,
+  // no FP pow. One partial-agg shuffle.
+  private val retryBackoff: Q = (s, d) =>
+    Tables.events(s, d).filter(col("event_type") === "error")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("attempts"), max("ts_ms").as("last_fail_ms"))
+      .select(col("user_id"), col("attempts"), col("last_fail_ms"),
+        when(col("attempts") >= LedgerDefaults.MaxRetry, "aborted")
+          .otherwise("waiting_retry").as("state"),
+        when(col("attempts") >= LedgerDefaults.MaxRetry, lit(null).cast("long"))
+          .otherwise(expr(
+            "last_fail_ms + 1000L * shiftleft(1L, cast(least(attempts - 1, 20) as int))"))
+          .as("next_retry_ms"))
+      .orderBy("user_id")
+
+  private val retryBackoffSql =
+    s"""WITH a AS (
+       | SELECT user_id, COUNT(*) AS attempts, MAX($tsMsSql) AS last_fail_ms
+       | FROM events WHERE event_type = 'error' GROUP BY user_id)
+       |SELECT user_id, attempts, last_fail_ms,
+       | CASE WHEN attempts >= ${LedgerDefaults.MaxRetry} THEN 'aborted'
+       |      ELSE 'waiting_retry' END AS state,
+       | CASE WHEN attempts >= ${LedgerDefaults.MaxRetry} THEN NULL
+       |      ELSE last_fail_ms
+       |        + 1000 * (CAST(1 AS BIGINT) << LEAST(attempts - 1, 20)) END
+       |   AS next_retry_ms
+       |FROM a ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------- p_funnel_steps
   // Ordered conversion funnel (view → click → purchase per user):
   // the journey analytics a pipeline server's warehouse activation
@@ -910,6 +945,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "p_scd2" -> scd2,
     "p_funnel_steps" -> funnelSteps,
+    "p_retry_backoff" -> retryBackoff,
     "p_salted_agg" -> saltedAggQ,
     "p_merge_upsert" -> mergeUpsert,
     "p_stream_sessions" -> streamSessions,
@@ -950,6 +986,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "p_scd2" -> scd2Sql,
     "p_funnel_steps" -> funnelStepsSql,
+    "p_retry_backoff" -> retryBackoffSql,
     "p_salted_agg" -> saltedAggSql,
     "p_merge_upsert" -> mergeUpsertSql,
     "p_asof_join" -> asofJoinSql,
