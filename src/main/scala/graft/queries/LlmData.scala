@@ -1393,6 +1393,74 @@ object LlmData {
       |   AS zipf_coef
       |FROM s ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ d_neardup_contam
+  // FUZZY cross-split decontamination: eval/val docs with a MinHash-
+  // LSH near-duplicate in the train split — catches paraphrase-level
+  // leakage that exact fingerprints (d_contamination) and shared
+  // n-grams (d_ngram_contam) frame differently. Reuses the session
+  // signature store: the candidate pairs are the SAME frame the
+  // lsh/estimate/cluster queries read, so this query adds one
+  // split-tag join on 8-byte ids — at 100 TB the decontamination
+  // pass rides the already-materialized pair table.
+  private val neardupContam: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bucket = Dedup.shingleHash(concat(lit("split:"), col("text"))) % 100
+    val sp = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val splits = docs.select(col("doc_id"), sp.as("split"))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
+    val sym = pairs.select(col("id1").as("eval_id"), col("id2").as("other_id"))
+      .unionAll(pairs.select(col("id2").as("eval_id"), col("id1").as("other_id")))
+    sym
+      .join(splits.withColumnRenamed("doc_id", "eval_id"), "eval_id")
+      .filter(col("split") =!= "train")
+      .join(splits.select(col("doc_id").as("other_id"),
+        col("split").as("other_split")), "other_id")
+      .filter(col("other_split") === "train")
+      .groupBy("eval_id", "split")
+      .agg(count(lit(1)).as("n_train_neardups"))
+      .orderBy("eval_id")
+  }
+
+  private val neardupContamSql = {
+    val P = Dedup.MinhashP
+    val coeffs = Dedup.minhashCoeffs(16)
+    val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${j * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+       |shx AS (SELECT doc_id,
+       |         TRY_CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS x
+       |        FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhAggs
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |sym AS (SELECT id1 AS eval_id, id2 AS other_id FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+       |         WHEN TRY_CAST('0x' || substr(md5('split:' || text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |   FROM documents)
+       |SELECT y.eval_id, se.split, COUNT(*) AS n_train_neardups
+       |FROM sym y JOIN sp se ON se.doc_id = y.eval_id
+       |           JOIN sp so ON so.doc_id = y.other_id
+       |WHERE se.split <> 'train' AND so.split = 'train'
+       |GROUP BY y.eval_id, se.split
+       |ORDER BY y.eval_id""".stripMargin
+  }
+
   // ------------------------------------------------- d_source_overlap
   // Pairwise source-overlap matrix: for each ordered source pair,
   // how many of src_a's distinct fingerprints also appear in src_b
@@ -1477,6 +1545,7 @@ object LlmData {
   val queries: Map[String, Q] = Map(
     "t_seq_pack" -> seqPack,
     "d_source_overlap" -> sourceOverlap,
+    "d_neardup_contam" -> neardupContam,
     "d_bloom_contam" -> bloomContam,
     "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
@@ -1523,6 +1592,7 @@ object LlmData {
   val oracle: Map[String, String] = Map(
     "t_seq_pack" -> seqPackSql,
     "d_source_overlap" -> sourceOverlapSql,
+    "d_neardup_contam" -> neardupContamSql,
     "d_bloom_contam" -> bloomContamSql,
     "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,
