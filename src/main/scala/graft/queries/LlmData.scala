@@ -1393,6 +1393,69 @@ object LlmData {
       |   AS zipf_coef
       |FROM s ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- s_block_profile
+  // CROSS-MODAL curation view: per semantic LSH block (the same
+  // deterministic sign-bit blocks d_semdedup pairs within), the TEXT
+  // profile of its members — doc count, token volume, decimal-exact
+  // mean quality. This is the "what's inside each embedding
+  // neighborhood" report a curation team reads to find low-quality
+  // semantic clusters worth downsampling (cluster-then-inspect). One
+  // equi-join of 8-byte ids (embedding side carries only the bucket)
+  // + one partial-agg shuffle; block count is bounded by 2^planes, so
+  // the report is tiny at any corpus size.
+  private val blockProfile: Q = (s, d) => {
+    val planes = Similarity.hyperplanes(6, 64)
+    val blocks = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        Similarity.lshBucket(col("embedding"), planes).cast("long").as("bucket"))
+    val t = col("text")
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      T.wsTokenCount(t).cast("long").as("toks"),
+      round(T.qualityScore(t), 6).cast(DecimalType(8, 6)).as("q"))
+    blocks.join(q, "doc_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        // small buckets make sum(q)/n hit exact .0000005 midpoints
+        // (6-decimal sum over a dyadic count) — shared FLOOR cut
+        (floor(sum(col("q")).cast(DoubleType) / count(lit(1)) * 1e6 + 0.5) / 1e6)
+          .as("mean_quality"))
+      .orderBy("bucket")
+  }
+
+  private val blockProfileSql = {
+    val planeCte = Similarity.hyperplanes(6, 64).zipWithIndex.map {
+      case (p, j) =>
+        s"SELECT $j AS j, unnest([${p.mkString(",")}]) AS p, " +
+          "unnest(generate_series(1, 64)) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |planes AS ($planeCte),
+       |proj AS (SELECT f.vec_id, pl.j, SUM(f.x * pl.p) AS pr
+       |         FROM flat f JOIN planes pl ON f.i = pl.i
+       |         GROUP BY f.vec_id, pl.j),
+       |buckets AS (SELECT vec_id,
+       |              CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |            FROM proj GROUP BY vec_id),
+       |q AS (SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |       CAST(ROUND(
+       |         LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.3
+       |         + CAST(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
+       |            / len(string_split(text,' ')) * 0.3
+       |         + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6)
+       |        AS DECIMAL(8,6)) AS q
+       |      FROM documents)
+       |SELECT b.bucket, COUNT(*) AS n_docs,
+       | CAST(SUM(q.toks) AS BIGINT) AS total_tokens,
+       | FLOOR(CAST(SUM(q.q) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+       |   / 1000000 AS mean_quality
+       |FROM buckets b JOIN q ON q.doc_id = b.vec_id
+       |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin
+  }
+
   // ------------------------------------------------ d_neardup_contam
   // FUZZY cross-split decontamination: eval/val docs with a MinHash-
   // LSH near-duplicate in the train split — catches paraphrase-level
@@ -1546,6 +1609,7 @@ object LlmData {
     "t_seq_pack" -> seqPack,
     "d_source_overlap" -> sourceOverlap,
     "d_neardup_contam" -> neardupContam,
+    "s_block_profile" -> blockProfile,
     "d_bloom_contam" -> bloomContam,
     "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
@@ -1593,6 +1657,7 @@ object LlmData {
     "t_seq_pack" -> seqPackSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_neardup_contam" -> neardupContamSql,
+    "s_block_profile" -> blockProfileSql,
     "d_bloom_contam" -> bloomContamSql,
     "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,
