@@ -150,6 +150,49 @@ object LlmData {
     s"""$clusterClosureCtes
        |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------------ d_cluster_purity
+  // Provenance profile of each near-dup cluster: size, distinct
+  // sources, and the majority source with its share — separates
+  // intra-source boilerplate (purity 1: dedup freely) from
+  // cross-source syndication (mixed: keeper choice has licensing/
+  // attribution consequences). Rides the session store's pair frame;
+  // two partial-agg phases ((cluster, source) counts → cluster
+  // rollup with struct-argmax majority), no windows over the corpus.
+  private val clusterPurity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusterPairs(Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d)))
+    clusters
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("cluster", "source").agg(count(lit(1)).as("c"))
+      .groupBy("cluster").agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(struct(col("c"), col("source"))).as("_top"))
+      .select(col("cluster"), col("n_docs"), col("n_sources"),
+        col("_top.source").as("top_source"),
+        (floor(col("_top.c").cast(DoubleType) / col("n_docs").cast(DoubleType)
+          * 1e6 + 0.5) / 1e6).as("top_frac"))
+      .orderBy("cluster")
+  }
+
+  private val clusterPuritySql =
+    s"""$clusterClosureCtes,
+       |clusters AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id),
+       |cs AS (SELECT w.cluster, d.source, COUNT(*) AS c
+       |       FROM clusters w JOIN documents d ON d.doc_id = w.id
+       |       GROUP BY w.cluster, d.source),
+       |r AS (SELECT *,
+       |       ROW_NUMBER() OVER (PARTITION BY cluster
+       |         ORDER BY c DESC, source DESC) AS rn,
+       |       CAST(SUM(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_sources
+       |      FROM cs)
+       |SELECT cluster, n_docs, n_sources, source AS top_source,
+       | FLOOR(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000 + 0.5)
+       |   / 1000000 AS top_frac
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   // ----------------------------------------------- d_dedup_apply
   // The cleaned corpus: min-id keeper per near-dup cluster survives,
   // other members drop, unique docs pass through — one anti-join
@@ -1610,6 +1653,7 @@ object LlmData {
     "d_source_overlap" -> sourceOverlap,
     "d_neardup_contam" -> neardupContam,
     "s_block_profile" -> blockProfile,
+    "d_cluster_purity" -> clusterPurity,
     "d_bloom_contam" -> bloomContam,
     "t_zipf" -> zipfSlope,
     "s_centroid_dist" -> centroidDist,
@@ -1658,6 +1702,7 @@ object LlmData {
     "d_source_overlap" -> sourceOverlapSql,
     "d_neardup_contam" -> neardupContamSql,
     "s_block_profile" -> blockProfileSql,
+    "d_cluster_purity" -> clusterPuritySql,
     "d_bloom_contam" -> bloomContamSql,
     "t_zipf" -> zipfSlopeSql,
     "s_centroid_dist" -> centroidDistSql,
