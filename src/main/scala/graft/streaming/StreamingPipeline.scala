@@ -331,6 +331,69 @@ object StreamingPipeline {
     docs.agg(counts.head, counts.tail: _*)
   }
 
+  case class FunnelState(fv: Long, fc: Long, fp: Long) // -1 = unset
+  case class FunnelOut(user_id: Long, view_ms: Long, click_ms: Long,
+                       purchase_ms: Long)
+
+  /** Streaming ordered-funnel tracking — the live twin of
+    * `p_funnel_steps`: one tiny state row per user holds the first
+    * qualifying (view, click-after-view, purchase-after-click)
+    * timestamps, updated in event order per micro-batch. The journey
+    * emits when a `sentinelType` punctuation event for the user
+    * arrives (clearing state) or when the watermark passes last-seen
+    * + `flushAfterMs` — so per-user state is bounded by activity, not
+    * corpus size. Unset stages emit −1. */
+  def funnelJourneyStream(events: DataFrame, flushAfterMs: Long,
+                          sentinelType: String = " flush",
+                          watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    implicit val evtEnc = Encoders.product[EvtW]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelOut]
+    implicit val longEnc = Encoders.scalaLong
+
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .select("user_id", "event_type", "ts_ms", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[EvtW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EvtW], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelOut(userId, s.fv, s.fc, s.fp))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var flushed = false
+            val out = Seq.newBuilder[FunnelOut]
+            sorted.foreach { e =>
+              if (e.event_type == sentinelType) {
+                out += FunnelOut(userId, st.fv, st.fc, st.fp)
+                st = FunnelState(-1L, -1L, -1L)
+                flushed = true
+              } else if (e.event_type == "view" && st.fv < 0) {
+                st = st.copy(fv = e.ts_ms)
+              } else if (e.event_type == "click" && st.fv >= 0
+                  && e.ts_ms > st.fv && st.fc < 0) {
+                st = st.copy(fc = e.ts_ms)
+              } else if (e.event_type == "purchase" && st.fc >= 0
+                  && e.ts_ms > st.fc && st.fp < 0) {
+                st = st.copy(fp = e.ts_ms)
+              }
+            }
+            if (flushed && st == FunnelState(-1L, -1L, -1L)) state.remove()
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(sorted.last.ts_ms + flushAfterMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming status-ledger view: latest status per job via
     * update-mode struct-max agg (jobsdb UpdateJobStatus as a stream;
     * partial-agg friendly, same shape as the batch JobLedger). */
