@@ -920,19 +920,20 @@ object LlmData {
   // hit a target mixture, each source contributes documents in a
   // deterministic content-hash order until its token budget fills
   // (reproducible across runs/shards, no rand()). The running total
-  // is a per-source window — partitioned by the mixture key, never
-  // global; a source's scan parallelism is the only sequential zone,
-  // which matches the semantics (budget cuts are inherently ordered).
+  // is a sharded two-phase prefix sum (ShardedWindow): the md5 order
+  // key is range-sharded by its hex prefix, so no task ever sorts a
+  // whole source — the cut semantics stay ordered, the sort does not
+  // stay single-task.
   private val sampleBudget: Q = (s, d) => {
     val budget = 100L
+    val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
     val base = Tables.documents(s, d).select(
       col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       md5(concat(lit("sample:"), col("text"))).as("k"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("k", "doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    base.withColumn("cum", sum(col("n_tok")).over(w))
+    graft.operators.ShardedWindow.runningSum(base, "source",
+      graft.operators.ShardedWindow.hexShard(col("k"), nShards),
+      Seq(col("k"), col("doc_id")), col("n_tok"), "cum")
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs_total"),
@@ -1613,19 +1614,21 @@ object LlmData {
   // token-budget sequences; a doc may straddle a boundary. Per doc:
   // the sequence its first/last token lands in and the offset within
   // the first — everything a loader needs to materialize packed
-  // sequences WITHOUT the engine ever concatenating text. One window
-  // shuffle on source; the running token total is the only state. At
-  // 100 TB, pack per (source, hash-shard) to bound the window's sort
-  // — the semantics are per-shard by construction.
+  // sequences WITHOUT the engine ever concatenating text. The running
+  // token total is a sharded two-phase prefix sum (ShardedWindow):
+  // the 60-bit order hash is range-sharded by its top bits, each task
+  // sorts ~1/S of a source, and driver-broadcast shard offsets make
+  // the cumulative total exact — identical output to the logical
+  // per-source window, no single-task sort at 100 TB.
   private val seqPack: Q = (s, d) => {
     val B = 512L
+    val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
     val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
       T.wsTokenCount(col("text")).cast("long").as("n_tokens"),
       Dedup.shingleHash(concat(lit("pack:"), col("text"))).as("ph"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(col("ph"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.withColumn("cum_after", sum(col("n_tokens")).over(w))
+    graft.operators.ShardedWindow.runningSum(docs, "source",
+      graft.operators.ShardedWindow.hashShard60(col("ph"), nShards),
+      Seq(col("ph"), col("doc_id")), col("n_tokens"), "cum_after")
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"(cum_after - n_tokens) div $B").as("seq_first"),
         expr(s"(cum_after - 1) div $B").as("seq_last"),

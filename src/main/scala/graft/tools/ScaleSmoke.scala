@@ -133,14 +133,19 @@ object ScaleSmoke {
       val toks = df.select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         graft.operators.Dedup.shingleHash(concat(lit("pack:"), col("text"))).as("ph"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("ph"), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      graft.operators.ShardedWindow.runningSum(toks, "source",
+        graft.operators.ShardedWindow.hashShard60(col("ph"), 32),
+        Seq(col("ph"), col("doc_id")), col("n_tokens"), "cum")
         .agg(sum(expr("(cum - n_tokens) div 512"))).collect()(0).getLong(0)
     }
     time("scd2_x1")(scd2(ev1)); time(s"scd2_x$n")(scd2(evBig))
     time("seq_pack_x1")(seqPack(docs1)); time(s"seq_pack_x$n")(seqPack(docsBig))
+    // skewed regime: ONE source holds the whole corpus — the old
+    // per-source window sorted everything on one task here; the
+    // sharded prefix sum must scale like the flat case
+    val skew1 = docs1.withColumn("source", lit("s0"))
+    val skewBig = docsBig.withColumn("source", lit("s0"))
+    time("seq_pack_skew_x1")(seqPack(skew1)); time(s"seq_pack_skew_x$n")(seqPack(skewBig))
     spark.stop()
   }
 }

@@ -142,6 +142,24 @@ class PlanAuditSpec extends SparkSpec {
     assert("Arguments: hashpartitioning".r.findAllIn(plan).isEmpty)
   }
 
+  test("t_seq_pack / d_sample_budget: running-sum windows are range-sharded") {
+    // the per-source running sum must never put a whole source on one
+    // task: every Window node partitions by (source, __shard) — a
+    // regression back to partitionBy(source) alone fails here
+    for (name <- Seq("t_seq_pack", "d_sample_budget")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, name)
+      windows.foreach { w =>
+        assert(w.partitionSpec.size >= 2, s"$name: ${w.partitionSpec}")
+        assert(w.partitionSpec.exists(_.toString.contains("__shard")),
+          s"$name: ${w.partitionSpec}")
+      }
+    }
+  }
+
   test("d_substr_dup: gram occurrences shuffle as 64-bit hashes, not strings") {
     val plan = formatted("d_substr_dup")
     // every hash exchange in the plan keys on doc_id or the xxhash64
