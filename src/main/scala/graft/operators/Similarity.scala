@@ -140,17 +140,55 @@ object Similarity {
     * cell index (struct min), so assignment is deterministic. */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
                   k: Int = 16, iters: Int = 5, trainMod: Int = 5,
-                  cacheKey: Option[String] = None): DataFrame = cacheKey match {
-    // trained cell assignments go through the session store like the
-    // minhash signatures — one training run per (session, corpus)
-    case Some(ck) => Dedup.memoized(s"$ck|kmeans|$k|$iters|$trainMod")(
-      kmeansCellsUncached(df, idCol, vecCol, k, iters, trainMod)
-        .localCheckpoint(eager = true))
-    case None => kmeansCellsUncached(df, idCol, vecCol, k, iters, trainMod)
+                  cacheKey: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, trainMod, cacheKey)
+    def assign = df.select(col(idCol), col(vecCol).as("_v"))
+      .select(col(idCol), assignExpr(cents).cast("long").as("cell"))
+    cacheKey match {
+      // trained cell assignments go through the session store like the
+      // minhash signatures — one training run per (session, corpus)
+      case Some(ck) => Dedup.memoized(s"$ck|kmeans|$k|$iters|$trainMod")(
+        assign.localCheckpoint(eager = true))
+      case None => assign
+    }
   }
 
-  private def kmeansCellsUncached(df: DataFrame, idCol: String, vecCol: String,
-                                  k: Int, iters: Int, trainMod: Int): DataFrame = {
+  /** Driver-side memo for trained centroid sets (k·dim doubles —
+    * kilobytes): the oracle interpolation must reuse the EXACT floats
+    * the assignment used, and a re-train per consumer would double
+    * the Lloyd jobs. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** Train (or fetch the memoized) Lloyd centroids — exposed so
+    * callers can interpolate the exact trained values into an engine-
+    * independent replay (the DuckDB oracle), same discipline as
+    * [[hyperplanes]]. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 16, iters: Int = 5, trainMod: Int = 5,
+                      cacheKey: Option[String] = None): Array[Array[Double]] =
+    cacheKey match {
+      case Some(ck) => centroidMemo.getOrElseUpdate(
+        s"$ck|kmeansC|$k|$iters|$trainMod",
+        trainCentroids(df, idCol, vecCol, k, iters, trainMod))
+      case None => trainCentroids(df, idCol, vecCol, k, iters, trainMod)
+    }
+
+  /** Squared-L2 argmin over centroid literals: ‖c‖² − 2⟨x,c⟩ (‖x‖²
+    * constant per row, drops out); ties break toward the lower cell
+    * index (struct min), so assignment is deterministic. Expects the
+    * vector in `_v`. */
+  private def assignExpr(cs: Array[Array[Double]]): Column = {
+    val scored = cs.zipWithIndex.map { case (cvec, j) =>
+      val carr = array(cvec.map(lit): _*)
+      val c2 = cvec.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("_v"), carr)).as("s"), lit(j).as("j"))
+    }
+    array_min(array(scored: _*)).getField("j")
+  }
+
+  private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int, trainMod: Int): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol).as("_v"))
     val sample = base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
       .localCheckpoint(eager = true)
@@ -164,15 +202,6 @@ object Similarity {
 
     var centroids: Array[Array[Double]] =
       collectVecs(sample.orderBy(md5(col(idCol).cast("string"))).limit(k), "_v")
-
-    def assignExpr(cs: Array[Array[Double]]): Column = {
-      val scored = cs.zipWithIndex.map { case (cvec, j) =>
-        val carr = array(cvec.map(lit): _*)
-        val c2 = cvec.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("_v"), carr)).as("s"), lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j")
-    }
 
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("cell", assignExpr(centroids))
@@ -190,7 +219,7 @@ object Similarity {
       centroids = centroids.indices
         .map(j => updated.getOrElse(j, centroids(j))).toArray
     }
-    base.select(col(idCol), assignExpr(centroids).cast("long").as("cell"))
+    centroids
   }
 
   /** Near-duplicate pairs by cosine within a blocking key (label /

@@ -569,16 +569,80 @@ object LlmData {
 
   // -------------------------------------------------------- s_ivf_topk
   // Real IVF: k-means coarse quantizer (deterministic Lloyd, trained
-  // on a hash sample) → probe 2 cells → exact rerank within them.
-  // Approximate by construction → rows-only.
+  // on a hash sample) → probe 3 cells → exact rerank within them.
+  // Approximate by construction but fully DETERMINISTIC, so the
+  // oracle replays it exactly: the trained centroids are interpolated
+  // into the SQL as literals (same discipline as s_lsh_topk's planes
+  // — train once, embed k·dim doubles), the assignment argmin, the
+  // empirical cell means, the probe ranking and the in-cell rerank
+  // are all recomputed by DuckDB. The centroid stash below is what
+  // `oracle` reads — populated when the query builds (Verify runs
+  // queries before dumping oracle_sql.json).
+  private val ivfCentroids =
+    new java.util.concurrent.atomic.AtomicReference[Option[Array[Array[Double]]]](None)
+
   private val ivfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    ivfCentroids.set(Some(cents))
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
     val quantized = emb.join(cells, "vec_id")
     Similarity.ivfTopK(quantized.filter(col("vec_id") < 10), quantized,
         "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 3)
       .orderBy("qid", "rnk")
+  }
+
+  /** The full IVF replay in SQL, centroids as literals: assignment by
+    * squared-L2 argmin (lower-cell tiebreak), empirical cell means,
+    * probe ranking (top-3 cells by unrounded centroid dot), in-cell
+    * exact rerank on the 6-digit-rounded cosine — mirroring
+    * Similarity.ivfTopK stage by stage. */
+  private def ivfTopKSql(cents: Array[Array[Double]]): String = {
+    // %.17e round-trips doubles exactly and forces DuckDB to parse
+    // the literals as DOUBLE (not DECIMAL)
+    val centCtes = cents.zipWithIndex.map { case (c, j) =>
+      s"SELECT $j AS cell, unnest([${c.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
+        s"unnest(generate_series(1, ${c.length})) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |cents AS ($centCtes),
+       |csq AS (SELECT cell, SUM(c*c) AS c2 FROM cents GROUP BY cell),
+       |cdots AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+       |          FROM flat f JOIN cents ct ON f.i = ct.i
+       |          GROUP BY f.vec_id, ct.cell),
+       |assign AS (SELECT vec_id, cell FROM (
+       |            SELECT d.vec_id, d.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                ORDER BY (cq.c2 - 2*d.dc) ASC, d.cell ASC) AS r
+       |            FROM cdots d JOIN csq cq USING (cell)) WHERE r = 1),
+       |emp AS (SELECT a.cell, f.i, SUM(f.x) / COUNT(*) AS m
+       |        FROM assign a JOIN flat f USING (vec_id) GROUP BY a.cell, f.i),
+       |pscore AS (SELECT f.vec_id AS qid, e.cell, SUM(f.x * e.m) AS cscore
+       |           FROM flat f JOIN emp e ON f.i = e.i
+       |           WHERE f.vec_id < 10 GROUP BY f.vec_id, e.cell),
+       |probes AS (SELECT qid, cell FROM (SELECT qid, cell,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cscore DESC, cell ASC) AS prnk
+       |           FROM pscore) WHERE prnk <= 3),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |cand AS (SELECT p.qid, a.vec_id AS cid
+       |         FROM probes p JOIN assign a USING (cell)
+       |         WHERE a.vec_id <> p.qid),
+       |dots AS (SELECT c.qid, c.cid, SUM(q.x * t.x) AS dot
+       |         FROM cand c JOIN flat q ON q.vec_id = c.qid
+       |                     JOIN flat t ON t.vec_id = c.cid AND t.i = q.i
+       |         GROUP BY c.qid, c.cid),
+       |ranked AS (SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim,
+       |            ROW_NUMBER() OVER (PARTITION BY qid
+       |              ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rnk
+       |           FROM dots JOIN norms nq ON qid = nq.vec_id
+       |                     JOIN norms nc ON cid = nc.vec_id)
+       |SELECT qid, cid, cos_sim, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   // --------------------------------------------------------- t_langid
@@ -1700,7 +1764,13 @@ object LlmData {
     "s_lsh_recall" -> lshRecall,
     "d_sem_clusters" -> semClusters)
 
-  val oracle: Map[String, String] = Map(
+  /** Static oracles plus the centroid-interpolated IVF replay (present
+    * once the s_ivf_topk query has trained — Verify runs every query
+    * before dumping oracle_sql.json, so the gate always sees it). */
+  def oracle: Map[String, String] =
+    staticOracle ++ ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c))
+
+  private val staticOracle: Map[String, String] = Map(
     "t_seq_pack" -> seqPackSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_neardup_contam" -> neardupContamSql,
