@@ -142,6 +142,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("Arguments: hashpartitioning".r.findAllIn(plan).isEmpty)
   }
 
+  test("q33: the partition-less window reads the BOUNDED daily aggregate") {
+    // q33's moving average is the one deliberate partition-less
+    // WindowExec — safe only because its input is the per-day
+    // aggregate (domain bounded by calendar days, not data volume).
+    // Pin that: the window's child must be the Aggregate; an edit
+    // moving the window below the agg (onto raw orders) fails here.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val df = SparkEntry.queries("q33_moving_avg")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.size == 1, s"expected exactly one global window, got $windows")
+    def firstInteresting(p: LogicalPlan): LogicalPlan = p match {
+      case u @ (_: Project | _: Sort) => firstInteresting(u.children.head)
+      case other => other
+    }
+    assert(firstInteresting(windows.head.child).isInstanceOf[Aggregate],
+      windows.head.child.toString)
+  }
+
   test("t_seq_pack / d_sample_budget: running-sum windows are range-sharded") {
     // the per-source running sum must never put a whole source on one
     // task: every Window node partitions by (source, __shard) — a
