@@ -1413,13 +1413,19 @@ object LlmData {
     // three times (measured 3.7 s → 1.6 s at sf0.1). At 100 TB this
     // is the persisted fingerprint table, same discipline as the
     // minhash signature store.
+    // LAZY checkpoint + count(): ONE job both materializes the
+    // fingerprint table and yields the row count that sizes the
+    // sketch (total rows ≥ train keys — an 11% oversize beats a
+    // second scan; at fleet scale this number comes from the
+    // persisted table's statistics)
     val f = Tables.documents(s, d)
       .select(col("doc_id"), sp.as("split"), T.fingerprint(col("text")).as("fp"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
+    val nAll = f.count()
     val train = f.filter(col("split") === "train")
     val trainFps = train.groupBy("fp").agg(count(lit(1)).as("n_train_matches"))
     val bf = BloomAuth.build(train.select("fp"), "fp",
-      expectedKeys = math.max(1000L, train.count()), fpp = 0.03)
+      expectedKeys = math.max(1000L, nAll), fpp = 0.03)
     f.filter(col("split") =!= "train")
       .filter(BloomAuth.mightContain(bf, col("fp"),
         org.apache.spark.sql.types.StringType))
@@ -1475,7 +1481,10 @@ object LlmData {
     val nD = col("n").cast(DoubleType)
     val slope = (nD * col("sxy") - col("sx") * col("sy")) /
       (nD * col("sxx") - col("sx") * col("sx"))
-    sums.select(col("source"), col("n"),
+    // n == 1 ⇒ 0/0 slope: Spark doubles give NaN, DuckDB NULL — guard
+    // the degenerate single-token vocabulary out on BOTH sides
+    sums.filter(col("n") >= 2)
+      .select(col("source"), col("n"),
         (floor(-slope * 1e4 + 0.5) / 1e4).as("zipf_coef"))
       .orderBy("source")
   }
@@ -1499,7 +1508,7 @@ object LlmData {
       | FLOOR(-((CAST(n AS DOUBLE)*sxy - sx*sy)
       |         / (CAST(n AS DOUBLE)*sxx - sx*sx)) * 10000 + 0.5) / 10000
       |   AS zipf_coef
-      |FROM s ORDER BY source""".stripMargin
+      |FROM s WHERE n >= 2 ORDER BY source""".stripMargin
 
   // ------------------------------------------------- s_block_profile
   // CROSS-MODAL curation view: per semantic LSH block (the same

@@ -828,7 +828,7 @@ object Pipeline {
        |   MIN(fp) AS purchase_ts
        |  FROM s3 GROUP BY user_id)
        |SELECT '1_view' AS stage, COUNT(*) AS n_users,
-       |  CAST(SUM(0) AS BIGINT) AS sum_lag_ms FROM u WHERE view_ts IS NOT NULL
+       |  CAST(0 AS BIGINT) AS sum_lag_ms FROM u WHERE view_ts IS NOT NULL
        |UNION ALL
        |SELECT '2_click', COUNT(*),
        |  CAST(SUM(click_ts - view_ts) AS BIGINT) FROM u WHERE click_ts IS NOT NULL

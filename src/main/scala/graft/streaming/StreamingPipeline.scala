@@ -83,7 +83,16 @@ object StreamingPipeline {
       }
   }
 
-  case class Scd2State(state: String, valid_from_ms: Long, version: Long, n: Long)
+  /** Scd2 per-key state. `open = false` marks the post-flush
+    * TOMBSTONE: the open version was already emitted as current, but
+    * the row lingers one more timeout cycle carrying the version
+    * high-water mark, so a key that resumes after a flush continues
+    * at version+1 instead of restarting at 1 (which would emit
+    * duplicate (user_id, version) keys downstream). */
+  case class Scd2State(state: String, valid_from_ms: Long, version: Long,
+                       n: Long, open: Boolean = true)
+  case class EvtScd(user_id: Long, event_type: String, ts_ms: Long,
+                    value: Double, ts: Timestamp, tie: Long)
   /** `valid_to_ms == -1` marks the OPEN (current) version flushed by
     * state timeout; in-stream closures always carry the real close
     * timestamp (the next version's valid_from). */
@@ -100,39 +109,62 @@ object StreamingPipeline {
     * Postgres UPDATE in the reference becomes exactly one closed
     * version emitted downstream, no history rescans. Replayed with
     * sentinel punctuation this is hash-equal to the batch builder's
-    * closed versions (see StreamingSpec). */
+    * closed versions (see StreamingSpec).
+    *
+    * Determinism: within a micro-batch events sort by
+    * (ts_ms, tieBreakCol) — the same total order as the batch
+    * builder's (ts, tieBreak). ACROSS micro-batches arrival order is
+    * assumed to respect event time (same design limitation as
+    * [[sessionize]]): a cross-batch out-of-order event would rewrite
+    * already-emitted history, and the watermark is not used to
+    * buffer. After a timeout flush the key's state degrades to a
+    * version-HWM tombstone for one more `flushAfterMs` cycle, so
+    * resumed keys keep version numbering monotone. */
   def scd2Stream(events: DataFrame, flushAfterMs: Long,
-                 watermark: String = "10 minutes"): Dataset[Scd2Out] = {
-    implicit val evtEnc = Encoders.product[EvtW]
+                 watermark: String = "10 minutes",
+                 tieBreakCol: String = "ts_ms"): Dataset[Scd2Out] = {
+    implicit val evtEnc = Encoders.product[EvtScd]
     implicit val stEnc = Encoders.product[Scd2State]
     implicit val outEnc = Encoders.product[Scd2Out]
     implicit val longEnc = Encoders.scalaLong
 
     events
       .withColumn("ts", timestamp_millis(col("ts_ms")))
-      .select("user_id", "event_type", "ts_ms", "value", "ts")
+      .withColumn("tie", col(tieBreakCol).cast("long"))
+      .select("user_id", "event_type", "ts_ms", "value", "ts", "tie")
       .withWatermark("ts", watermark)
-      .as[EvtW]
+      .as[EvtScd]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Out](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[EvtW], state: GroupState[Scd2State]) =>
+        (userId: Long, rows: Iterator[EvtScd], state: GroupState[Scd2State]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(
-              Scd2Out(userId, s.version, s.state, s.valid_from_ms, -1L, s.n))
+            if (s.open) {
+              // flush the current version, keep the HWM tombstone for
+              // one more cycle
+              state.update(s.copy(open = false))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + flushAfterMs)
+              Iterator.single(
+                Scd2Out(userId, s.version, s.state, s.valid_from_ms, -1L, s.n))
+            } else {
+              state.remove()
+              Iterator.empty
+            }
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.tie))
             var cur = state.getOption
             val closed = Seq.newBuilder[Scd2Out]
             sorted.foreach { e =>
               cur match {
-                case Some(s) if s.state == e.event_type =>
+                case Some(s) if s.open && s.state == e.event_type =>
                   cur = Some(s.copy(n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if s.open =>
                   closed += Scd2Out(userId, s.version, s.state,
                     s.valid_from_ms, e.ts_ms, s.n)
+                  cur = Some(Scd2State(e.event_type, e.ts_ms, s.version + 1, 1))
+                case Some(s) => // tombstone: resume past the flushed HWM
                   cur = Some(Scd2State(e.event_type, e.ts_ms, s.version + 1, 1))
                 case None =>
                   cur = Some(Scd2State(e.event_type, e.ts_ms, 1L, 1))

@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming SCD2 keeps version numbering monotone across timeout flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_ms", "value")
+    val hist = StreamingPipeline.scd2Stream(events,
+      flushAfterMs = 1000L, watermark = "0 seconds")
+    val q = hist.writeStream.format("memory").queryName("scd2_hwm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def batch(rows: (Long, String, Long, Double)*): Unit = {
+      input.addData(rows: _*); q.processAllAvailable()
+    }
+    batch((1L, "a", 1000L, 1.0))          // open v1
+    batch((2L, "x", 10000L, 1.0))         // watermark → 1000
+    batch((2L, "x", 10001L, 1.0))         // watermark → 10000: u1 flushes v1
+    batch((1L, "b", 20000L, 1.0))         // u1 resumes — must be v2, not v1
+    batch((1L, " s", 30000L, 0.0))        // sentinel closes v2 in-stream
+    q.processAllAvailable(); q.stop()
+
+    val u1 = spark.table("scd2_hwm")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    // v1 flushed as current (-1), v2 'b' closed by the sentinel — no
+    // duplicate (user_id, version) keys after the flush
+    assert(u1 == Set(
+      (1L, 1L, "a", 1000L, -1L, 1L),
+      (1L, 2L, "b", 20000L, 30000L, 1L)), u1.toString)
+  }
+
   test("streaming funnel tracks ordered stages and flushes on sentinel") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Double)]
