@@ -20,22 +20,45 @@ import graft.model.{SchemaField, TableSchema}
   */
 object WarehouseWriter {
 
-  /** Kassette catalogue type → warehouse dialect type (the
-    * azure-synapse.go / warehouseutils mapping shape). */
+  /** Kassette catalogue type → warehouse dialect type — the FULL
+    * destination catalogue warehouseutils.go names (RS / BQ /
+    * SNOWFLAKE / POSTGRES / CLICKHOUSE / MSSQL / AZURE_SYNAPSE /
+    * DELTALAKE; the three datalakes are the parquet [[write]] path —
+    * object stores take files, not DDL). Mapping shape mirrors
+    * azure-synapse.go:31 `kassetteDataTypesMapToMssql`; string width
+    * 512 follows its `mssqlStringLengthLimit`. */
   val dialectTypes: Map[String, Map[String, String]] = Map(
     "postgres" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE PRECISION",
       "BOOLEAN" -> "BOOLEAN", "STRING" -> "TEXT", "TIMESTAMP" -> "TIMESTAMPTZ",
-      "DATE" -> "DATE"),
+      "DATE" -> "DATE", "JSON" -> "JSONB"),
+    "redshift" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE PRECISION",
+      "BOOLEAN" -> "BOOLEAN", "STRING" -> "VARCHAR(512)",
+      "TIMESTAMP" -> "TIMESTAMPTZ", "DATE" -> "DATE", "JSON" -> "SUPER"),
+    "bigquery" -> Map("INT" -> "INT64", "FLOAT" -> "FLOAT64",
+      "BOOLEAN" -> "BOOL", "STRING" -> "STRING",
+      "TIMESTAMP" -> "TIMESTAMP", "DATE" -> "DATE", "JSON" -> "JSON"),
+    "snowflake" -> Map("INT" -> "NUMBER(38,0)", "FLOAT" -> "DOUBLE",
+      "BOOLEAN" -> "BOOLEAN", "STRING" -> "VARCHAR",
+      "TIMESTAMP" -> "TIMESTAMP_TZ", "DATE" -> "DATE", "JSON" -> "VARIANT"),
+    "mssql" -> Map("INT" -> "BIGINT", "FLOAT" -> "DECIMAL(28,10)",
+      "BOOLEAN" -> "BIT", "STRING" -> "VARCHAR(512)",
+      "TIMESTAMP" -> "DATETIMEOFFSET", "DATE" -> "DATE",
+      "JSON" -> "NVARCHAR(MAX)"),
     "synapse" -> Map("INT" -> "BIGINT", "FLOAT" -> "FLOAT",
       "BOOLEAN" -> "BIT", "STRING" -> "NVARCHAR(MAX)",
-      "TIMESTAMP" -> "DATETIMEOFFSET", "DATE" -> "DATE"),
+      "TIMESTAMP" -> "DATETIMEOFFSET", "DATE" -> "DATE",
+      "JSON" -> "NVARCHAR(MAX)"),
     "clickhouse" -> Map("INT" -> "Int64", "FLOAT" -> "Float64",
       "BOOLEAN" -> "UInt8", "STRING" -> "String",
-      "TIMESTAMP" -> "DateTime64(3)", "DATE" -> "Date"),
+      "TIMESTAMP" -> "DateTime64(3)", "DATE" -> "Date",
+      "JSON" -> "String"),
+    "deltalake" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE",
+      "BOOLEAN" -> "BOOLEAN", "STRING" -> "STRING",
+      "TIMESTAMP" -> "TIMESTAMP", "DATE" -> "DATE", "JSON" -> "STRING"),
     // embedded Derby — the in-JVM test database for the JDBC sink
     "derby" -> Map("INT" -> "BIGINT", "FLOAT" -> "DOUBLE",
       "BOOLEAN" -> "BOOLEAN", "STRING" -> "VARCHAR(4000)",
-      "TIMESTAMP" -> "TIMESTAMP", "DATE" -> "DATE"))
+      "TIMESTAMP" -> "TIMESTAMP", "DATE" -> "DATE", "JSON" -> "CLOB"))
 
   /** CREATE TABLE DDL for a destination schema in a target dialect
     * (azure-synapse.go CreateTable analogue). `ifNotExists = false`

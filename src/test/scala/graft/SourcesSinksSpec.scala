@@ -78,6 +78,27 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ch.contains("name String"))
   }
 
+  test("dialect catalogue covers every reference-named warehouse") {
+    // warehouseutils.go: RS BQ SNOWFLAKE POSTGRES CLICKHOUSE MSSQL
+    // AZURE_SYNAPSE DELTALAKE (datalakes are the parquet write path)
+    val expected = Seq("redshift", "bigquery", "snowflake", "postgres",
+      "clickhouse", "mssql", "synapse", "deltalake")
+    expected.foreach { dlt =>
+      val m = WarehouseWriter.dialectTypes(dlt)
+      // every catalogue type mapped — no silent TEXT fallback
+      Seq("INT", "FLOAT", "BOOLEAN", "STRING", "TIMESTAMP", "DATE", "JSON")
+        .foreach(t => assert(m.contains(t), s"$dlt missing $t"))
+    }
+    val schema = TableSchema("t", Seq(
+      SchemaField("id", "INT", primaryKey = true),
+      SchemaField("payload", "JSON"), SchemaField("at", "TIMESTAMP")))
+    assert(WarehouseWriter.ddl(schema, "redshift").contains("payload SUPER"))
+    assert(WarehouseWriter.ddl(schema, "bigquery").contains("id INT64"))
+    assert(WarehouseWriter.ddl(schema, "snowflake").contains("payload VARIANT"))
+    assert(WarehouseWriter.ddl(schema, "mssql").contains("at DATETIMEOFFSET"))
+    assert(WarehouseWriter.ddl(schema, "deltalake").contains("at TIMESTAMP"))
+  }
+
   test("JsonDumpSink partitions by batch key; parquet roundtrip works") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Seq((0L, "a", "click"), (1L, "a", "view"), (2L, "b", "click"))
