@@ -96,6 +96,46 @@ object JobLedger {
         col("n_events"))
   }
 
+  /** Dataset rotation — the jobsdb queue-compaction machinery
+    * (jobs/jobsdb.go addNewDS / dataset migration) re-expressed as a
+    * ledger rewrite: jobs whose LATEST status is terminal at or
+    * before `cutoffMs` compact to ONE snapshot row (their latest
+    * ledger row — intermediate history dropped, exactly what the
+    * reference's migration does when it carries only live jobs into
+    * the merged dataset); every other job keeps its full history in
+    * the live tail. Returns (snapshot, tail) — union them for the
+    * compacted ledger, or write them as the new dataset pair.
+    *
+    * INVARIANT (gate-proven by p_queue_rotate): the queue views —
+    * [[latest]], [[toRetry]], [[unprocessed]] — return identical
+    * results over `snapshot ∪ tail` and over the raw ledger. Audit
+    * views that read intermediate rows of finished jobs
+    * ([[deadLetter]] attempt counts) belong on the pre-rotation
+    * archive, as in the reference where a migrated-away dataset is
+    * dropped only after archival.
+    *
+    * Scale shape: one partial-agg shuffle on the job key builds the
+    * latest-row snapshot (struct-max carries the whole row, so no
+    * second pass re-fetches it); the tail is a left-anti join against
+    * the compacted job ids — a set AQE broadcasts when small, and a
+    * key-partitioned hash join (never a sort) when not. */
+  def rotate(df: DataFrame, jobCol: String, statusCol: String,
+             tsMsCol: String, tieBreakCol: String,
+             terminalValues: Seq[String], cutoffMs: Long): (DataFrame, DataFrame) = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    val top = df.groupBy(col(jobCol).as("_job"))
+      .agg(max(struct(col(tsMsCol).as("_ts"), col(tieBreakCol).as("_tie"),
+        rowStruct.as("_row"))).as("_t"))
+      .select(col("_job"), col("_t._ts").as("_ts"),
+        col(s"_t._row.$statusCol").as("_status"), col("_t._row").as("_row"))
+    val compactable = top
+      .filter(col("_status").isin(terminalValues: _*) && col("_ts") <= cutoffMs)
+    val snapshot = compactable.select(col("_row.*"))
+    val tail = df.join(compactable.select(col("_job").as(jobCol)),
+      Seq(jobCol), "left_anti")
+    (snapshot, tail)
+  }
+
   /** Dead-letter view: jobs that accumulated >= maxRetry failures →
     * aborted (jobsdb.go maxRetryNumber / AbortedState). */
   def deadLetter(df: DataFrame, jobCol: String, statusCol: String,

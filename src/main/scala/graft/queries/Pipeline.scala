@@ -886,6 +886,87 @@ object Pipeline {
        |SELECT user_id, event_type AS state, ts_ms AS state_ms
        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ p_queue_rotate
+  // jobsdb dataset rotation in-gate (jobsdb.go addNewDS + dataset
+  // migration): rotate the ledger — jobs whose latest status is
+  // terminal ('purchase') at/before the day-15 cutoff compact to
+  // their latest row only — then compute the three QUEUE VIEWS over
+  // the COMPACTED ledger. The oracle computes the same views over the
+  // RAW table, so hash equality IS the rotation-invariance proof
+  // (latest / retry / unprocessed survive compaction untouched); the
+  // 4_ledger row additionally pins the compaction arithmetic: rows =
+  // full history of live jobs + exactly one row per compacted job.
+  private val queueRotate: Q = (s, d) => {
+    val cutoff = 1705276800000L // 2024-01-15T00:00:00Z
+    val ev = Tables.events(s, d)
+    val (snapshot, tail) = JobLedger.rotate(ev, "user_id", "event_type",
+      "ts_ms", "event_id", terminalValues = Seq("purchase"), cutoffMs = cutoff)
+    val c = snapshot.unionByName(tail)
+    val latest = JobLedger.latest(c, "user_id", "event_type", "ts_ms", "event_id")
+    val retry = JobLedger.toRetry(c, "user_id", "event_type", "ts_ms",
+      "event_id", failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
+    val unproc = JobLedger.unprocessed(c, Seq("user_id"), "event_type",
+      terminalValue = "purchase", tsMsCol = "ts_ms")
+    def stat(name: String, df: DataFrame, checksum: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          coalesce(sum(checksum), lit(0L)).as("checksum"))
+        .select(lit(name).as("view"), col("n"), col("checksum"))
+    stat("1_latest", latest,
+        col("user_id") * lit(37L) + col("last_ms")
+          + length(col("last_event_type")).cast("long"))
+      .unionByName(stat("2_retry", retry,
+        col("user_id") * lit(37L) + col("attempts") * lit(1000L) + col("last_ms")))
+      .unionByName(stat("3_unprocessed", unproc,
+        col("user_id") * lit(37L) + col("n_pending") * lit(1000L)
+          + col("first_ms") + col("last_ms")))
+      .unionByName(stat("4_ledger", c, col("user_id") + col("ts_ms")))
+      .orderBy("view")
+  }
+
+  private val queueRotateSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, $tsMsSql AS ts_ms
+       |           FROM events),
+       |lat AS (SELECT user_id, event_type AS last_event, ts_ms AS last_ms FROM (
+       |  SELECT user_id, event_type, ts_ms,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id
+       |     ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |  FROM e) t WHERE rn = 1),
+       |term AS (SELECT user_id, last_ms FROM lat
+       |         WHERE last_event = 'purchase' AND last_ms <= 1705276800000),
+       |errs AS (SELECT user_id, COUNT(*) AS attempts FROM e
+       |         WHERE event_type = 'error' GROUP BY user_id),
+       |retry AS (SELECT l.user_id, er.attempts, l.last_ms
+       |          FROM lat l JOIN errs er USING (user_id)
+       |          WHERE l.last_event = 'error'
+       |            AND er.attempts < ${LedgerDefaults.MaxRetry}),
+       |unp AS (SELECT user_id, COUNT(*) AS n_pending,
+       |         MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms
+       |        FROM e ev
+       |        WHERE NOT EXISTS (SELECT 1 FROM e t
+       |          WHERE t.user_id = ev.user_id AND t.event_type = 'purchase')
+       |        GROUP BY user_id),
+       |tl AS (SELECT * FROM e
+       |       WHERE user_id NOT IN (SELECT user_id FROM term))
+       |SELECT '1_latest' AS view, COUNT(*) AS n,
+       | CAST(COALESCE(SUM(user_id * 37 + last_ms + length(last_event)), 0)
+       |   AS BIGINT) AS checksum
+       |FROM lat
+       |UNION ALL
+       |SELECT '2_retry', COUNT(*),
+       | CAST(COALESCE(SUM(user_id * 37 + attempts * 1000 + last_ms), 0) AS BIGINT)
+       |FROM retry
+       |UNION ALL
+       |SELECT '3_unprocessed', COUNT(*),
+       | CAST(COALESCE(SUM(user_id * 37 + n_pending * 1000 + first_ms + last_ms), 0)
+       |   AS BIGINT)
+       |FROM unp
+       |UNION ALL
+       |SELECT '4_ledger',
+       | (SELECT COUNT(*) FROM tl) + (SELECT COUNT(*) FROM term),
+       | (SELECT CAST(COALESCE(SUM(user_id + ts_ms), 0) AS BIGINT) FROM tl)
+       |  + (SELECT CAST(COALESCE(SUM(user_id + last_ms), 0) AS BIGINT) FROM term)
+       |ORDER BY view""".stripMargin
+
   // ---------------------------------------------- p_stream_sessions
   // The STREAMING sessionizer run inside the batch gate: events
   // parquet replayed as a file stream (Trigger.AvailableNow), state
@@ -943,6 +1024,7 @@ object Pipeline {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_queue_rotate" -> queueRotate,
     "p_scd2" -> scd2,
     "p_funnel_steps" -> funnelSteps,
     "p_retry_backoff" -> retryBackoff,
@@ -984,6 +1066,7 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_queue_rotate" -> queueRotateSql,
     "p_scd2" -> scd2Sql,
     "p_funnel_steps" -> funnelStepsSql,
     "p_retry_backoff" -> retryBackoffSql,

@@ -20,6 +20,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1) // user 1 session 2: 1 event
   }
 
+  test("JobLedger.rotate compacts finished jobs to one row, keeps live history") {
+    val led = Seq(
+      // job 10: finished before cutoff — compacts to the succeeded row
+      (10L, "waiting", 100L, 1L), (10L, "executing", 200L, 2L),
+      (10L, "succeeded", 300L, 3L),
+      // job 11: latest is failed — full history stays in the tail
+      (11L, "waiting", 100L, 4L), (11L, "failed", 400L, 5L),
+      // job 12: succeeded AFTER the cutoff — stays live
+      (12L, "waiting", 100L, 6L), (12L, "succeeded", 900L, 7L))
+      .toDF("job_id", "state", "ts_ms", "sid")
+    val (snapshot, tail) = JobLedger.rotate(led, "job_id", "state", "ts_ms",
+      "sid", terminalValues = Seq("succeeded"), cutoffMs = 500L)
+    val snap = snapshot.collect()
+    assert(snap.length == 1 && snap(0).getLong(0) == 10L
+      && snap(0).getString(1) == "succeeded" && snap(0).getLong(2) == 300L)
+    assert(tail.filter(col("job_id") === 10L).count() == 0)
+    assert(tail.filter(col("job_id") === 11L).count() == 2)
+    assert(tail.filter(col("job_id") === 12L).count() == 2)
+    // queue views invariant across rotation
+    val c = snapshot.unionByName(tail)
+    val latRaw = JobLedger.latest(led, "job_id", "state", "ts_ms", "sid")
+      .orderBy("job_id").collect().toSeq
+    val latRot = JobLedger.latest(c, "job_id", "state", "ts_ms", "sid")
+      .orderBy("job_id").collect().toSeq
+    assert(latRaw == latRot)
+  }
+
   test("JobLedger.latest picks argmax by (ts, tiebreak)") {
     val st = Seq(
       (10L, "waiting", 100L, 1L), (10L, "failed", 200L, 2L),
