@@ -29,6 +29,22 @@ object Bench {
         q(spark, sfDir).write.format("noop").mode("overwrite").save())
     } catch { case _: Throwable => () }
 
+    // Family session stores (minhash signatures/pairs, shingle
+    // overlap, kmeans cells) build ONCE per session; time them as
+    // explicit `_store_*` keys so the queries that share them report
+    // marginal cost instead of whichever runs first absorbing the
+    // build.
+    val stores = graft.queries.LlmData.storeBuilders.toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir); true } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+
     // (name, seconds, ok) — a throwing query is NOT swallowed into a
     // normal-looking time: it is reported by name in "failed" and its
     // stack goes to stderr for diagnosis.
@@ -37,7 +53,7 @@ object Bench {
     // whose cost lives in its output expressions times near-zero. The
     // noop sink materializes EVERY output column (what Verify pays
     // when it writes parquet) without write-side I/O in the number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = stores ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true

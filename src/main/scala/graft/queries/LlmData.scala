@@ -1773,6 +1773,30 @@ object LlmData {
     "s_lsh_recall" -> lshRecall,
     "d_sem_clusters" -> semClusters)
 
+  /** Named session-store builders with the exact parameters the gate
+    * queries use. Bench times these as standalone `_store_*` keys so
+    * family queries report MARGINAL cost — without this the one-time
+    * build lands on whichever family query runs first alphabetically
+    * and round-over-round comparisons mis-attribute it. Construction
+    * alone materializes each store (the memos checkpoint eagerly);
+    * every later query with the same key hits the memo. */
+  def storeBuilders: Map[String, (SparkSession, String) => Unit] = Map(
+    "_store_minhash" -> ((s, d) => {
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
+      ()
+    }),
+    "_store_overlap" -> ((s, d) => {
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        k = 3, maxDocFreq = 50, minJaccard = 0.1, cacheKey = mhKey(s, d))
+      ()
+    }),
+    "_store_kmeans" -> ((s, d) => {
+      Similarity.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+      ()
+    }))
+
   /** Static oracles plus the centroid-interpolated IVF replay (present
     * once the s_ivf_topk query has trained — Verify runs every query
     * before dumping oracle_sql.json, so the gate always sees it). */
