@@ -67,4 +67,49 @@ object Router {
         count(lit(1)).as("n_in_batch"),
         min(col(orderCol)).as("first_id"),
         max(col(orderCol)).as("last_id"))
+
+  /** Delivery-ack ingestion — everything AFTER the HTTP response in
+    * the reference's router loop (router.go JobsRequestWorker: POST a
+    * batch, map the response to a job_status row, schedule the
+    * retry). Given the envelope set and the acks that came back, emit
+    * the per-batch ledger state the jobsdb would record:
+    *  - last code 2xx            → succeeded
+    *  - last code 429/5xx        → waiting_retry with exponential
+    *                               backoff (base · 2^(attempts−1),
+    *                               shift capped at 20), or aborted
+    *                               once attempts ≥ maxRetry
+    *  - any other code           → aborted (non-retryable 4xx)
+    *  - no ack yet               → waiting
+    * The POST itself is externalized (an egress layer consumes the
+    * envelope body); this closes the ack→ledger loop so the retry /
+    * dead-letter views downstream ([[graft.operators.JobLedger]])
+    * read a live table. One partial-agg shuffle on the batch key +
+    * one broadcast-friendly left join. */
+  def ackLedger(envelopes: DataFrame, acks: DataFrame,
+                batchKeyCols: Seq[String], attemptCol: String,
+                codeCol: String, ackTsMsCol: String,
+                maxRetry: Int, baseBackoffMs: Long): DataFrame = {
+    val keyCols = batchKeyCols.map(col)
+    val top = acks.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_attempts"),
+        max(struct(col(attemptCol).as("a"), col(codeCol).as("c"),
+          col(ackTsMsCol).as("t"))).as("_last"))
+      .select(keyCols ++ Seq(col("n_attempts"),
+        col("_last.c").as("last_code"), col("_last.t").as("last_ack_ms")): _*)
+    val retryable = col("last_code") === 429 ||
+      (col("last_code") >= 500 && col("last_code") <= 599)
+    envelopes.join(top, batchKeyCols, "left")
+      .withColumn("n_attempts", coalesce(col("n_attempts"), lit(0L)))
+      .withColumn("state",
+        when(col("last_code").isNull, "waiting")
+          .when(col("last_code") >= 200 && col("last_code") <= 299, "succeeded")
+          .when(retryable && col("n_attempts") >= maxRetry, "aborted")
+          .when(retryable, "waiting_retry")
+          .otherwise("aborted"))
+      .withColumn("next_retry_ms",
+        when(col("state") === "waiting_retry",
+          col("last_ack_ms") + lit(baseBackoffMs) *
+            expr("shiftleft(1L, cast(least(n_attempts - 1, 20) as int))"))
+          .otherwise(lit(null).cast("long")))
+  }
 }

@@ -1679,6 +1679,50 @@ object LlmData {
       |FROM ov JOIN sz USING (src_a)
       |ORDER BY src_a, src_b""".stripMargin
 
+  // --------------------------------------------------- d_mix_weights
+  // Temperature-sampled mixture weights — the data-MIXING policy step
+  // upstream of d_sample_budget: source weights ∝ tokens^α (α = 0.5,
+  // the standard temperature flattening that up-weights small
+  // high-quality sources vs proportional sampling), normalized, plus
+  // the per-source sampling rate that hits a global token budget
+  // (rate > 1 ⇒ the source is epoch-repeated). Determinism across
+  // engines: per-source √tokens is rounded(6) into DECIMAL so the
+  // normalizing sum is exact and association-order-free (the t_zipf
+  // discipline); the final ratios share the FLOOR(x·10⁶+.5) formula.
+  // One partial-agg shuffle + a broadcast scalar join; the source
+  // domain is bounded, so the report is tiny at any corpus scale.
+  private val mixWeights: Q = (s, d) => {
+    val budget = 5000.0 // global token budget for the mixture
+    val per = Tables.documents(s, d)
+      .select(col("source"), T.wsTokenCount(col("text")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("s_tok",
+        round(sqrt(col("n_tokens").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
+    val tot = per.agg(sum(col("s_tok")).as("tot_s"))
+    val frac = col("s_tok").cast(DoubleType) / col("tot_s").cast(DoubleType)
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (floor(frac * 1e6 + 0.5) / 1e6).as("weight"),
+        (floor(lit(budget) * frac / col("n_tokens").cast(DoubleType) * 1e6 + 0.5)
+          / 1e6).as("sample_rate"))
+      .orderBy("source")
+  }
+
+  private val mixWeightsSql =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |   FROM documents GROUP BY source),
+      |sq AS (SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS s_tok FROM per),
+      |tot AS (SELECT SUM(s_tok) AS tot_s FROM sq)
+      |SELECT source, n_docs, n_tokens,
+      | FLOOR(CAST(s_tok AS DOUBLE) / CAST(tot_s AS DOUBLE) * 1000000 + 0.5)
+      |   / 1000000 AS weight,
+      | FLOOR(5000.0 * (CAST(s_tok AS DOUBLE) / CAST(tot_s AS DOUBLE))
+      |       / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sample_rate
+      |FROM sq CROSS JOIN tot ORDER BY source""".stripMargin
+
   // ------------------------------------------------------ t_seq_pack
   // Sequence packing (concat-and-chunk, the standard pretraining
   // batch-prep): documents are ordered deterministically per source
@@ -1725,6 +1769,7 @@ object LlmData {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "d_mix_weights" -> mixWeights,
     "t_seq_pack" -> seqPack,
     "d_source_overlap" -> sourceOverlap,
     "d_neardup_contam" -> neardupContam,
@@ -1804,6 +1849,7 @@ object LlmData {
     staticOracle ++ ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c))
 
   private val staticOracle: Map[String, String] = Map(
+    "d_mix_weights" -> mixWeightsSql,
     "t_seq_pack" -> seqPackSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_neardup_contam" -> neardupContamSql,

@@ -886,6 +886,75 @@ object Pipeline {
        |SELECT user_id, event_type AS state, ts_ms AS state_ms
        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- p_ack_ledger
+  // The router delivery loop CLOSED over acks (router.go
+  // JobsRequestWorker response handling): envelopes from the
+  // deterministic batcher, an ack stream synthesized content-hash-
+  // deterministically from the envelope ids (attempt count and final
+  // code derived from first_id — both engines reproduce it exactly),
+  // and Router.ackLedger mapping code→state with exponential backoff.
+  // Exercises every path: 2xx success, retryable 5xx under/at the
+  // retry ceiling, non-retryable 4xx abort.
+  private val ackLedgerQ: Q = (s, d) => {
+    val env = Router.batchSummary(Tables.events(s, d), "event_type",
+      "event_id", size = 50)
+    val acks = env.select(col("event_type"), col("batch_id"),
+        col("first_id"), col("last_id"),
+        (lit(1) + col("first_id") % 3).cast("int").as("n_att"))
+      .withColumn("attempt", explode(sequence(lit(1), col("n_att"))))
+      .select(col("event_type"), col("batch_id"), col("attempt"),
+        when(col("attempt") < col("n_att"), 503)
+          .when(col("first_id") % 10 < 7, 200)
+          .when(col("first_id") % 10 < 9, 503)
+          .otherwise(400).as("code"),
+        (col("last_id") * lit(1000L) + col("attempt") * lit(1000L)).as("ack_ms"))
+    Router.ackLedger(env, acks, Seq("event_type", "batch_id"),
+        attemptCol = "attempt", codeCol = "code", ackTsMsCol = "ack_ms",
+        maxRetry = 3, baseBackoffMs = 1000L)
+      .select("event_type", "batch_id", "n_in_batch", "first_id", "last_id",
+        "n_attempts", "last_code", "state", "next_retry_ms")
+      .orderBy("event_type", "batch_id")
+  }
+
+  private val ackLedgerSql =
+    """WITH nb AS (SELECT event_type, event_id,
+      |    (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 50
+      |      AS batch_id
+      |   FROM events),
+      |env AS (SELECT event_type, batch_id, COUNT(*) AS n_in_batch,
+      |         MIN(event_id) AS first_id, MAX(event_id) AS last_id
+      |        FROM nb GROUP BY event_type, batch_id),
+      |acks AS (SELECT event_type, batch_id, first_id, last_id,
+      |          CAST(1 + first_id % 3 AS INT) AS n_att,
+      |          CAST(unnest(generate_series(1, 1 + first_id % 3)) AS INT) AS attempt
+      |         FROM env),
+      |coded AS (SELECT event_type, batch_id, attempt,
+      |           CASE WHEN attempt < n_att THEN 503
+      |                WHEN first_id % 10 < 7 THEN 200
+      |                WHEN first_id % 10 < 9 THEN 503
+      |                ELSE 400 END AS code,
+      |           last_id * 1000 + attempt * 1000 AS ack_ms
+      |          FROM acks),
+      |top AS (SELECT event_type, batch_id, COUNT(*) AS n_attempts,
+      |         arg_max(code, attempt) AS last_code,
+      |         arg_max(ack_ms, attempt) AS last_ack_ms
+      |        FROM coded GROUP BY event_type, batch_id)
+      |SELECT e.event_type, e.batch_id, e.n_in_batch, e.first_id, e.last_id,
+      | t.n_attempts, t.last_code,
+      | CASE WHEN t.last_code BETWEEN 200 AND 299 THEN 'succeeded'
+      |      WHEN (t.last_code = 429 OR t.last_code BETWEEN 500 AND 599)
+      |           AND t.n_attempts >= 3 THEN 'aborted'
+      |      WHEN t.last_code = 429 OR t.last_code BETWEEN 500 AND 599
+      |        THEN 'waiting_retry'
+      |      ELSE 'aborted' END AS state,
+      | CASE WHEN (t.last_code = 429 OR t.last_code BETWEEN 500 AND 599)
+      |           AND t.n_attempts < 3
+      |      THEN t.last_ack_ms
+      |        + 1000 * (CAST(1 AS BIGINT) << LEAST(t.n_attempts - 1, 20))
+      |      ELSE NULL END AS next_retry_ms
+      |FROM env e JOIN top t USING (event_type, batch_id)
+      |ORDER BY e.event_type, e.batch_id""".stripMargin
+
   // ------------------------------------------------ p_queue_rotate
   // jobsdb dataset rotation in-gate (jobsdb.go addNewDS + dataset
   // migration): rotate the ledger — jobs whose latest status is
@@ -1024,6 +1093,7 @@ object Pipeline {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "p_ack_ledger" -> ackLedgerQ,
     "p_queue_rotate" -> queueRotate,
     "p_scd2" -> scd2,
     "p_funnel_steps" -> funnelSteps,
@@ -1066,6 +1136,7 @@ object Pipeline {
     "p_schema_project" -> schemaProject)
 
   val oracle: Map[String, String] = Map(
+    "p_ack_ledger" -> ackLedgerSql,
     "p_queue_rotate" -> queueRotateSql,
     "p_scd2" -> scd2Sql,
     "p_funnel_steps" -> funnelStepsSql,

@@ -20,6 +20,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1) // user 1 session 2: 1 event
   }
 
+  test("Router.ackLedger maps ack codes to ledger states with backoff") {
+    val env = Seq(
+      ("pbi", 0L, 10L), ("pbi", 1L, 10L), ("pbi", 2L, 10L),
+      ("keen", 0L, 5L), ("anaplan", 0L, 7L))
+      .toDF("dest", "batch_id", "n_in_batch")
+    val acks = Seq(
+      ("pbi", 0L, 1, 503, 1000L), ("pbi", 0L, 2, 200, 2000L), // recovered
+      ("pbi", 1L, 1, 503, 1000L), ("pbi", 1L, 2, 503, 2000L), // still failing
+      ("pbi", 2L, 1, 404, 1000L),                             // non-retryable
+      ("keen", 0L, 1, 503, 1000L), ("keen", 0L, 2, 503, 2000L),
+      ("keen", 0L, 3, 503, 3000L))                            // at ceiling
+      .toDF("dest", "batch_id", "attempt", "code", "ack_ms")
+    val out = Router.ackLedger(env, acks, Seq("dest", "batch_id"),
+        "attempt", "code", "ack_ms", maxRetry = 3, baseBackoffMs = 1000L)
+      .select("dest", "batch_id", "n_attempts", "state", "next_retry_ms")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(out == Set(
+      ("pbi", 0L, 2L, "succeeded", -1L),
+      ("pbi", 1L, 2L, "waiting_retry", 2000L + 2000L), // base·2^(2−1)
+      ("pbi", 2L, 1L, "aborted", -1L),
+      ("keen", 0L, 3L, "aborted", -1L),
+      ("anaplan", 0L, 0L, "waiting", -1L)), out.toString)
+  }
+
   test("JobLedger.rotate compacts finished jobs to one row, keeps live history") {
     val led = Seq(
       // job 10: finished before cutoff — compacts to the succeeded row
