@@ -970,7 +970,10 @@ object Pipeline {
     val ev = Tables.events(s, d)
     val (snapshot, tail) = JobLedger.rotate(ev, "user_id", "event_type",
       "ts_ms", "event_id", terminalValues = Seq("purchase"), cutoffMs = cutoff)
-    val c = snapshot.unionByName(tail)
+    // rotation WRITES the new dataset pair in production — materialize
+    // the compacted ledger once here (four view branches read it; the
+    // localCheckpoint stands in for the parquet rewrite)
+    val c = snapshot.unionByName(tail).localCheckpoint(eager = true)
     val latest = JobLedger.latest(c, "user_id", "event_type", "ts_ms", "event_id")
     val retry = JobLedger.toRetry(c, "user_id", "event_type", "ts_ms",
       "event_id", failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
