@@ -1679,6 +1679,40 @@ object LlmData {
       |FROM ov JOIN sz USING (src_a)
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ----------------------------------------------- t_ngram_diversity
+  // Bigram type-token ratio per source — the templated/synthetic-text
+  // detector complementary to t_zipf: boilerplate-heavy corpora reuse
+  // the same bigrams (low distinct/total), natural text stays high.
+  // Distinctness is counted over the 60-bit engine-portable shingle
+  // hash, so the distinct shuffle carries 8-byte keys (never bigram
+  // strings — d_substr_dup discipline) and both engines agree even on
+  // the (negligible) collision events.
+  private val ngramDiversity: Q = (s, d) => {
+    val sh = Dedup.shingles(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "source", "text", k = 2)
+      .select(col("source"), Dedup.shingleHash(col("shingle")).as("h"))
+    sh.groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct"),
+        (floor(col("n_distinct").cast(DoubleType) / col("n_bigrams").cast(DoubleType)
+          * 1e6 + 0.5) / 1e6).as("diversity"))
+      .orderBy("source")
+  }
+
+  private val ngramDiversitySql =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT source, t, unnest(generate_series(1, len(t)-1)) AS i
+      |           FROM toks),
+      |sh AS (SELECT source,
+      |        TRY_CAST('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15)
+      |          AS BIGINT) AS h
+      |       FROM starts)
+      |SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT h) AS n_distinct,
+      | FLOOR(CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |       * 1000000 + 0.5) / 1000000 AS diversity
+      |FROM sh GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------- d_mix_weights
   // Temperature-sampled mixture weights — the data-MIXING policy step
   // upstream of d_sample_budget: source weights ∝ tokens^α (α = 0.5,
@@ -1769,6 +1803,7 @@ object LlmData {
 
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "t_ngram_diversity" -> ngramDiversity,
     "d_mix_weights" -> mixWeights,
     "t_seq_pack" -> seqPack,
     "d_source_overlap" -> sourceOverlap,
@@ -1849,6 +1884,7 @@ object LlmData {
     staticOracle ++ ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c))
 
   private val staticOracle: Map[String, String] = Map(
+    "t_ngram_diversity" -> ngramDiversitySql,
     "d_mix_weights" -> mixWeightsSql,
     "t_seq_pack" -> seqPackSql,
     "d_source_overlap" -> sourceOverlapSql,

@@ -180,6 +180,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("p_ack_ledger: batcher window, ack agg and envelope join stay hash-partitioned, no sort-merge") {
+    // the envelope build (window on event_type), the ack argmax agg
+    // and the envelope↔ack join all key on (event_type[, batch_id]) —
+    // nothing should degrade to a SortMergeJoin and every aggregate
+    // must be partial (map-side combined)
+    val plan = formatted("p_ack_ledger")
+    assert(!plan.contains("SortMergeJoin"), "expected hash joins only")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("t_ngram_diversity: the distinct shuffle carries 8-byte hashes, not bigram strings") {
+    val plan = formatted("t_ngram_diversity")
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("shingle")), exchanges.mkString("\n"))
+  }
+
   test("d_substr_dup: gram occurrences shuffle as 64-bit hashes, not strings") {
     val plan = formatted("d_substr_dup")
     // every hash exchange in the plan keys on doc_id or the xxhash64
