@@ -138,7 +138,15 @@ object ScaleSmoke {
         Seq(col("ph"), col("doc_id")), col("n_tokens"), "cum")
         .agg(sum(expr("(cum - n_tokens) div 512"))).collect()(0).getLong(0)
     }
+    // round-7 entry: queue rotation = one struct-max agg + one
+    // anti-join on the job key — wall should track shuffle volume
+    def rotate(df: DataFrame): Long = {
+      val (snap, tail) = graft.operators.JobLedger.rotate(df, "user_id",
+        "event_type", "ts_ms", "event_id", Seq("purchase"), 1705276800000L)
+      snap.count() + tail.count()
+    }
     time("scd2_x1")(scd2(ev1)); time(s"scd2_x$n")(scd2(evBig))
+    time("rotate_x1")(rotate(ev1)); time(s"rotate_x$n")(rotate(evBig))
     time("seq_pack_x1")(seqPack(docs1)); time(s"seq_pack_x$n")(seqPack(docsBig))
     // skewed regime: ONE source holds the whole corpus — the old
     // per-source window sorted everything on one task here; the
