@@ -20,6 +20,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1) // user 1 session 2: 1 event
   }
 
+  test("ShardedWindow.runningSum equals the logical per-group window on randomized data") {
+    // seeded pseudo-random corpus: skewed groups, duplicate order
+    // keys, varying values — the sharded two-phase prefix sum must
+    // reproduce the single-partition window EXACTLY row for row
+    val rnd = new scala.util.Random(20260812L)
+    val rows = (1 to 2000).map { i =>
+      val grp = s"g${rnd.nextInt(3)}" // few groups → old shape would single-task
+      val key = math.abs(rnd.nextLong()) % (1L << 60)
+      (grp, i.toLong, key, (rnd.nextInt(50) + 1).toLong)
+    }
+    val df = rows.toDF("source", "row_id", "ph", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("ph", "row_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .select("source", "row_id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (shards <- Seq(4, 32)) {
+      val got = ShardedWindow.runningSum(df, "source",
+          ShardedWindow.hashShard60(col("ph"), shards),
+          Seq(col("ph"), col("row_id")), col("v"), "cum")
+        .select("source", "row_id", "cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"shards=$shards")
+    }
+    // hex-prefix shard variant over md5 string keys
+    val hexDf = df.withColumn("k", md5(concat(col("row_id").cast("string"))))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("k", "row_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expK = hexDf.withColumn("cum", sum(col("v")).over(wk))
+      .select("source", "row_id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gotK = ShardedWindow.runningSum(hexDf, "source",
+        ShardedWindow.hexShard(col("k"), 32),
+        Seq(col("k"), col("row_id")), col("v"), "cum")
+      .select("source", "row_id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotK == expK)
+  }
+
   test("Router.ackLedger maps ack codes to ledger states with backoff") {
     val env = Seq(
       ("pbi", 0L, 10L), ("pbi", 1L, 10L), ("pbi", 2L, 10L),
