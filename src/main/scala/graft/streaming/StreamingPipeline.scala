@@ -434,4 +434,82 @@ object StreamingPipeline {
       .agg(max(struct(col("ts_ms"), col("attempt"), col("state"))).as("_top"))
       .select(col("job_id"), col("_top.state").as("last_state"),
         col("_top.attempt").as("attempts"), col("_top.ts_ms").as("last_ms"))
+
+  case class AckIn(dest: String, batch_id: Long, attempt: Long, code: Long,
+                   ack_ms: Long, ts: Timestamp)
+  case class AckState(n_attempts: Long, last_code: Long, last_ack_ms: Long,
+                      terminal: Boolean = false)
+  /** `next_retry_ms == -1` ⇒ no retry scheduled (terminal or
+    * succeeded). Each emitted row is the batch's CURRENT delivery
+    * state after an ack folds in. */
+  case class AckOut(dest: String, batch_id: Long, n_attempts: Long,
+                    last_code: Long, state: String, next_retry_ms: Long)
+
+  /** The delivery-ack ledger LIVE — the streaming twin of
+    * `Router.ackLedger` (router.go JobsRequestWorker response
+    * handling as a per-batch state machine): each ack folds into one
+    * small state row per in-flight batch and emits the batch's
+    * current ledger state (append per transition). Same code→state
+    * mapping as the batch operator: 2xx succeeded, 429/5xx
+    * waiting_retry with integer-exponential backoff until `maxRetry`
+    * then aborted, other 4xx aborted immediately. Terminality is
+    * enforced the retryBackoffStream way: a terminal batch keeps an
+    * EXPIRING event-time tombstone (removed once the watermark passes
+    * last_ack + `tombstoneTtlMs`), so late/duplicate acks inside the
+    * TTL are dropped instead of reopening the batch — state size
+    * tracks in-flight + recently-terminal envelopes, never history.
+    * In-flight (non-terminal) rows set no timeout: an envelope stays
+    * claimable until its acks resolve it, as in the jobsdb executing
+    * state. Acks fold in (attempt, ack_ms) order within a
+    * micro-batch. */
+  def ackLedgerStream(acks: DataFrame, maxRetry: Int, baseBackoffMs: Long,
+                      tombstoneTtlMs: Long = 3600000L,
+                      watermark: String = "10 minutes"): Dataset[AckOut] = {
+    implicit val inEnc = Encoders.product[AckIn]
+    implicit val stEnc = Encoders.product[AckState]
+    implicit val outEnc = Encoders.product[AckOut]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+
+    acks
+      .withColumn("ts", timestamp_millis(col("ack_ms")))
+      .select("dest", "batch_id", "attempt", "code", "ack_ms", "ts")
+      .withWatermark("ts", watermark)
+      .as[AckIn]
+      .groupByKey(a => (a.dest, a.batch_id))
+      .flatMapGroupsWithState[AckState, AckOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long), rows: Iterator[AckIn], state: GroupState[AckState]) =>
+          val (dest, batchId) = key
+          if (state.hasTimedOut) {
+            state.remove() // tombstone expired
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(a => (a.attempt, a.ack_ms))
+            var cur = state.getOption
+            val out = Seq.newBuilder[AckOut]
+            sorted.foreach { a =>
+              if (!cur.exists(_.terminal)) {
+                val n = cur.map(_.n_attempts).getOrElse(0L) + 1L
+                val retryable = a.code == 429L || (a.code >= 500L && a.code <= 599L)
+                val (label, next) =
+                  if (a.code >= 200L && a.code <= 299L) ("succeeded", -1L)
+                  else if (retryable && n >= maxRetry) ("aborted", -1L)
+                  else if (retryable)
+                    ("waiting_retry", a.ack_ms + baseBackoffMs *
+                      (1L << math.min(n - 1L, 20L).toInt))
+                  else ("aborted", -1L)
+                cur = Some(AckState(n, a.code, a.ack_ms,
+                  terminal = label == "succeeded" || label == "aborted"))
+                out += AckOut(dest, batchId, n, a.code, label, next)
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              if (st.terminal)
+                state.setTimeoutTimestamp(st.last_ack_ms + tombstoneTtlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

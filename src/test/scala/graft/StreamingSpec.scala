@@ -73,6 +73,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming ack ledger: per-batch delivery state machine with terminal tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Long, Long)]
+    val acks = input.toDF().toDF("dest", "batch_id", "attempt", "code", "ack_ms")
+    val ledger = StreamingPipeline.ackLedgerStream(acks,
+      maxRetry = 3, baseBackoffMs = 1000L, watermark = "0 seconds")
+    val q = ledger.writeStream.format("memory").queryName("ack_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    def batch(rows: (String, Long, Long, Long, Long)*): Unit = {
+      input.addData(rows: _*); q.processAllAvailable()
+    }
+    // b0: 503 then 200 across micro-batches (recovery). Later batches
+    // use strictly later ack times — the watermark from an earlier
+    // micro-batch drops older event times as late.
+    batch(("pbi", 0L, 1L, 503L, 1000L))
+    batch(("pbi", 0L, 2L, 200L, 5000L),
+      // b1: three 503s in one micro-batch → aborted at the ceiling
+      ("pbi", 1L, 1L, 503L, 2000L), ("pbi", 1L, 2L, 503L, 3000L),
+      ("pbi", 1L, 3L, 503L, 4000L),
+      // b2: non-retryable 404 aborts immediately
+      ("keen", 2L, 1L, 404L, 2000L))
+    // late ack for terminal b0 inside the tombstone TTL: dropped
+    batch(("pbi", 0L, 3L, 503L, 6000L))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("ack_out")
+      .as[(String, Long, Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      ("pbi", 0L, 1L, 503L, "waiting_retry", 1000L + 1000L),
+      ("pbi", 0L, 2L, 200L, "succeeded", -1L),
+      ("pbi", 1L, 1L, 503L, "waiting_retry", 2000L + 1000L),
+      ("pbi", 1L, 2L, 503L, "waiting_retry", 3000L + 2000L),
+      ("pbi", 1L, 3L, 503L, "aborted", -1L),
+      ("keen", 2L, 1L, 404L, "aborted", -1L)), out.toString)
+  }
+
   test("streaming SCD2 keeps version numbering monotone across timeout flushes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Double)]
