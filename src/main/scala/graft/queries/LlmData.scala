@@ -594,6 +594,100 @@ object LlmData {
       .orderBy("qid", "rnk")
   }
 
+  // -------------------------------------------------- s_ivf_recall
+  // ANN quality of the IVF index as a GATE metric (the s_lsh_recall
+  // discipline applied to the second index type): recall@3 of the
+  // 3-probe IVF against the exact brute-force top-3, per query. Both
+  // rankings are deterministic, and the trained centroids interpolate
+  // into the oracle, so the recall COLUMN is hash-checked — the
+  // accuracy claim lives in the driver gate, not just a spec floor.
+  private val ivfRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    ivfCentroids.set(Some(cents))
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    val quantized = emb.join(cells, "vec_id")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("qid"), col("cid"))
+    val approx = Similarity.ivfTopK(quantized.filter(col("vec_id") < 10),
+        quantized, "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 3)
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  /** IVF recall replay: the exact brute-force ranking CTEs (the
+    * s_lsh_recall shape) joined against the full centroid-literal IVF
+    * replay from [[ivfTopKSql]]. */
+  private def ivfRecallSql(cents: Array[Array[Double]]): String = {
+    val centCtes = cents.zipWithIndex.map { case (c, j) =>
+      s"SELECT $j AS cell, unnest([${c.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
+        s"unnest(generate_series(1, ${c.length})) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |              FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |exact_dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+       |               FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |               WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id),
+       |exact_ranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |                 FROM exact_dots JOIN norms nq ON qid = nq.vec_id
+       |                                 JOIN norms nc ON cid = nc.vec_id),
+       |exact_top AS (SELECT qid, cid FROM exact_ranked WHERE rnk <= 3),
+       |cents AS ($centCtes),
+       |csq AS (SELECT cell, SUM(c*c) AS c2 FROM cents GROUP BY cell),
+       |cdots AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+       |          FROM flat f JOIN cents ct ON f.i = ct.i
+       |          GROUP BY f.vec_id, ct.cell),
+       |assign AS (SELECT vec_id, cell FROM (
+       |            SELECT d.vec_id, d.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                ORDER BY (cq.c2 - 2*d.dc) ASC, d.cell ASC) AS r
+       |            FROM cdots d JOIN csq cq USING (cell)) WHERE r = 1),
+       |emp AS (SELECT a.cell, f.i, SUM(f.x) / COUNT(*) AS m
+       |        FROM assign a JOIN flat f USING (vec_id) GROUP BY a.cell, f.i),
+       |pscore AS (SELECT f.vec_id AS qid, e.cell, SUM(f.x * e.m) AS cscore
+       |           FROM flat f JOIN emp e ON f.i = e.i
+       |           WHERE f.vec_id < 10 GROUP BY f.vec_id, e.cell),
+       |probes AS (SELECT qid, cell FROM (SELECT qid, cell,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cscore DESC, cell ASC) AS prnk
+       |           FROM pscore) WHERE prnk <= 3),
+       |cand AS (SELECT p.qid, a.vec_id AS cid
+       |         FROM probes p JOIN assign a USING (cell)
+       |         WHERE a.vec_id <> p.qid),
+       |adots AS (SELECT c.qid, c.cid, SUM(q.x * t.x) AS dot
+       |          FROM cand c JOIN flat q ON q.vec_id = c.qid
+       |                      JOIN flat t ON t.vec_id = c.cid AND t.i = q.i
+       |          GROUP BY c.qid, c.cid),
+       |aranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rnk
+       |            FROM adots JOIN norms nq ON qid = nq.vec_id
+       |                      JOIN norms nc ON cid = nc.vec_id),
+       |atop AS (SELECT qid, cid FROM aranked WHERE rnk <= 3),
+       |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+       |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
+       |         GROUP BY e.qid)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |       / CAST(q.n_exact AS DOUBLE), 6) AS recall_at_3
+       |FROM (SELECT qid, COUNT(*) AS n_exact FROM exact_top GROUP BY qid) q
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY q.qid""".stripMargin
+  }
+
   /** The full IVF replay in SQL, centroids as literals: assignment by
     * squared-L2 argmin (lower-cell tiebreak), empirical cell means,
     * probe ranking (top-3 cells by unrounded centroid dot), in-cell
@@ -1851,6 +1945,7 @@ object LlmData {
     "d_sample_budget" -> sampleBudget,
     "m_phash_dup" -> phashDup,
     "s_lsh_recall" -> lshRecall,
+    "s_ivf_recall" -> ivfRecall,
     "d_sem_clusters" -> semClusters)
 
   /** Named session-store builders with the exact parameters the gate
@@ -1881,7 +1976,9 @@ object LlmData {
     * once the s_ivf_topk query has trained — Verify runs every query
     * before dumping oracle_sql.json, so the gate always sees it). */
   def oracle: Map[String, String] =
-    staticOracle ++ ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c))
+    staticOracle ++
+      ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c)) ++
+      ivfCentroids.get().map(c => "s_ivf_recall" -> ivfRecallSql(c))
 
   private val staticOracle: Map[String, String] = Map(
     "t_ngram_diversity" -> ngramDiversitySql,
