@@ -60,6 +60,26 @@ object Demo {
     operators.JobLedger.scd2History(ledger, "job_id", "status", "ts_ms", "sid")
       .orderBy("job_id", "version").show()
 
+    // --- queue rotation: finished jobs compact, live jobs keep history
+    val (snap, tail) = operators.JobLedger.rotate(ledger, "job_id", "status",
+      "ts_ms", "sid", terminalValues = Seq("succeeded"), cutoffMs = 10000L)
+    println("== rotated ledger (snapshot + live tail) ==")
+    snap.withColumn("part", lit("snapshot"))
+      .unionByName(tail.withColumn("part", lit("tail")))
+      .orderBy("job_id", "ts_ms").show()
+
+    // --- delivery acks → ledger states (the router response loop)
+    val ackEnv = Seq(("powerbi", 0L, 3L), ("powerbi", 1L, 2L), ("keen", 0L, 4L))
+      .toDF("dest", "batch_id", "n_in_batch")
+    val ackRows = Seq(
+      ("powerbi", 0L, 1, 503, 1000L), ("powerbi", 0L, 2, 200, 3000L),
+      ("powerbi", 1L, 1, 404, 1000L))
+      .toDF("dest", "batch_id", "attempt", "code", "ack_ms")
+    println("== ack ledger (succeeded / aborted / waiting) ==")
+    operators.Router.ackLedger(ackEnv, ackRows, Seq("dest", "batch_id"),
+        "attempt", "code", "ack_ms", maxRetry = 3, baseBackoffMs = 1000L)
+      .orderBy("dest", "batch_id").show()
+
     // --- skew tooling + format catalogue
     val skewed = spark.range(0, 1000).select(
       when(col("id") % 100 === 0, "cold").otherwise("hot").as("k"),
