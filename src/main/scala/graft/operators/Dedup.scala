@@ -30,7 +30,19 @@ object Dedup {
   private[operators] def memoized(key: String)(build: => DataFrame): DataFrame =
     store.getOrElseUpdate(key, build)
 
-  def clearStore(): Unit = store.clear()
+  /** Extra session-keyed caches outside this object (e.g. the oracle
+    * centroid stash in the query layer) register here so ONE call
+    * releases every store — no cache survives a store clear. */
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
+
+  def onClearStore(hook: Runnable): Unit = clearHooks.add(hook)
+
+  def clearStore(): Unit = {
+    store.clear()
+    Similarity.clearCentroidMemo()
+    clearHooks.forEach(_.run())
+  }
 
   /** Exact dedup, keep-first: one surviving row per key group with
     * group stats (keeper id, duplicate count, earliest ts). */

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -28,11 +27,32 @@ object Router {
 
   /** Deterministic micro-batch assignment within each destination:
     * batch k holds rows k*size..k*size+size-1 in `orderCol` order
-    * (the reference slices the in-memory event list the same way). */
+    * (the reference slices the in-memory event list the same way).
+    *
+    * Scale shape: `row_number = running count`, so the per-destination
+    * ordered window is a [[ShardedWindow.runningSum]] over `lit(1)` —
+    * the numeric order key is RANGE-sharded by an equi-width split of
+    * its [min, max] span (one tiny min/max agg picks the bounds, cost
+    * one column scan), each task sorts ~1/S of a destination, and no
+    * task ever holds a whole destination. With a handful of
+    * destinations at 100 TB the plain `partitionBy(dest)` window is a
+    * single-task sort; this shape is flat under that skew (see
+    * ScaleSmoke's ONE-destination entry). */
   def microBatch(df: DataFrame, destCol: String, orderCol: String,
                  size: Int): DataFrame = {
-    val w = Window.partitionBy(col(destCol)).orderBy(col(orderCol))
-    df.withColumn("batch_id", ((row_number().over(w) - 1) / size).cast("long"))
+    val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    // equi-width range shard: monotone in the order key by construction
+    val span = math.max(1L, (hi - lo) / shards + 1L)
+    val shard = expr(s"(cast($orderCol as bigint) - ${lo}L) div ${span}L")
+    ShardedWindow.runningSum(df, destCol, shard, Seq(col(orderCol)),
+        lit(1L), "__rn")
+      .withColumn("batch_id", ((col("__rn") - 1) / size).cast("long"))
+      .drop("__rn")
   }
 
   /** Gateway intake micro-batching (gateway.go:144 webRequestBatcher):
@@ -83,22 +103,55 @@ object Router {
     * The POST itself is externalized (an egress layer consumes the
     * envelope body); this closes the ack→ledger loop so the retry /
     * dead-letter views downstream ([[graft.operators.JobLedger]])
-    * read a live table. One partial-agg shuffle on the batch key +
-    * one broadcast-friendly left join. */
+    * read a live table.
+    *
+    * Terminality matches the streaming twin
+    * ([[graft.streaming.StreamingPipeline.ackLedgerStream]]) exactly:
+    * acks fold in (attempt, ack_ms) order and the state FREEZES at
+    * the first terminal transition (2xx, non-retryable 4xx, or a
+    * retryable code at/after the `maxRetry`-th fold) — a duplicate or
+    * late 503 arriving after a 200 neither reopens a succeeded batch
+    * nor inflates the backoff exponent. The fold-position window
+    * partitions on the full batch key — cardinality = number of
+    * batches, each partition a handful of acks, so the sort is
+    * per-batch-tiny (scale-safe; nothing like a per-destination
+    * window). Then one partial-agg shuffle + the co-partitioned
+    * envelope join. */
   def ackLedger(envelopes: DataFrame, acks: DataFrame,
                 batchKeyCols: Seq[String], attemptCol: String,
                 codeCol: String, ackTsMsCol: String,
                 maxRetry: Int, baseBackoffMs: Long): DataFrame = {
     val keyCols = batchKeyCols.map(col)
-    val top = acks.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("n_attempts"),
-        max(struct(col(attemptCol).as("a"), col(codeCol).as("c"),
-          col(ackTsMsCol).as("t"))).as("_last"))
-      .select(keyCols ++ Seq(col("n_attempts"),
-        col("_last.c").as("last_code"), col("_last.t").as("last_ack_ms")): _*)
+    val aCode = col(codeCol)
+    val rowRetryable = aCode === 429 || (aCode >= 500 && aCode <= 599)
+    val rowSuccess = aCode >= 200 && aCode <= 299
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col(attemptCol), col(ackTsMsCol))
+    val posed = acks
+      .withColumn("__pos", row_number().over(wPos).cast("long"))
+      .withColumn("__term",
+        rowSuccess || !rowRetryable || col("__pos") >= maxRetry)
+    val top = posed.groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("__n_all"),
+        // latest folded ack (no-terminal case): max by fold order
+        max(struct(col(attemptCol).as("a"), col(ackTsMsCol).as("t"),
+          aCode.as("c"))).as("__last_any"),
+        // freeze point: EARLIEST terminal fold position (min ignores
+        // the null structs of non-terminal rows)
+        min(when(col("__term"), struct(col("__pos").as("p"), aCode.as("c"),
+          col(ackTsMsCol).as("t")))).as("__stop"))
+      .select(keyCols ++ Seq(
+        coalesce(col("__stop.p"), col("__n_all")).as("n_attempts"),
+        coalesce(col("__stop.c"), col("__last_any.c")).as("last_code"),
+        coalesce(col("__stop.t"), col("__last_any.t")).as("last_ack_ms")): _*)
     val retryable = col("last_code") === 429 ||
       (col("last_code") >= 500 && col("last_code") <= 599)
-    envelopes.join(top, batchKeyCols, "left")
+    // both sides leave a groupBy on the batch key hash-partitioned on
+    // the join key — a shuffle-hash join adds no exchange and skips
+    // the sort-merge sort (neither side is broadcastable at scale:
+    // envelopes ≈ acked batches)
+    envelopes.join(top.hint("shuffle_hash"), batchKeyCols, "left")
       .withColumn("n_attempts", coalesce(col("n_attempts"), lit(0L)))
       .withColumn("state",
         when(col("last_code").isNull, "waiting")

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed per-group running sum over a deterministic order —
   * the scale-safe form of
@@ -36,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object ShardedWindow {
 
+  /** Driver-side cap on phase-1 `groups × shards` rows. The offsets
+    * frame lives on the driver (a few dozen bytes per row), which is
+    * only safe for BOUNDED group domains (sources, destinations,
+    * event types). Calling with a high-cardinality group column would
+    * silently OOM the driver — fail fast with a diagnosable message
+    * instead. ~1M rows ≈ tens of MB: far above any sane bounded
+    * domain, far below an OOM. */
+  val MaxDriverOffsets: Int = 1 << 20
+
   /** @param df       input frame
     * @param group    grouping column name (window PARTITION BY key)
     * @param shard    monotone non-decreasing function of the leading
@@ -45,24 +55,36 @@ object ShardedWindow {
     * @param order    full ORDER BY columns (shard-local sort)
     * @param value    column to running-sum (must be integral)
     * @param out      name of the produced running-sum column
+    * @param cap      driver-offset-row ceiling (see [[MaxDriverOffsets]])
     */
   def runningSum(df: DataFrame, group: String, shard: Column,
-                 order: Seq[Column], value: Column, out: String): DataFrame = {
+                 order: Seq[Column], value: Column, out: String,
+                 cap: Int = MaxDriverOffsets): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val tagged = df.withColumn("__shard", shard.cast("long"))
     // phase 1: per-(group, shard) totals — one map-side-combined
-    // shuffle of (group, shard, long) triples
-    val totals = tagged.groupBy(col(group), col("__shard"))
+    // shuffle of (group, shard, long) triples. The limit+length check
+    // bounds the driver transfer BEFORE it happens (guarded collect,
+    // not a post-hoc count).
+    val totalsDf = tagged.groupBy(col(group), col("__shard"))
       .agg(sum(value).cast("long").as("__tot"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // phase 2: driver prefix offsets per group, in shard order
-    val offsets = totals.groupBy(_._1).iterator.flatMap { case (g, rows) =>
-      val inOrder = rows.sortBy(_._2)
-      inOrder.zip(inOrder.map(_._3).scanLeft(0L)(_ + _))
-        .map { case ((_, sh, _), off) => (g, sh, off) }
-    }.toSeq.toDF(group, "__shard", "__off")
+    val totals = totalsDf.limit(cap + 1).collect()
+    require(totals.length <= cap,
+      s"ShardedWindow.runningSum: more than $cap distinct " +
+        s"($group, shard) pairs — the group column must be a bounded " +
+        "domain (sources / destinations), not a high-cardinality key")
+    // phase 2: driver prefix offsets per group, in shard order (group
+    // key read generically — any orderable type works, not just strings)
+    val offRows = totals.groupBy(_.get(0)).iterator.flatMap { case (g, rows) =>
+      val inOrder = rows.sortBy(_.getLong(1))
+      inOrder.zip(inOrder.map(_.getLong(2)).scanLeft(0L)(_ + _))
+        .map { case (r, off) => Row(g, r.getLong(1), off) }
+    }.toSeq
+    val offSchema = StructType(Seq(
+      totalsDf.schema.head.copy(name = group),
+      StructField("__shard", LongType), StructField("__off", LongType)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
     // phase 3: shard-local window + broadcast offset add
     val w = Window.partitionBy(col(group), col("__shard"))
       .orderBy(order: _*)
@@ -70,6 +92,35 @@ object ShardedWindow {
     tagged.join(broadcast(offsets), Seq(group, "__shard"))
       .withColumn(out, sum(value).over(w) + col("__off"))
       .drop("__shard", "__off")
+  }
+
+  /** Distributed per-group top-k — the scale-safe form of
+    * `ROW_NUMBER() OVER (PARTITION BY group ORDER BY …) <= k`.
+    *
+    * A plain per-group rank window sorts the WHOLE group on one task
+    * (a full per-source vocabulary at corpus scale). Two phases:
+    *   1. rank within (group, shard) — any shard assignment works,
+    *      because a global top-k row is necessarily top-k within its
+    *      own shard — and keep the shard-local top k;
+    *   2. rank the ≤ shards·k survivors per group (a bounded,
+    *      broadcast-scale set) to recover the EXACT global ranks.
+    * The ordering must be total (deterministic tiebreak) for rank
+    * stability; given that, output is row-identical to the logical
+    * single-partition window, so hash oracles written against the
+    * plain window still match.
+    *
+    * @param shardOn column whose hash spreads the group's rows (the
+    *                ranked entity, e.g. the token)
+    */
+  def topK(df: DataFrame, group: String, order: Seq[Column], k: Int,
+           shardOn: Column, shards: Int, rankOut: String = "rank"): DataFrame = {
+    val w1 = Window.partitionBy(col(group), pmod(hash(shardOn), lit(shards)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(group)).orderBy(order: _*)
+    df.withColumn("__lr", row_number().over(w1)).filter(col("__lr") <= k)
+      .drop("__lr")
+      .withColumn(rankOut, row_number().over(w2).cast("long"))
+      .filter(col(rankOut) <= k)
   }
 
   private def ceilLog2(s: Int): Int =

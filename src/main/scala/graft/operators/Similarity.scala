@@ -104,10 +104,15 @@ object Similarity {
         .getField("c").as("centroid"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
-    // probe ranking: score every (query, cell) centroid, keep nprobe
+    // probe ranking: score every (query, cell) centroid, keep nprobe.
+    // The score is ROUNDED to 6 digits before ranking (cell-index
+    // tiebreak): the empirical centroid means are partial-agg sums
+    // whose accumulation order differs between engines, so an
+    // unrounded near-tie could order probe cells differently in a
+    // replay — same discipline as the cosine rerank below.
     val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cell"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cscore", dot(col("qvec"), col("centroid")))
+      .withColumn("cscore", round(dot(col("qvec"), col("centroid")), 6))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select(col("qid"), col("qvec"), col("qnrm"), col("cell"))
@@ -160,6 +165,11 @@ object Similarity {
   private val centroidMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
+  /** Evicted together with the Dedup session store ([[Dedup.clearStore]])
+    * — the memo holds kilobytes per (session, corpus), but a long-lived
+    * JVM cycling sessions should not accumulate them. */
+  private[operators] def clearCentroidMemo(): Unit = centroidMemo.clear()
+
   /** Train (or fetch the memoized) Lloyd centroids — exposed so
     * callers can interpolate the exact trained values into an engine-
     * independent replay (the DuckDB oracle), same discipline as
@@ -176,13 +186,17 @@ object Similarity {
 
   /** Squared-L2 argmin over centroid literals: ‖c‖² − 2⟨x,c⟩ (‖x‖²
     * constant per row, drops out); ties break toward the lower cell
-    * index (struct min), so assignment is deterministic. Expects the
-    * vector in `_v`. */
+    * index (struct min), so assignment is deterministic. The score is
+    * ROUNDED to 6 digits before the argmin: a replay engine computes
+    * the same dot as a group-agg whose accumulation order differs, so
+    * an unrounded near-tie could flip the assignment cross-engine.
+    * Expects the vector in `_v`. */
   private def assignExpr(cs: Array[Array[Double]]): Column = {
     val scored = cs.zipWithIndex.map { case (cvec, j) =>
       val carr = array(cvec.map(lit): _*)
       val c2 = cvec.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(col("_v"), carr)).as("s"), lit(j).as("j"))
+      struct(round(lit(c2) - lit(2.0) * dot(col("_v"), carr), 6).as("s"),
+        lit(j).as("j"))
     }
     array_min(array(scored: _*)).getField("j")
   }

@@ -575,17 +575,26 @@ object LlmData {
   // into the SQL as literals (same discipline as s_lsh_topk's planes
   // — train once, embed k·dim doubles), the assignment argmin, the
   // empirical cell means, the probe ranking and the in-cell rerank
-  // are all recomputed by DuckDB. The centroid stash below is what
+  // are all recomputed by DuckDB. Every cross-engine ranking score —
+  // assignment argmin, probe score, cosine rerank — is rounded to 6
+  // digits with an index tiebreak on BOTH sides, so differing
+  // double-accumulation orders (Spark partial aggs vs DuckDB group
+  // aggs) cannot flip a near-tie. The centroid stash below is what
   // `oracle` reads — populated when the query builds (Verify runs
-  // queries before dumping oracle_sql.json).
+  // queries before dumping oracle_sql.json), keyed per (session,
+  // sfDir) like the other memos so one JVM serving several datasets
+  // never interpolates the wrong training run.
   private val ivfCentroids =
-    new java.util.concurrent.atomic.AtomicReference[Option[Array[Array[Double]]]](None)
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  // released with the rest of the session stores — Dedup.clearStore()
+  // is the one lifecycle call
+  graft.operators.Dedup.onClearStore(() => ivfCentroids.clear())
 
   private val ivfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    ivfCentroids.set(Some(cents))
+    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
     val quantized = emb.join(cells, "vec_id")
@@ -605,7 +614,7 @@ object LlmData {
     val emb = Tables.embeddings(s, d)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    ivfCentroids.set(Some(cents))
+    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
     val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
     val quantized = emb.join(cells, "vec_id")
@@ -654,7 +663,7 @@ object LlmData {
        |assign AS (SELECT vec_id, cell FROM (
        |            SELECT d.vec_id, d.cell,
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                ORDER BY (cq.c2 - 2*d.dc) ASC, d.cell ASC) AS r
+       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
        |            FROM cdots d JOIN csq cq USING (cell)) WHERE r = 1),
        |emp AS (SELECT a.cell, f.i, SUM(f.x) / COUNT(*) AS m
        |        FROM assign a JOIN flat f USING (vec_id) GROUP BY a.cell, f.i),
@@ -663,7 +672,7 @@ object LlmData {
        |           WHERE f.vec_id < 10 GROUP BY f.vec_id, e.cell),
        |probes AS (SELECT qid, cell FROM (SELECT qid, cell,
        |             ROW_NUMBER() OVER (PARTITION BY qid
-       |               ORDER BY cscore DESC, cell ASC) AS prnk
+       |               ORDER BY ROUND(cscore, 6) DESC, cell ASC) AS prnk
        |           FROM pscore) WHERE prnk <= 3),
        |cand AS (SELECT p.qid, a.vec_id AS cid
        |         FROM probes p JOIN assign a USING (cell)
@@ -711,7 +720,7 @@ object LlmData {
        |assign AS (SELECT vec_id, cell FROM (
        |            SELECT d.vec_id, d.cell,
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                ORDER BY (cq.c2 - 2*d.dc) ASC, d.cell ASC) AS r
+       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
        |            FROM cdots d JOIN csq cq USING (cell)) WHERE r = 1),
        |emp AS (SELECT a.cell, f.i, SUM(f.x) / COUNT(*) AS m
        |        FROM assign a JOIN flat f USING (vec_id) GROUP BY a.cell, f.i),
@@ -720,7 +729,7 @@ object LlmData {
        |           WHERE f.vec_id < 10 GROUP BY f.vec_id, e.cell),
        |probes AS (SELECT qid, cell FROM (SELECT qid, cell,
        |             ROW_NUMBER() OVER (PARTITION BY qid
-       |               ORDER BY cscore DESC, cell ASC) AS prnk
+       |               ORDER BY ROUND(cscore, 6) DESC, cell ASC) AS prnk
        |           FROM pscore) WHERE prnk <= 3),
        |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
        |cand AS (SELECT p.qid, a.vec_id AS cid
@@ -1039,9 +1048,12 @@ object LlmData {
   // deterministic (score desc, token asc) tiebreak. Shapes: one
   // partial-agg shuffle for tf, a small (tok, df) side joined on the
   // token, the source count as a broadcast scalar (never a driver
-  // constant), and the rank window partitioned by source — bounded
-  // domain, no global window. ln/round are IEEE-identical in DuckDB.
+  // constant), and the rank as a two-phase ShardedWindow.topK — no
+  // task ever sorts a full source vocabulary (~10⁸⁺ rows at 100 TB):
+  // phase 1 ranks within (source, token-hash shard), phase 2 ranks
+  // the ≤ shards·3 survivors. ln/round are IEEE-identical in DuckDB.
   private val tfidfTop: Q = (s, d) => {
+    val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
@@ -1052,10 +1064,9 @@ object LlmData {
       .select(col("source"), col("tok"), col("tf"), col("df"),
         round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6)
           .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("score").desc, col("tok").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    graft.operators.ShardedWindow.topK(scored, "source",
+        Seq(col("score").desc, col("tok").asc), k = 3,
+        shardOn = col("tok"), shards = nShards)
       .select("source", "tok", "tf", "df", "score", "rank")
       .orderBy("source", "rank")
   }
@@ -1552,17 +1563,19 @@ object LlmData {
   // DECIMAL(12,6), so Σx/Σy/Σxy/Σx² are EXACT decimal sums
   // (association-order-free); the slope arithmetic then runs in
   // DOUBLE identically in both engines, with the shared
-  // FLOOR(x·10⁴+.5) rounding. The rank window partitions by source
-  // over the per-source vocabulary — a bounded domain (sublinear in
-  // corpus size), same posture as t_tfidf_top.
+  // FLOOR(x·10⁴+.5) rounding. The top-50 rank is a two-phase
+  // ShardedWindow.topK (shard-local top-50, then rank the bounded
+  // survivor set) — no task sorts a full source vocabulary, same
+  // posture fix as t_tfidf_top.
   private val zipfSlope: Q = (s, d) => {
+    val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val freq = toks.groupBy("source", "tok").agg(count(lit(1)).as("f"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("f").desc, col("tok"))
-    val xy = freq.withColumn("r", row_number().over(w)).filter(col("r") <= 50)
+    val xy = graft.operators.ShardedWindow.topK(freq, "source",
+        Seq(col("f").desc, col("tok")), k = 50,
+        shardOn = col("tok"), shards = nShards, rankOut = "r")
       .select(col("source"),
         round(log(col("r").cast(DoubleType)), 6).cast(DecimalType(12, 6)).as("x"),
         round(log(col("f").cast(DoubleType)), 6).cast(DecimalType(12, 6)).as("y"))
@@ -1974,11 +1987,18 @@ object LlmData {
 
   /** Static oracles plus the centroid-interpolated IVF replay (present
     * once the s_ivf_topk query has trained — Verify runs every query
-    * before dumping oracle_sql.json, so the gate always sees it). */
+    * before dumping oracle_sql.json, so the gate always sees it).
+    * Interpolation requires an UNAMBIGUOUS stash: exactly one
+    * (session, sfDir) trained in this JVM (the Verify case). With
+    * several trainings stashed, emitting either set would hash-
+    * mismatch the other dataset's parquet — degrade to the weaker
+    * rows-only check instead of emitting a wrong oracle. */
   def oracle: Map[String, String] =
-    staticOracle ++
-      ivfCentroids.get().map(c => "s_ivf_topk" -> ivfTopKSql(c)) ++
-      ivfCentroids.get().map(c => "s_ivf_recall" -> ivfRecallSql(c))
+    staticOracle ++ (ivfCentroids.values.toList match {
+      case c :: Nil =>
+        Map("s_ivf_topk" -> ivfTopKSql(c), "s_ivf_recall" -> ivfRecallSql(c))
+      case _ => Map.empty[String, String]
+    })
 
   private val staticOracle: Map[String, String] = Map(
     "t_ngram_diversity" -> ngramDiversitySql,

@@ -154,6 +154,17 @@ object ScaleSmoke {
     val skew1 = docs1.withColumn("source", lit("s0"))
     val skewBig = docsBig.withColumn("source", lit("s0"))
     time("seq_pack_skew_x1")(seqPack(skew1)); time(s"seq_pack_skew_x$n")(seqPack(skewBig))
+    // round-8 entry: micro-batch assignment with ONE destination —
+    // the worst-case regime for the old partitionBy(dest) row_number
+    // window (whole ledger sorted on one task); the sharded running
+    // count must stay flat 1×→N×
+    def microBatchSum(df: DataFrame): Long =
+      graft.operators.Router.batchSummary(df, "event_type", "event_id", 50)
+        .agg(sum(col("n_in_batch"))).collect()(0).getLong(0)
+    val oneDest1 = ev1.withColumn("event_type", lit("d0"))
+    val oneDestBig = evBig.withColumn("event_type", lit("d0"))
+    time("micro_batch_skew_x1")(microBatchSum(oneDest1))
+    time(s"micro_batch_skew_x$n")(microBatchSum(oneDestBig))
     spark.stop()
   }
 }

@@ -61,6 +61,52 @@ class OperatorsSpec extends SparkSpec {
     assert(gotK == expK)
   }
 
+  test("ShardedWindow.runningSum handles non-string group keys and fails fast above the offset cap") {
+    // long group column (the old impl hard-cast the group to String —
+    // any numeric group key was a runtime ClassCastException)
+    val df = (1 to 200).map(i => (i.toLong % 4, i.toLong, (i % 7 + 1).toLong))
+      .toDF("g", "k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val got = ShardedWindow.runningSum(df, "g", expr("k div 32"), Seq(col("k")),
+        col("v"), "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == expected)
+    // high-cardinality misuse throws instead of collecting unbounded
+    // offsets to the driver (cap lowered to keep the spec cheap)
+    val wide = (1 to 100).map(i => (i.toLong, i.toLong, 1L)).toDF("g", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ShardedWindow.runningSum(wide, "g", lit(0L), Seq(col("k")), col("v"),
+        "cum", cap = 10).collect()
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
+
+  test("ShardedWindow.topK equals the logical per-group rank window") {
+    // skewed groups, heavy score ties — the two-phase top-k must
+    // reproduce the single-partition rank EXACTLY, including tiebreaks
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (1 to 3000).map { i =>
+      (s"g${rnd.nextInt(3)}", s"tok${rnd.nextInt(500)}_$i", rnd.nextInt(20).toLong)
+    }
+    val df = rows.toDF("source", "tok", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("tok").asc)
+    val expected = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    for (shards <- Seq(4, 32)) {
+      val got = ShardedWindow.topK(df, "source",
+          Seq(col("score").desc, col("tok").asc), k = 7,
+          shardOn = col("tok"), shards = shards)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+      assert(got == expected, s"shards=$shards")
+    }
+  }
+
   test("Router.ackLedger maps ack codes to ledger states with backoff") {
     val env = Seq(
       ("pbi", 0L, 10L), ("pbi", 1L, 10L), ("pbi", 2L, 10L),
@@ -68,6 +114,9 @@ class OperatorsSpec extends SparkSpec {
       .toDF("dest", "batch_id", "n_in_batch")
     val acks = Seq(
       ("pbi", 0L, 1, 503, 1000L), ("pbi", 0L, 2, 200, 2000L), // recovered
+      ("pbi", 0L, 3, 503, 3000L), // late 503 AFTER the terminal 200:
+      // the fold freezes at the first terminal transition (streaming
+      // parity) — the batch stays succeeded at n_attempts=2
       ("pbi", 1L, 1, 503, 1000L), ("pbi", 1L, 2, 503, 2000L), // still failing
       ("pbi", 2L, 1, 404, 1000L),                             // non-retryable
       ("keen", 0L, 1, 503, 1000L), ("keen", 0L, 2, 503, 2000L),

@@ -162,11 +162,15 @@ class PlanAuditSpec extends SparkSpec {
       windows.head.child.toString)
   }
 
-  test("t_seq_pack / d_sample_budget: running-sum windows are range-sharded") {
-    // the per-source running sum must never put a whole source on one
-    // task: every Window node partitions by (source, __shard) — a
-    // regression back to partitionBy(source) alone fails here
-    for (name <- Seq("t_seq_pack", "d_sample_budget")) {
+  test("seq_pack / sample_budget / batch_assign / ack_ledger: running-sum windows are range-sharded") {
+    // the per-group running sum must never put a whole group on one
+    // task: every Window node partitions by (group, __shard) — a
+    // regression back to partitionBy(group) alone fails here. r8 adds
+    // p_batch_assign and p_ack_ledger: Router.microBatch's
+    // row_number() is now a ShardedWindow running count, so the LAST
+    // single-task ordered window in an operator path is gone.
+    for (name <- Seq("t_seq_pack", "d_sample_budget", "p_batch_assign",
+        "p_ack_ledger")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -174,9 +178,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(windows.nonEmpty, name)
       windows.foreach { w =>
         assert(w.partitionSpec.size >= 2, s"$name: ${w.partitionSpec}")
-        assert(w.partitionSpec.exists(_.toString.contains("__shard")),
+        // either range-sharded (running sums) or keyed by the full
+        // high-cardinality batch key (ack fold positions — cardinality
+        // = number of batches, each partition a handful of acks)
+        assert(w.partitionSpec.exists(e =>
+          e.toString.contains("__shard") || e.toString.contains("batch_id")),
           s"$name: ${w.partitionSpec}")
       }
+    }
+  }
+
+  test("t_tfidf_top / t_zipf: vocabulary rank is two-phase — no task sorts a full source vocab") {
+    // phase 1 ranks within (source, token-hash shard); the only
+    // source-only window ranks the ≤ shards·k shard-local survivors
+    // (a Filter on __lr sits beneath it) — a regression back to one
+    // per-source rank over the full vocabulary fails here
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    for (name <- Seq("t_tfidf_top", "t_zipf")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: Window => w
+      }
+      assert(windows.size == 2, s"$name: expected 2 windows, got $windows")
+      val (local, global) = windows.partition(_.partitionSpec.size >= 2)
+      // the shard expr is aliased into a child Project (_w0), so look
+      // for the pmod(hash(tok)) shard in the local window's subtree
+      assert(local.size == 1 && local.head.toString.contains("pmod(hash("),
+        s"$name: ${local.map(_.partitionSpec)}")
+      assert(global.size == 1)
+      val bounded = global.head.child.collect {
+        case f: Filter if f.condition.toString.contains("__lr") => f
+      }.nonEmpty
+      assert(bounded, s"$name: source-only window not over the " +
+        s"bounded survivor set:\n${global.head.child}")
     }
   }
 
