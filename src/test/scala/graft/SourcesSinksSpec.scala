@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.sinks.{JsonDumpSink, RestBatcher, WarehouseWriter}
-import graft.sources.EventBatchReader
+import graft.sources.{ConfigStore, EventBatchReader}
 
 class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
@@ -118,5 +118,36 @@ class SourcesSinksSpec extends SparkSpec {
     val body = env(0).getAs[String]("body")
     assert(body.startsWith("""{"payload":["""))
     assert(body.contains("\"e0\"") && body.contains("\"e4\"") && !body.contains("\"e5\""))
+  }
+
+  test("ConfigStore: bootstrap + CRUD round-trips through the Spark JDBC reader") {
+    val url = "jdbc:derby:memory:graftconfig1;create=true"
+    ConfigStore.bootstrap(url)
+    ConfigStore.bootstrap(url) // idempotent — second bootstrap is a no-op
+    ConfigStore.insertSource(url, 1L, "web-app", 1, "wk-a", 1, "{}")
+    ConfigStore.insertSource(url, 2L, "mobile", 1, "wk-b", 1, "{}",
+      status = "disabled")
+    ConfigStore.insertDestination(url, 1L, "powerbi", 2, 1, "{}")
+    ConfigStore.insertDestination(url, 2L, "keen", 2, 1, "{}",
+      status = "disabled")
+    ConfigStore.insertConnection(url, 1L, 1, 1, """[{"op":"hide"}]""")
+    ConfigStore.insertConnection(url, 2L, 1, 2) // → disabled destination
+    ConfigStore.insertConnection(url, 3L, 2, 1) // ← disabled source
+    assert(ConfigStore.sources(spark, url).count() == 2)
+    assert(ConfigStore.destinations(spark, url).count() == 2)
+    assert(ConfigStore.connections(spark, url).count() == 3)
+    // auth dim: only the enabled write key survives
+    val keys = ConfigStore.enabledWriteKeys(spark, url)
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("wk-a"))
+    // routing dim: connections touching a disabled side drop out
+    val routes = ConfigStore.routingTable(spark, url).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(routes == Set(("wk-a", "web-app", "powerbi", """[{"op":"hide"}]""")))
+    // the portal toggle: disabling the last enabled source empties both
+    ConfigStore.setSourceStatus(url, 1L, "disabled")
+    assert(ConfigStore.enabledWriteKeys(spark, url).count() == 0)
+    assert(ConfigStore.routingTable(spark, url).count() == 0)
   }
 }

@@ -217,6 +217,42 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(batches.last) == Seq("wk-a", "wk-c"))
   }
 
+  test("config-store hot reload: a status UPDATE in the database lands on the next micro-batch") {
+    // the reference's full cycle — portal writes backendconfig
+    // (configdb.go UPDATE), the server's poll loop hot-applies — run
+    // end to end: authFilterRefreshing re-reads the DURABLE Derby
+    // config store at each micro-batch boundary, so a revocation
+    // between batches takes effect with no query restart
+    val url = "jdbc:derby:memory:graftconfig2;create=true"
+    graft.sources.ConfigStore.bootstrap(url)
+    graft.sources.ConfigStore.insertSource(url, 1L, "s-a", 1, "wk-a", 1, "{}")
+    graft.sources.ConfigStore.insertSource(url, 2L, "s-b", 1, "wk-b", 1, "{}")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val writer = StreamingPipeline.authFilterRefreshing(
+      input.toDF().toDF("write_key", "ts_ms"),
+      () => graft.sources.ConfigStore.enabledWriteKeys(spark, url),
+      "write_key") { (df, batchId) =>
+      df.collect().foreach(r => seen.synchronized {
+        seen += ((batchId, r.getString(0))) })
+    }
+
+    input.addData(("wk-a", 1L), ("wk-b", 2L), ("wk-x", 3L))
+    val query = writer.start()
+    query.processAllAvailable()
+    graft.sources.ConfigStore.setSourceStatus(url, 2L, "disabled")
+    input.addData(("wk-a", 4L), ("wk-b", 5L))
+    query.processAllAvailable()
+    query.stop()
+
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byBatch.size == 2, s"per-batch output: $byBatch")
+    val batches = byBatch.keys.toSeq.sorted
+    assert(byBatch(batches.head) == Seq("wk-a", "wk-b"))
+    assert(byBatch(batches.last) == Seq("wk-a"))
+  }
+
   test("stream-stream interval join matches views in the hour before purchase") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Long, Long)]
