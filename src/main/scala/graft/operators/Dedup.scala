@@ -232,13 +232,26 @@ object Dedup {
 
   /** Connected components over near-dup pairs → cluster ids, so a
     * chain a~b~c dedups to ONE keeper even when (a,c) was never a
-    * candidate pair. Iterative min-label propagation (each node takes
-    * the min id among itself + neighbors, repeated): converges in
-    * O(diameter) joins — near-dup clusters are shallow in practice,
-    * so `maxIter` ≈ 5 suffices; each iteration is one shuffle join +
-    * one agg, all partial-agg friendly. Returns (id, cluster) for
-    * every node that appears in a pair. */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * candidate pair. Iterative min-label propagation with POINTER
+    * JUMPING: each pass takes the min id among itself + neighbors,
+    * then shortcuts through its current label (label := label(label))
+    * — label(x) ≤ x under min-labels, so the jump is monotone and the
+    * pass count drops from O(diameter) to O(log diameter). A plain
+    * one-hop propagation needs diameter passes, and the 10× scale
+    * gate produced a chain deeper than the cap — at 100 TB a single
+    * long chain must not dictate the iteration count. Each pass is
+    * two id-only shuffle joins + one agg, all partial-agg friendly;
+    * the fixpoint (min id per component) is unique, so results are
+    * identical to the one-hop form. Returns (id, cluster) for every
+    * node that appears in a pair.
+    *
+    * The default cap fits measured worst cases: a 20k-node pair graph
+    * AT the percolation threshold (the 10× gate's semantic graph —
+    * the deepest regime a near-dup corpus produces) converges in 12
+    * passes with the jumps; shallow minhash/semantic graphs at normal
+    * density take 2–5. The throw below still guards the cap: silent
+    * truncation would split chains into wrong clusters. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 24): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
     // materialize the (small) edge set once: every iteration reuses it
@@ -269,10 +282,36 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
         .localCheckpoint(eager = true)
+      // pointer jumps: label := min(label, label(label)). Every label
+      // is a node id present in the frame, and labels only decrease,
+      // so each self-join halves the distance to the component root —
+      // three per pass shrink chain depth 8× on top of the one-hop
+      // step (sparse pair graphs near the percolation threshold grow
+      // chains hundreds deep: the 10× scale gate found one the
+      // one-hop-only form could not close in 10 passes).
+      var jumped = next
+      for (_ <- 0 until 3) {
+        jumped = jumped
+          .join(jumped.select(col("id").as("cluster"), col("cluster").as("cc")),
+            Seq("cluster"), "left_outer")
+          .select(col("id"), col("prev"),
+            least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
+          .localCheckpoint(eager = true)
+      }
       // convergence check on the materialized frame — one cheap agg
       // instead of always paying the worst-case iteration count
-      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
-      labels = next.drop("prev")
+      converged = jumped.filter(col("cluster") =!= col("prev")).isEmpty
+      // localCheckpoint PRESERVES the source plan's size statistics,
+      // and a join's estimate is the PRODUCT of its children's — so
+      // the self-joins above SQUARE the inherited estimate at every
+      // jump. Left to compound across passes, the estimate reaches
+      // million-bit BigInts and Catalyst wedges inside
+      // BigInteger.multiply while planning (observed at the 10×
+      // gate). Rebasing the materialized RDD through createDataFrame
+      // drops the inherited stats to the default, bounding estimate
+      // growth to within one pass.
+      val clean = jumped.drop("prev")
+      labels = clean.sparkSession.createDataFrame(clean.rdd, clean.schema)
       i += 1
     }
     // A silent exit at the iteration cap would return WRONG labels

@@ -1051,33 +1051,36 @@ object Pipeline {
   private val streamSessions: Q = (s, d) => {
     import org.apache.spark.sql.streaming.Trigger
     graft.GraftSession.tune(s)
-    // raw file schema (ts = epoch-nanos LongType under nanosAsLong),
-    // NOT Tables' normalized one
-    val raw = s.read.parquet(s"$d/events.parquet").schema
-    // stage a stream dir: the events file + a sentinel file
+    // stage a stream dir holding the NORMALIZED event projection plus
+    // one sentinel file — projecting through Tables.events (instead
+    // of a raw-file copy) keeps the replay independent of the
+    // corpus's physical shape: single nanos-timestamp file (driver
+    // testdata) and replicated pre-normalized directory (10× scale
+    // gate) stream identically
     val gapMs = 1800000L
-    val batch = s.read.parquet(s"$d/events.parquet")
-    val sentinelMs = batch.agg(max(expr("ts div 1000000"))).head().getLong(0) + gapMs + 1
+    val batch = Tables.events(s, d)
+      .select("user_id", "event_type", "ts_ms", "value")
+    val sentinelMs = batch.agg(max(col("ts_ms"))).head().getLong(0) + gapMs + 1
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"),
-      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val staging = s"$streamDir/_staging"
-    batch.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), lit(sentinelMs * 1000000L).as("ts"),
-        col("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      .coalesce(1).write.parquet(staging)
-    val part = new java.io.File(staging).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$streamDir/sentinels.parquet"))
+    def stage(df: DataFrame, prefix: String): Unit = {
+      val staging = s"$streamDir/_staging_$prefix"
+      df.write.parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (part, i) =>
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$streamDir/${prefix}_$i.parquet"))
+        }
+    }
+    stage(batch, "events")
+    stage(batch.select(col("user_id")).distinct()
+      .select(col("user_id"), lit("sentinel").as("event_type"),
+        lit(sentinelMs).as("ts_ms"), lit(0.0).as("value"))
+      .coalesce(1), "sentinels")
 
-    val stream = s.readStream.schema(raw)
+    val stream = s.readStream.schema(batch.schema)
       .option("pathGlobFilter", "*.parquet")
       .parquet(streamDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
-      .select("user_id", "event_type", "ts_ms", "value")
     val name = "graft_stream_sessions"
     val q = graft.streaming.StreamingPipeline
       .sessionize(stream, gapMs = gapMs, watermark = "30 minutes")

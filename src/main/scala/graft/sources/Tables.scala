@@ -28,9 +28,14 @@ object Tables {
     *  - `ts_ms`  epoch millis (BIGINT, floor) — the canonical event
     *    time used by every pipeline operator (ns→ms floor matches the
     *    DuckDB oracle's `epoch_ns(ts)//1000000`),
-    *  - `ts` TimestampType (micros) for windowing/watermarks. */
+    *  - `ts` TimestampType (micros) for windowing/watermarks.
+    * Idempotent: a corpus WRITTEN from this frame (the replicated
+    * scale-smoke tables) already carries ts_ms + a micros ts — the
+    * double floor ns→µs→ms equals the single ns→ms floor, so reading
+    * it back unchanged keeps every oracle consistent. */
   private def normalizeEvents(df: DataFrame): DataFrame =
-    df.withColumn("ts_ms", expr("ts div 1000000"))
+    if (df.columns.contains("ts_ms")) df
+    else df.withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
