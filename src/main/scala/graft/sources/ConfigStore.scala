@@ -150,6 +150,22 @@ object ConfigStore {
     sources(spark, url).filter(col("status") === "enabled")
       .select(col("write_key"))
 
+  /** Point lookup for the HTTP handler's per-request auth
+    * (configdb.go:566 `SELECT count(*) FROM source WHERE write_key=…`)
+    * — the socket path cannot afford a Spark job per request; the
+    * streaming paths use [[enabledWriteKeys]] as a broadcast dim
+    * instead. */
+  def isWriteKeyEnabled(url: String, writeKey: String): Boolean =
+    withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "SELECT COUNT(*) FROM \"source\" WHERE write_key = ? AND status = 'enabled'")
+      try {
+        ps.setString(1, writeKey)
+        val rs = ps.executeQuery()
+        try { rs.next(); rs.getLong(1) > 0 } finally rs.close()
+      } finally ps.close()
+    }
+
   /** connection ⋈ source ⋈ destination, enabled rows only on both
     * sides — the router's fan-out dim: which destination(s) each
     * write key routes to, with the per-connection transform config. */

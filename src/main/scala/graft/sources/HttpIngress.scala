@@ -1,0 +1,88 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The gateway's web handler — the reference's HTTP ingress
+  * (gateway/gateway.go:324 startWebHandler, :624 ProcessRequest)
+  * realized on the JDK's built-in server:
+  *
+  *  - POST /v1/batch accepts a `{"batch":[...]}` envelope, checks the
+  *    writeKey against a pluggable resolver (back it with
+  *    [[ConfigStore.enabledWriteKeys]] for the durable config store,
+  *    as the reference checks configdb.go:566), and SPOOLS the raw
+  *    body as one atomically-renamed file per request.
+  *  - a Structured Streaming file source on the spool directory turns
+  *    accepted requests into the live intake stream —
+  *    `spark.readStream.text(spoolDir)` →
+  *    [[EventBatchReader.explodeBatches]] is the gateway→processor
+  *    hand-off with the SAME envelope semantics the batch gate
+  *    verifies (p_envelope).
+  *
+  * Spool-then-stream is the Spark-native shape for HTTP ingest: the
+  * socket handler does no processing (accept, auth, persist, 200 —
+  * exactly the reference's enqueue-into-jobsdb contract), so ingest
+  * throughput is bounded by file writes, and the engine consumes the
+  * spool with full streaming semantics (watermarks, exactly-once file
+  * tracking). At fleet scale the spool directory is an object-store
+  * prefix and N gateway pods write to it independently — the
+  * streaming reader needs no coordination with the writers.
+  */
+object HttpIngress {
+
+  /** Start the gateway on `port` (0 = ephemeral). Returns the server;
+    * `stop(0)` it when done. `isAuthorized` is consulted per request
+    * with the envelope's writeKey (401 on refusal, as gateway.go's
+    * auth middleware). */
+  def start(port: Int, spoolDir: String,
+            isAuthorized: String => Boolean): HttpServer = {
+    Files.createDirectories(Paths.get(spoolDir))
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    server.createContext("/v1/batch", (exchange: HttpExchange) => {
+      try {
+        if (exchange.getRequestMethod != "POST") respond(exchange, 405, "method")
+        else {
+          val body = new String(exchange.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          extractWriteKey(body) match {
+            case None => respond(exchange, 400, "no writeKey")
+            case Some(wk) if !isAuthorized(wk) => respond(exchange, 401, "unauthorized")
+            case Some(_) =>
+              // atomic spool: tmp write + rename, so the streaming
+              // file source never lists a half-written request
+              val n = seq.incrementAndGet()
+              val name = s"req_${System.currentTimeMillis()}_$n"
+              val tmp = Paths.get(spoolDir, s".$name.tmp")
+              Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+              Files.move(tmp, Paths.get(spoolDir, s"$name.json"),
+                StandardCopyOption.ATOMIC_MOVE)
+              respond(exchange, 200, """{"status":"ok"}""")
+          }
+        }
+      } catch {
+        case e: Throwable => respond(exchange, 500, e.getMessage)
+      }
+    })
+    server.setExecutor(null) // single dispatcher: accept/auth/persist only
+    server.start()
+    server
+  }
+
+  /** writeKey from the envelope body without a full JSON parse — the
+    * handler stays allocation-light; the streaming side does the real
+    * parse (from_json in EventBatchReader). */
+  private[sources] def extractWriteKey(body: String): Option[String] = {
+    val m = """"writeKey"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(body)
+    m.map(_.group(1))
+  }
+
+  private def respond(exchange: HttpExchange, code: Int, msg: String): Unit = {
+    val bytes = msg.getBytes(StandardCharsets.UTF_8)
+    exchange.sendResponseHeaders(code, bytes.length)
+    val os = exchange.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sinks.{HttpEgress, RestBatcher}
+import graft.sources.{ConfigStore, EventBatchReader, HttpIngress}
+
+/** The two HTTP seams of the reference run LIVE, in-JVM:
+  *
+  *  - INGRESS (gateway.go startWebHandler): real POSTs against
+  *    HttpIngress, write-key auth answered by the durable Derby
+  *    ConfigStore per request (configdb.go:566), accepted envelopes
+  *    spooled and consumed by a Structured Streaming file source
+  *    through the same EventBatchReader the batch gate verifies.
+  *  - EGRESS (router.go JobsRequestWorker → integrations Send): real
+  *    envelope bodies POSTed executor-side to a scripted destination
+  *    server, responses folded through Router.ackLedger, the retry
+  *    loop re-POSTing ONLY waiting_retry batches until terminal.
+  */
+class HttpLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def post(url: String, body: String): Int = {
+    val client = HttpClient.newHttpClient()
+    client.send(
+      HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("HTTP ingress: auth from the config store, spool to stream, envelope semantics") {
+    val dbUrl = "jdbc:derby:memory:graftconfig3;create=true"
+    ConfigStore.bootstrap(dbUrl)
+    ConfigStore.insertSource(dbUrl, 1L, "web", 1, "wk-live", 1, "{}")
+    ConfigStore.insertSource(dbUrl, 2L, "old", 1, "wk-dead", 1, "{}",
+      status = "disabled")
+    val spool = java.nio.file.Files.createTempDirectory("graft_spool").toString
+    val server = HttpIngress.start(0, spool,
+      wk => ConfigStore.isWriteKeyEnabled(dbUrl, wk))
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/v1/batch"
+      def env(wk: String, events: String*) =
+        s"""{"writeKey":"$wk","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[${events.mkString(",")}]}"""
+      def evt(id: String, name: String) =
+        s"""{"messageId":"$id","userId":"u1","event":"$name","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:05:00.000Z"}"""
+
+      assert(post(base, env("wk-live", evt("m1", "click"), evt("m2", "view"))) == 200)
+      assert(post(base, env("wk-live", evt("m3", "purchase"))) == 200)
+      assert(post(base, env("wk-dead", evt("m4", "click"))) == 401)
+      assert(post(base, """{"batch":[]}""") == 400) // no writeKey at all
+      assert(new java.io.File(spool).listFiles()
+        .count(_.getName.endsWith(".json")) == 2)
+
+      // the spool is the stream: requests → envelopes → events
+      val stream = spark.readStream.text(spool)
+      val events = EventBatchReader.explodeBatches(
+        stream.withColumnRenamed("value", "raw"), "raw")
+      val q = events.writeStream.format("memory").queryName("http_ingress")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("http_ingress")
+        .select("message_id", "event", "write_key").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("m1", "click", "wk-live"), ("m2", "view", "wk-live"),
+        ("m3", "purchase", "wk-live")))
+    } finally server.stop(0)
+  }
+
+  test("HTTP egress: executor-side POSTs + ledger-driven retries converge to terminal states") {
+    // scripted destination endpoints, one context per scenario; each
+    // counts its requests so the retry discipline is observable
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def handler(script: Int => Int): HttpExchange => Unit = { exchange =>
+      val key = exchange.getHttpContext.getPath
+      val n = hits.merge(key, 1, (a, b) => a + b)
+      exchange.getRequestBody.readAllBytes() // drain
+      val code = script(n)
+      exchange.sendResponseHeaders(code, -1)
+      exchange.close()
+    }
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/ok", e => handler(_ => 200)(e))
+    server.createContext("/flaky", e => handler(n => if (n == 1) 503 else 200)(e))
+    server.createContext("/down", e => handler(_ => 503)(e))
+    server.createContext("/bad", e => handler(_ => 400)(e))
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val urls = Map("ok" -> s"$base/ok", "flaky" -> s"$base/flaky",
+        "down" -> s"$base/down", "bad" -> s"$base/bad")
+      val events = Seq("ok", "flaky", "down", "bad")
+        .flatMap(d => (0 until 3).map(i => (d, i.toLong, s"e$i")))
+        .toDF("dest", "seq", "name")
+      val envelopes = RestBatcher.envelopes(events, "dest", "seq", size = 3)
+
+      val ledger = HttpEgress.deliverWithRetries(envelopes, "dest", "batch_id",
+        "body", urls, maxRetry = 3, baseBackoffMs = 1L, sleeper = _ => ())
+      val got = ledger.select("dest", "n_attempts", "state").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+      assert(got == Map(
+        "ok" -> ((1L, "succeeded")),      // first POST lands
+        "flaky" -> ((2L, "succeeded")),   // 503 then recovered
+        "down" -> ((3L, "aborted")),      // retry ceiling
+        "bad" -> ((1L, "aborted"))), got.toString) // non-retryable, no retry
+      // the wire saw exactly the retry discipline the ledger claims:
+      // re-POSTs only for retryable batches, none after terminal
+      assert(hits.get("/ok") == 1 && hits.get("/flaky") == 2 &&
+        hits.get("/down") == 3 && hits.get("/bad") == 1, hits.toString)
+    } finally server.stop(0)
+  }
+}
