@@ -115,4 +115,69 @@ class HttpLoopSpec extends SparkSpec {
         hits.get("/down") == 3 && hits.get("/bad") == 1, hits.toString)
     } finally server.stop(0)
   }
+
+  test("full server loop: POST to gateway → route by config store → POST to destinations → ledger") {
+    // the reference's entire gateway→processor→router→destination
+    // cycle live: ingress socket, Derby-backed routing config,
+    // fan-out join, envelope build, egress sockets, ack ledger
+    val dbUrl = "jdbc:derby:memory:graftconfig4;create=true"
+    ConfigStore.bootstrap(dbUrl)
+    ConfigStore.insertSource(dbUrl, 1L, "web", 1, "wk-live", 1, "{}")
+    ConfigStore.insertDestination(dbUrl, 1L, "powerbi", 2, 1, "{}")
+    ConfigStore.insertDestination(dbUrl, 2L, "keen", 3, 1, "{}")
+    ConfigStore.insertConnection(dbUrl, 1L, 1, 1)
+    ConfigStore.insertConnection(dbUrl, 2L, 1, 2)
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    val gateway = HttpIngress.start(0, spool,
+      wk => ConfigStore.isWriteKeyEnabled(dbUrl, wk))
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val dests = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    dests.createContext("/powerbi", { e =>
+      hits.merge("/powerbi", 1, (a, b) => a + b)
+      e.getRequestBody.readAllBytes()
+      e.sendResponseHeaders(200, -1); e.close()
+    })
+    dests.createContext("/keen", { e =>
+      val n = hits.merge("/keen", 1, (a, b) => a + b)
+      e.getRequestBody.readAllBytes()
+      e.sendResponseHeaders(if (n == 1) 503 else 200, -1); e.close()
+    })
+    dests.start()
+    try {
+      val in = s"http://localhost:${gateway.getAddress.getPort}/v1/batch"
+      def evt(id: String, name: String) =
+        s"""{"messageId":"$id","userId":"u1","event":"$name","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:05:00.000Z"}"""
+      assert(post(in, s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[${evt("m1", "click")},${evt("m2", "view")}]}""") == 200)
+      assert(post(in, s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[${evt("m3", "purchase")}]}""") == 200)
+
+      // processor: spool → envelope explode → fan-out on the routing dim
+      val events = EventBatchReader.explodeBatches(
+        spark.read.text(spool).withColumnRenamed("value", "raw"), "raw")
+      val routing = ConfigStore.routingTable(spark, dbUrl)
+      val routed = events.join(broadcast(routing), "write_key")
+        .withColumn("ord", xxhash64(col("message_id")))
+      assert(routed.count() == 6) // 3 events × 2 destinations
+
+      // router: envelope build + live delivery with retries
+      val base = s"http://localhost:${dests.getAddress.getPort}"
+      val urls = Map("powerbi" -> s"$base/powerbi", "keen" -> s"$base/keen")
+      val envelopes = RestBatcher.envelopes(
+        routed.select("destination_name", "ord", "message_id", "event"),
+        "destination_name", "ord", size = 10)
+      val ledger = HttpEgress.deliverWithRetries(envelopes,
+        "destination_name", "batch_id", "body", urls,
+        maxRetry = 3, baseBackoffMs = 1L, sleeper = _ => ())
+      val got = ledger.select("destination_name", "n_attempts", "state")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(got == Map(
+        "powerbi" -> ((1L, "succeeded")),
+        "keen" -> ((2L, "succeeded"))), got.toString)
+      assert(hits.get("/powerbi") == 1 && hits.get("/keen") == 2, hits.toString)
+      // every routed event reached a destination envelope body
+      val delivered = envelopes
+        .agg(sum(size(split(col("body"), "\"message_id\"")) - 1)).head().getLong(0)
+      assert(delivered == 6, s"delivered=$delivered")
+    } finally { gateway.stop(0); dests.stop(0) }
+  }
 }
