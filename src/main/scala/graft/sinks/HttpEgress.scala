@@ -59,6 +59,41 @@ object HttpEgress {
       .toDF(destCol, batchIdCol, "attempt", "code", "ack_ms")
   }
 
+  /** Always-on delivery — the router worker as a stream: each
+    * micro-batch of envelopes POSTs executor-side (same per-partition
+    * client shape as [[postEnvelopes]]) and the resulting acks go to
+    * `ackSink` (append them to the ledger table that
+    * [[graft.streaming.StreamingPipeline.ackLedgerStream]] or the
+    * batch [[graft.operators.Router.ackLedger]] folds; re-delivery of
+    * `waiting_retry` batches is the ledger consumer's enqueue, as in
+    * jobsdb). `attemptCol` carries per-envelope attempt numbers when
+    * the upstream enqueues retries; absent, every send is attempt 1. */
+  def streamDeliver(envelopes: DataFrame, destCol: String,
+                    batchIdCol: String, bodyCol: String,
+                    urlByDest: Map[String, String],
+                    attemptCol: Option[String] = None,
+                    timeoutMs: Long = 10000L)(
+      ackSink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    envelopes.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], microBatchId: Long) =>
+        val acks = attemptCol match {
+          case Some(ac) =>
+            // per-attempt grouping keeps postEnvelopes' scalar contract
+            val attempts = df.select(col(ac).cast("int")).distinct()
+              .collect().map(_.getInt(0)).sorted
+            attempts.map(a => postEnvelopes(df.filter(col(ac) === a).toDF(),
+                destCol, batchIdCol, bodyCol, urlByDest, a, timeoutMs))
+              .reduceOption(_ unionByName _)
+              .getOrElse(postEnvelopes(df.limit(0).toDF(), destCol, batchIdCol,
+                bodyCol, urlByDest, 1, timeoutMs))
+          case None =>
+            postEnvelopes(df.toDF(), destCol, batchIdCol, bodyCol,
+              urlByDest, 1, timeoutMs)
+        }
+        ackSink(acks, microBatchId)
+    }
+
   /** The FULL JobsRequestWorker loop, batch form: POST every
     * envelope, fold acks into the ledger, re-POST only the
     * `waiting_retry` batches after their backoff, until every batch

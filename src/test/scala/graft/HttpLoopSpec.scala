@@ -116,6 +116,40 @@ class HttpLoopSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("streaming egress: each micro-batch POSTs live and its acks land in the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/sink", { e =>
+      hits.incrementAndGet()
+      e.getRequestBody.readAllBytes()
+      e.sendResponseHeaders(200, -1); e.close()
+    })
+    server.start()
+    try {
+      val urls = Map("pbi" -> s"http://localhost:${server.getAddress.getPort}/sink")
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long, String)]
+      val acks = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+      val writer = HttpEgress.streamDeliver(
+        input.toDF().toDF("dest", "batch_id", "body"),
+        "dest", "batch_id", "body", urls) { (df, mb) =>
+        df.collect().foreach(r => acks.synchronized {
+          acks += ((mb, r.getString(0), r.getLong(1), r.getLong(3))) })
+      }
+      input.addData(("pbi", 0L, """{"payload":["a"]}"""),
+        ("pbi", 1L, """{"payload":["b"]}"""))
+      val q = writer.start()
+      q.processAllAvailable()
+      input.addData(("pbi", 2L, """{"payload":["c"]}"""))
+      q.processAllAvailable()
+      q.stop()
+      assert(hits.get() == 3)
+      assert(acks.map(a => (a._3, a._4)).toSet == Set((0L, 200L), (1L, 200L), (2L, 200L)))
+      assert(acks.map(_._1).distinct.size == 2, "two micro-batches delivered")
+    } finally server.stop(0)
+  }
+
   test("full server loop: POST to gateway → route by config store → POST to destinations → ledger") {
     // the reference's entire gateway→processor→router→destination
     // cycle live: ingress socket, Derby-backed routing config,
