@@ -1483,6 +1483,75 @@ object LlmData {
       |UNION ALL SELECT 4, 'repetition', c3, c3 - c4, c4 FROM agg
       |ORDER BY stage_no""".stripMargin
 
+  // ----------------------------------------------- d_dedup_priority
+  // Cross-source dedup with a source-priority KEEPER POLICY: when the
+  // same normalized content appears in several sources, keep the copy
+  // from the highest-priority source (alphabetical source order
+  // stands in for the configured quality rank — wiki over web over
+  // crawl), breaking ties toward the lowest doc id. One struct-min
+  // partial agg on the fingerprint — the keeper choice never
+  // re-sorts a group.
+  private val dedupPriority: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(struct(col("source"), col("doc_id"))).as("_k"))
+      .filter(col("n_copies") > 1)
+      .select(col("fp"), col("n_copies"), col("n_sources"),
+        col("_k.source").as("keeper_source"), col("_k.doc_id").as("keeper_id"))
+      .orderBy("fp")
+  }
+
+  private val dedupPrioritySql =
+    """WITH f AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      |   FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+      |        ORDER BY source, doc_id) AS rn FROM f),
+      |g AS (SELECT fp, COUNT(*) AS n_copies,
+      |       COUNT(DISTINCT source) AS n_sources
+      |      FROM f GROUP BY fp HAVING COUNT(*) > 1)
+      |SELECT g.fp, g.n_copies, g.n_sources,
+      | r.source AS keeper_source, r.doc_id AS keeper_id
+      |FROM g JOIN r ON g.fp = r.fp AND r.rn = 1
+      |ORDER BY g.fp""".stripMargin
+
+  // -------------------------------------------------- t_doc_chunk
+  // Document chunking — the missing half of sequence packing: long
+  // documents split into max-length windows with overlap (stride =
+  // max_len − overlap), short ones pass through whole. Row-local
+  // explode of a computed range — no shuffle at all; chunk boundaries
+  // are pure token arithmetic, so the replay is exact.
+  private val docChunk: Q = (s, d) => {
+    val maxLen = 50L
+    val stride = 40L // overlap 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_tok - 1) div $stride"))))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        least(lit(maxLen), col("n_tok") - col("chunk_start")).as("chunk_len"),
+        element_at(col("t"), (col("chunk_start") + 1).cast("int")).as("first_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val docChunkSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |            len(string_split(text, ' ')) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, t, n_tok,
+      |       unnest(generate_series(0, (n_tok - 1) // 40)) AS chunk_idx
+      |      FROM t)
+      |SELECT doc_id, chunk_idx, chunk_idx * 40 AS chunk_start,
+      | LEAST(50, n_tok - chunk_idx * 40) AS chunk_len,
+      | t[chunk_idx * 40 + 1] AS first_tok
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ----------------------------------------------- d_fingerprint_dup
   // Near-dup clusters by normalized fingerprint (word-order/dup
   // invariant): the cheap set-identity tier between exact-hash and
@@ -1923,6 +1992,8 @@ object LlmData {
     "t_bigram_top" -> bigramTop,
     "t_pii_scrub" -> piiScrub,
     "d_fingerprint_dup" -> fingerprintDup,
+    "d_dedup_priority" -> dedupPriority,
+    "t_doc_chunk" -> docChunk,
     "d_split_assign" -> splitAssign,
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
@@ -2014,6 +2085,8 @@ object LlmData {
     "t_bigram_top" -> bigramTopSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_fingerprint_dup" -> fingerprintDupSql,
+    "d_dedup_priority" -> dedupPrioritySql,
+    "t_doc_chunk" -> docChunkSql,
     "d_split_assign" -> splitAssignSql,
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
