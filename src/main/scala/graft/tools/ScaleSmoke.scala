@@ -123,6 +123,19 @@ object ScaleSmoke {
           minCos = 0.35)
         .count()
     time("semdedup_x1")(semDedup(emb1)); time(s"semdedup_x$n")(semDedup(embBig))
+    // round-8 entry: the min-label closure over the semantic pair
+    // graph — at 10× the pair graph sits AT the percolation threshold
+    // (deep chains, 100× pairs), the regime that exposed the one-hop
+    // cap-out and the Catalyst stats wedge; pass count is logarithmic
+    // (pointer jumps), so the wall should grow ~linearly with the
+    // pair volume, not with chain depth
+    def semClusters(df: DataFrame): Long =
+      graft.operators.Dedup.clusterPairs(
+        graft.operators.Similarity.semanticDedup(df, "vec_id", "embedding",
+          numPlanes = 6, dim = 64, minCos = 0.35))
+        .count()
+    time("sem_clusters_x1")(semClusters(emb1))
+    time(s"sem_clusters_x$n")(semClusters(embBig))
     // round-6 entries: both are one-window-shuffle shapes — the wall
     // should track the shuffle volume linearly
     def scd2(df: DataFrame): Long =
