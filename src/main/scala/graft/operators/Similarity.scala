@@ -186,17 +186,20 @@ object Similarity {
 
   /** Squared-L2 argmin over centroid literals: ‖c‖² − 2⟨x,c⟩ (‖x‖²
     * constant per row, drops out); ties break toward the lower cell
-    * index (struct min), so assignment is deterministic. The score is
-    * ROUNDED to 6 digits before the argmin: a replay engine computes
-    * the same dot as a group-agg whose accumulation order differs, so
-    * an unrounded near-tie could flip the assignment cross-engine.
-    * Expects the vector in `_v`. */
-  private def assignExpr(cs: Array[Array[Double]]): Column = {
+    * index (struct min), so assignment is deterministic. With
+    * `replayExact` the score is ROUNDED to 6 digits before the
+    * argmin: a replay engine computes the same dot as a group-agg
+    * whose accumulation order differs, so an unrounded near-tie could
+    * flip the assignment cross-engine. Lloyd TRAINING passes false —
+    * training runs on Spark alone (no replay), so it skips the k
+    * round() calls per row. Expects the vector in `_v`. */
+  private def assignExpr(cs: Array[Array[Double]],
+                         replayExact: Boolean = true): Column = {
     val scored = cs.zipWithIndex.map { case (cvec, j) =>
       val carr = array(cvec.map(lit): _*)
       val c2 = cvec.map(x => x * x).sum
-      struct(round(lit(c2) - lit(2.0) * dot(col("_v"), carr), 6).as("s"),
-        lit(j).as("j"))
+      val raw = lit(c2) - lit(2.0) * dot(col("_v"), carr)
+      struct((if (replayExact) round(raw, 6) else raw).as("s"), lit(j).as("j"))
     }
     array_min(array(scored: _*)).getField("j")
   }
@@ -218,7 +221,8 @@ object Similarity {
       collectVecs(sample.orderBy(md5(col(idCol).cast("string"))).limit(k), "_v")
 
     for (_ <- 0 until iters) {
-      val assigned = sample.withColumn("cell", assignExpr(centroids))
+      val assigned = sample.withColumn("cell",
+        assignExpr(centroids, replayExact = false))
       val means = assigned
         .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
