@@ -214,6 +214,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t_doc_chunk / d_dedup_priority: chunking plans no hash exchange, priority keeper has no rank window") {
+    // chunking is a row-local explode — the only exchange the plan may
+    // contain is the gate's final orderBy (range partitioning)
+    val chunk = formatted("t_doc_chunk")
+    assert(!chunk.contains("hashpartitioning"), "chunking must not shuffle")
+    // the keeper policy is a struct-min partial agg — a regression to
+    // rank-then-filter (per-group sort) fails here
+    val prio = formatted("d_dedup_priority")
+    assert(!prio.contains("Window"), "keeper choice must not rank")
+  }
+
   test("p_ack_ledger: batcher window, ack agg and envelope join stay hash-partitioned, no sort-merge") {
     // the envelope build (window on event_type), the ack argmax agg
     // and the envelope↔ack join all key on (event_type[, batch_id]) —
