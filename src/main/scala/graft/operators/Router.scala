@@ -31,24 +31,48 @@ object Router {
     *
     * Scale shape: `row_number = running count`, so the per-destination
     * ordered window is a [[ShardedWindow.runningSum]] over `lit(1)` —
-    * the numeric order key is RANGE-sharded by an equi-width split of
-    * its [min, max] span (one tiny min/max agg picks the bounds, cost
-    * one column scan), each task sorts ~1/S of a destination, and no
-    * task ever holds a whole destination. With a handful of
+    * the numeric order key is RANGE-sharded on QUANTILE boundaries of
+    * its distribution (one approx_percentile agg picks the bounds,
+    * cost one column scan — the same literal-boundary discipline as
+    * q25's distributed decile), so each task sorts ~1/S of a
+    * destination EVEN when the key density is clustered (epoch-ms ids
+    * with a hot hour collapse an equi-width [min,max] split into a few
+    * hot shards; quantile bounds track the density by construction).
+    * No task ever holds a whole destination: with a handful of
     * destinations at 100 TB the plain `partitionBy(dest)` window is a
     * single-task sort; this shape is flat under that skew (see
-    * ScaleSmoke's ONE-destination entry). */
+    * ScaleSmoke's ONE-destination and clustered-key entries).
+    *
+    * `orderCol` must be numeric (castable to bigint) and non-null —
+    * a null key has no position in the reference's ordered slice
+    * either. Fails fast with a diagnosable message instead of a null
+    * shard NPE deep inside the window. */
   def microBatch(df: DataFrame, destCol: String, orderCol: String,
                  size: Int): DataFrame = {
     val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val bounds = df.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long")).head()
-    val (lo, hi) =
-      if (bounds.isNullAt(0)) (0L, 0L)
-      else (bounds.getLong(0), bounds.getLong(1))
-    // equi-width range shard: monotone in the order key by construction
-    val span = math.max(1L, (hi - lo) / shards + 1L)
-    val shard = expr(s"(cast($orderCol as bigint) - ${lo}L) div ${span}L")
+    val key = col(orderCol).cast("bigint")
+    val probs = (1 until shards).map(_.toDouble / shards)
+    val boundsCol =
+      if (probs.isEmpty) lit(null).cast("array<bigint>")
+      else percentile_approx(key, lit(probs.toArray), lit(10000))
+    val stats = df.agg(
+      count(when(key.isNull, lit(1))).as("bad"),
+      boundsCol.as("bounds")).head()
+    require(stats.getLong(0) == 0L,
+      s"Router.microBatch: order column '$orderCol' must be non-null " +
+        s"numeric (castable to bigint); ${stats.getLong(0)} row(s) have " +
+        "null or non-castable values")
+    // distinct ascending boundaries: heavy ties collapse adjacent
+    // quantiles — those rows must share a shard anyway (monotonicity),
+    // so dropping duplicate bounds loses nothing
+    val bounds: Seq[Long] =
+      if (stats.isNullAt(1)) Seq.empty
+      else stats.getSeq[Long](1).distinct.sorted
+    // shard = #boundaries below the key: a monotone non-decreasing
+    // step function of the key (ties share a shard), each step holding
+    // ~1/S of the rows regardless of key density
+    val shard = bounds.map(b => when(key > lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
     ShardedWindow.runningSum(df, destCol, shard, Seq(col(orderCol)),
         lit(1L), "__rn")
       .withColumn("batch_id", ((col("__rn") - 1) / size).cast("long"))

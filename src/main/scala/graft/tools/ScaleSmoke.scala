@@ -178,6 +178,19 @@ object ScaleSmoke {
     val oneDestBig = evBig.withColumn("event_type", lit("d0"))
     time("micro_batch_skew_x1")(microBatchSum(oneDest1))
     time(s"micro_batch_skew_x$n")(microBatchSum(oneDestBig))
+    // round-9 entry: ONE destination AND a density-CLUSTERED order key
+    // — 90% of ids packed into a sliver of the key span, 10% spread
+    // 100× wider. An equi-width [min,max] shard split lands the hot
+    // mass in one shard (single-task sort returns); quantile-bounded
+    // shards must keep this flat 1×→N×
+    def clustered(df: DataFrame): DataFrame = df.withColumn("event_id",
+      when(pmod(col("event_id"), lit(10)) =!= 0,
+        pmod(col("event_id"), lit(1000000L)))
+        .otherwise(col("event_id") * 100L))
+    val clust1 = clustered(oneDest1)
+    val clustBig = clustered(oneDestBig)
+    time("micro_batch_clustered_x1")(microBatchSum(clust1))
+    time(s"micro_batch_clustered_x$n")(microBatchSum(clustBig))
     spark.stop()
   }
 }
