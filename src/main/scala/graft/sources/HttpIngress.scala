@@ -35,16 +35,36 @@ object HttpIngress {
   /** Start the gateway on `port` (0 = ephemeral). Returns the server;
     * `stop(0)` it when done. `isAuthorized` is consulted per request
     * with the envelope's writeKey (401 on refusal, as gateway.go's
-    * auth middleware). */
+    * auth middleware).
+    *
+    * Concurrency: `threads` handler threads serve requests (the
+    * reference gateway's concurrent webRequestQ workers), and at most
+    * `maxInFlight` of them do body-read + auth + fsync at once. A
+    * request arriving with every permit taken is answered 503
+    * IMMEDIATELY — overload sheds load, it never hangs a client — so
+    * the pool keeps headroom over the permit count (a 503 needs a
+    * thread too; enforced below). */
   def start(port: Int, spoolDir: String,
-            isAuthorized: String => Boolean): HttpServer = {
+            isAuthorized: String => Boolean,
+            threads: Int = 16, maxInFlight: Int = 8): HttpServer = {
+    require(threads > maxInFlight,
+      s"HttpIngress: threads ($threads) must exceed maxInFlight " +
+        s"($maxInFlight) so overload 503s always find a free thread")
     Files.createDirectories(Paths.get(spoolDir))
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // per-instance nonce: N gateway pods share one spool directory
+    // (object-store prefix at fleet scale) — names must not collide
+    // across processes, and an AtomicLong alone restarts at 0 in every
+    // pod
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    val permits = new java.util.concurrent.Semaphore(maxInFlight)
     server.createContext("/v1/batch", (exchange: HttpExchange) => {
       try {
         if (exchange.getRequestMethod != "POST") respond(exchange, 405, "method")
-        else {
+        else if (!permits.tryAcquire()) // shed before reading the body
+          respond(exchange, 503, """{"status":"server busy"}""")
+        else try {
           val body = new String(exchange.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
           extractWriteKey(body) match {
@@ -53,20 +73,25 @@ object HttpIngress {
             case Some(_) =>
               // atomic spool: tmp write + rename, so the streaming
               // file source never lists a half-written request
-              val n = seq.incrementAndGet()
-              val name = s"req_${System.currentTimeMillis()}_$n"
+              val name = s"req_${nonce}_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
               val tmp = Paths.get(spoolDir, s".$name.tmp")
               Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
               Files.move(tmp, Paths.get(spoolDir, s"$name.json"),
                 StandardCopyOption.ATOMIC_MOVE)
               respond(exchange, 200, """{"status":"ok"}""")
           }
-        }
+        } finally permits.release()
       } catch {
-        case e: Throwable => respond(exchange, 500, e.getMessage)
+        // getMessage can be null (NPE et al.) — never let the error
+        // body itself throw and leave the client with no response
+        case e: Throwable => respond(exchange, 500, String.valueOf(e.getMessage))
       }
     })
-    server.setExecutor(null) // single dispatcher: accept/auth/persist only
+    // daemon threads: server.stop() doesn't shut the executor down,
+    // and a non-daemon pool would pin the JVM after the gateway stops
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => { val t = new Thread(r, "graft-ingress"); t.setDaemon(true); t })
+    server.setExecutor(pool)
     server.start()
     server
   }

@@ -72,6 +72,58 @@ class HttpLoopSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP ingress: concurrent clients all spool; overload sheds 503, never hangs") {
+    val spool = java.nio.file.Files.createTempDirectory("graft_spool_conc").toString
+    def env(i: Int) =
+      s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[{"messageId":"c$i","userId":"u1","event":"e","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:00:00.000Z"}]}"""
+
+    // phase 1: 32 parallel clients, ample permits — none lost, all 200
+    val server = HttpIngress.start(0, spool, _ => true,
+      threads = 16, maxInFlight = 8)
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/v1/batch"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      val codes = (0 until 32).map(i =>
+        pool.submit(() => post(base, env(i)): Integer))
+        .map(_.get(30, java.util.concurrent.TimeUnit.SECONDS).toInt)
+      pool.shutdown()
+      assert(codes.forall(_ == 200), codes.groupBy(identity).view.mapValues(_.size).toMap.toString)
+      val names = new java.io.File(spool).listFiles()
+        .filter(_.getName.endsWith(".json")).map(_.getName)
+      assert(names.length == 32, s"spooled ${names.length}")
+      assert(names.toSet.size == 32, "spool names must not collide")
+    } finally server.stop(0)
+
+    // phase 2: permits exhausted by requests parked in auth — the
+    // overflow gets an IMMEDIATE 503 while the parked ones still land
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val parked = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spool2 = java.nio.file.Files.createTempDirectory("graft_spool_ovl").toString
+    val slow = HttpIngress.start(0, spool2,
+      { _ => parked.incrementAndGet(); gate.await(); true },
+      threads = 8, maxInFlight = 2)
+    try {
+      val base = s"http://localhost:${slow.getAddress.getPort}/v1/batch"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val blocked = (0 until 2).map(i => pool.submit(() => post(base, env(i)): Integer))
+      // wait until both permits are held inside auth
+      val t0 = System.currentTimeMillis()
+      while (parked.get() < 2 && System.currentTimeMillis() - t0 < 10000) Thread.sleep(10)
+      assert(parked.get() == 2)
+      // every further request is shed load: 503 within the timeout,
+      // no client ever hangs on a queue
+      val shed = (2 until 6).map(i => pool.submit(() => post(base, env(i)): Integer))
+        .map(_.get(10, java.util.concurrent.TimeUnit.SECONDS).toInt)
+      assert(shed.forall(_ == 503), shed.toString)
+      gate.countDown() // release the parked pair — they complete normally
+      assert(blocked.map(_.get(10, java.util.concurrent.TimeUnit.SECONDS).toInt)
+        .forall(_ == 200))
+      pool.shutdown()
+      assert(new java.io.File(spool2).listFiles()
+        .count(_.getName.endsWith(".json")) == 2)
+    } finally slow.stop(0)
+  }
+
   test("HTTP egress: executor-side POSTs + ledger-driven retries converge to terminal states") {
     // scripted destination endpoints, one context per scenario; each
     // counts its requests so the retry discipline is observable
