@@ -270,6 +270,19 @@ object Dedup {
       .localCheckpoint(eager = true)
     var i = 0
     var converged = e.isEmpty
+    // Pointer jumps are ADAPTIVE: a shallow graph (the common near-dup
+    // case — tight clusters, diameter 2-4) converges in a few one-hop
+    // passes, and 3 extra self-joins + checkpoints per pass are pure
+    // tax there. Deep chains announce themselves: one-hop propagation
+    // moves the min label ONE hop per pass, so the changed-label count
+    // PLATEAUS instead of collapsing geometrically. Jumps switch on
+    // (and stay on) when a pass retires less than half of the previous
+    // pass's changes — or unconditionally by pass 4, which bounds the
+    // worst case at ~4 cheap passes + O(log diameter) jumping ones.
+    // Jumps never affect the fixpoint (label := label(label) is
+    // monotone under min-labels), only the pass count.
+    var jumpsOn = false
+    var lastChanged = Long.MaxValue
     while (i < maxIter && !converged) {
       val neighborMin = e
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -282,36 +295,45 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
         .localCheckpoint(eager = true)
-      // pointer jumps: label := min(label, label(label)). Every label
-      // is a node id present in the frame, and labels only decrease,
-      // so each self-join halves the distance to the component root —
-      // three per pass shrink chain depth 8× on top of the one-hop
-      // step (sparse pair graphs near the percolation threshold grow
-      // chains hundreds deep: the 10× scale gate found one the
-      // one-hop-only form could not close in 10 passes).
-      var jumped = next
-      for (_ <- 0 until 3) {
-        jumped = jumped
-          .join(jumped.select(col("id").as("cluster"), col("cluster").as("cc")),
-            Seq("cluster"), "left_outer")
-          .select(col("id"), col("prev"),
-            least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
-          .localCheckpoint(eager = true)
+      // convergence + plateau detection in one cheap agg on the
+      // materialized frame: one-hop stability implies labels are
+      // constant per component (edges are symmetric), so converging
+      // HERE — before any jumps — is sound
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
+      if (changed == 0L) {
+        converged = true
+        labels = next.drop("prev")
+      } else {
+        jumpsOn = jumpsOn || changed * 2 > lastChanged || i >= 3
+        lastChanged = changed
+        // pointer jumps: label := min(label, label(label)). Every label
+        // is a node id present in the frame, and labels only decrease,
+        // so each self-join halves the distance to the component root —
+        // three per pass shrink chain depth 8× on top of the one-hop
+        // step (sparse pair graphs near the percolation threshold grow
+        // chains hundreds deep: the 10× scale gate found one the
+        // one-hop-only form could not close in 10 passes).
+        var jumped = next
+        if (jumpsOn) for (_ <- 0 until 3) {
+          jumped = jumped
+            .join(jumped.select(col("id").as("cluster"), col("cluster").as("cc")),
+              Seq("cluster"), "left_outer")
+            .select(col("id"), col("prev"),
+              least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
+            .localCheckpoint(eager = true)
+        }
+        // localCheckpoint PRESERVES the source plan's size statistics,
+        // and a join's estimate is the PRODUCT of its children's — so
+        // the self-joins above SQUARE the inherited estimate at every
+        // jump. Left to compound across passes, the estimate reaches
+        // million-bit BigInts and Catalyst wedges inside
+        // BigInteger.multiply while planning (observed at the 10×
+        // gate). Rebasing the materialized RDD through createDataFrame
+        // drops the inherited stats to the default, bounding estimate
+        // growth to within one pass.
+        val clean = jumped.drop("prev")
+        labels = clean.sparkSession.createDataFrame(clean.rdd, clean.schema)
       }
-      // convergence check on the materialized frame — one cheap agg
-      // instead of always paying the worst-case iteration count
-      converged = jumped.filter(col("cluster") =!= col("prev")).isEmpty
-      // localCheckpoint PRESERVES the source plan's size statistics,
-      // and a join's estimate is the PRODUCT of its children's — so
-      // the self-joins above SQUARE the inherited estimate at every
-      // jump. Left to compound across passes, the estimate reaches
-      // million-bit BigInts and Catalyst wedges inside
-      // BigInteger.multiply while planning (observed at the 10×
-      // gate). Rebasing the materialized RDD through createDataFrame
-      // drops the inherited stats to the default, bounding estimate
-      // growth to within one pass.
-      val clean = jumped.drop("prev")
-      labels = clean.sparkSession.createDataFrame(clean.rdd, clean.schema)
       i += 1
     }
     // A silent exit at the iteration cap would return WRONG labels
