@@ -33,17 +33,32 @@ object Bench {
     // overlap, kmeans cells) build ONCE per session; time them as
     // explicit `_store_*` keys so the queries that share them report
     // marginal cost instead of whichever runs first absorbing the
-    // build.
+    // build. Store keys are min-of-2 like the queries, but COLD both
+    // runs (clearStore before each) — a memo hit would time a map
+    // lookup, and single-run store numbers were the noisiest rows
+    // left in the round-8 bench.
     val stores = graft.queries.LlmData.storeBuilders.toSeq.sortBy(_._1)
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir); true } catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-            false
+        def coldOnce(): (Double, Boolean) = {
+          graft.operators.Dedup.clearStore()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir); true } catch {
+            case t: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+              false
+          }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val (t1, ok1) = coldOnce()
+        val best = if (ok1) { val (t2, _) = coldOnce(); math.min(t1, t2) } else t1
+        (name, best, ok1)
       }
+    // the clears above dropped the earlier families' memos — rebuild
+    // untimed so every family query below reports MARGINAL cost (its
+    // min-of-2 is warm-store by design: that is the per-query cost a
+    // session that built the store once actually pays)
+    graft.queries.LlmData.storeBuilders.valuesIterator
+      .foreach(fn => try fn(spark, sfDir) catch { case _: Throwable => () })
 
     // (name, seconds, ok) — a throwing query is NOT swallowed into a
     // normal-looking time: it is reported by name in "failed" and its
