@@ -39,6 +39,32 @@ object TransformRules {
       .foldLeft(afterHide) { case (d, (f, t)) => d.withColumnRenamed(f, t) }
   }
 
+  /** Per-connection transform fan-out for the live delivery loop —
+    * the processor applying each connection's `transforms` config
+    * before the router POSTs (processor.go hands transformBatchPayload
+    * the connection's rules; configdb.go:167 stores them per
+    * connection). `routing` is [[graft.sources.ConfigStore.routingTable]]'s
+    * shape: (write_key, destination_name, transforms). The routing dim
+    * is control-plane-tiny, so it collects to the driver and each
+    * destination gets ONE compiled plan over the events it routes —
+    * rules become Column algebra once per connection, never a
+    * row-loop. Connections feeding the same destination union by name
+    * (a rename on one connection pads the other's frame with nulls,
+    * exactly the reference's per-connection payload divergence).
+    * Returns destination → transformed frame. */
+  def routedTransforms(events: DataFrame, routing: DataFrame): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val conns = routing
+      .select("write_key", "destination_name", "transforms").collect()
+    conns.groupBy(_.getString(1)).map { case (dest, rs) =>
+      val branches = rs.toSeq.map { r =>
+        apply(events.filter(col("write_key") === r.getString(0)),
+          graft.model.Rule.fromJson(r.getString(2)))
+      }
+      dest -> branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** Destination-schema projection (transformer.go:150-177): only
     * fields present in the destination schema survive, each converted
     * with the Kassette cast semantics; conversion failure → null

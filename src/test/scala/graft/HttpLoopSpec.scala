@@ -202,6 +202,65 @@ class HttpLoopSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("config-store transforms run inside the live loop: FIELDMAP reaches the destination payload") {
+    // the reference's processor applies each connection's transforms
+    // config between gateway and router (transformer.go
+    // transformBatchPayload ← configdb connection.transforms) — here
+    // the rename/delete must be visible in the bytes the destination
+    // actually RECEIVES, not just in a frame
+    val dbUrl = "jdbc:derby:memory:graftconfig5;create=true"
+    ConfigStore.bootstrap(dbUrl)
+    ConfigStore.insertSource(dbUrl, 1L, "web", 1, "wk-live", 1, "{}")
+    ConfigStore.insertDestination(dbUrl, 1L, "powerbi", 2, 1, "{}")
+    ConfigStore.insertDestination(dbUrl, 2L, "keen", 3, 1, "{}")
+    ConfigStore.insertConnection(dbUrl, 1L, 1, 1,
+      """[{"type":"field_map","from":"event","to":"action"},
+        | {"type":"field_delete","field":"event","value":"drop-me"}]""".stripMargin)
+    ConfigStore.insertConnection(dbUrl, 2L, 1, 2) // keen: no transforms
+
+    val spool = java.nio.file.Files.createTempDirectory("graft_tf").toString
+    val gateway = HttpIngress.start(0, spool,
+      wk => ConfigStore.isWriteKeyEnabled(dbUrl, wk))
+    val bodies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val dests = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    for (path <- Seq("/powerbi", "/keen"))
+      dests.createContext(path, { e =>
+        bodies.merge(path, new String(e.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8), (a, b) => a + b)
+        e.sendResponseHeaders(200, -1); e.close()
+      })
+    dests.start()
+    try {
+      val in = s"http://localhost:${gateway.getAddress.getPort}/v1/batch"
+      def evt(id: String, name: String) =
+        s"""{"messageId":"$id","userId":"u1","event":"$name","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:05:00.000Z"}"""
+      assert(post(in, s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[${evt("m1", "click")},${evt("m2", "drop-me")}]}""") == 200)
+
+      val events = EventBatchReader.read(spark, spool)
+      val routing = ConfigStore.routingTable(spark, dbUrl)
+      val perDest = graft.operators.TransformRules.routedTransforms(events, routing)
+      assert(perDest.keySet == Set("powerbi", "keen"))
+
+      val base = s"http://localhost:${dests.getAddress.getPort}"
+      val urls = Map("powerbi" -> s"$base/powerbi", "keen" -> s"$base/keen")
+      perDest.foreach { case (dest, df) =>
+        val envelopes = RestBatcher.envelopes(
+          df.withColumn("dest", lit(dest))
+            .withColumn("ord", xxhash64(col("message_id"))),
+          "dest", "ord", size = 10)
+        val ledger = HttpEgress.deliverWithRetries(envelopes, "dest", "batch_id",
+          "body", urls, maxRetry = 3, baseBackoffMs = 1L, sleeper = _ => ())
+        assert(ledger.select("state").collect().forall(_.getString(0) == "succeeded"))
+      }
+      val pbi = bodies.get("/powerbi"); val keen = bodies.get("/keen")
+      // FIELDMAP rename visible on the wire; FIELDDELETE record gone
+      assert(pbi.contains(""""action":"click"""") && !pbi.contains(""""event""""), pbi)
+      assert(!pbi.contains("drop-me"), pbi)
+      // the untransformed connection still carries the original shape
+      assert(keen.contains(""""event":"click"""") && keen.contains("drop-me"), keen)
+    } finally { gateway.stop(0); dests.stop(0) }
+  }
+
   test("full server loop: POST to gateway → route by config store → POST to destinations → ledger") {
     // the reference's entire gateway→processor→router→destination
     // cycle live: ingress socket, Derby-backed routing config,
