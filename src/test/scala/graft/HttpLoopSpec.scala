@@ -77,15 +77,25 @@ class HttpLoopSpec extends SparkSpec {
     def env(i: Int) =
       s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[{"messageId":"c$i","userId":"u1","event":"e","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:00:00.000Z"}]}"""
 
-    // phase 1: 32 parallel clients, ample permits — none lost, all 200
+    // phase 1: 32 parallel clients against 8 permits — a burst MAY be
+    // shed (503 is the protocol: retry), but with retry-on-503 every
+    // client lands exactly once and no accepted event is lost
     val server = HttpIngress.start(0, spool, _ => true,
       threads = 16, maxInFlight = 8)
     try {
       val base = s"http://localhost:${server.getAddress.getPort}/v1/batch"
+      def postRetrying(body: String): Int = {
+        var code = 503; var tries = 0
+        while (code == 503 && tries < 50) {
+          code = post(base, body); tries += 1
+          if (code == 503) Thread.sleep(20)
+        }
+        code
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
       val codes = (0 until 32).map(i =>
-        pool.submit(() => post(base, env(i)): Integer))
-        .map(_.get(30, java.util.concurrent.TimeUnit.SECONDS).toInt)
+        pool.submit(() => postRetrying(env(i)): Integer))
+        .map(_.get(60, java.util.concurrent.TimeUnit.SECONDS).toInt)
       pool.shutdown()
       assert(codes.forall(_ == 200), codes.groupBy(identity).view.mapValues(_.size).toMap.toString)
       val names = new java.io.File(spool).listFiles()
