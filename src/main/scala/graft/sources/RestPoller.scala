@@ -252,4 +252,27 @@ object RestPoller {
       }
     out.result()
   }
+
+  /** One poll worker per enabled REST source in the config store —
+    * gateway.go:226 startWorkerHandlerTickers reads the configdb
+    * source rows and starts a ticker per source whose config carries a
+    * url (gateway.go:254-264 requires url/interval/count). Here each
+    * qualifying source gets a catch-up poll keyed `src_<id>` in the
+    * durable mark store; disabled sources and sources without a url
+    * (plain event sources) are skipped like the reference's guard.
+    * Returns (source name, polled windows) per started worker. */
+  def pollStoreSources(spark: org.apache.spark.sql.SparkSession,
+                       dbUrl: String, stateDir: String, spoolDir: String,
+                       nowMs: Long,
+                       client: HttpClient = HttpClient.newHttpClient(),
+                       timeoutMs: Long = 10000L): Seq[(String, Seq[(Long, Long, Int)])] =
+    ConfigStore.sources(spark, dbUrl)
+      .filter(org.apache.spark.sql.functions.col("status") === "enabled")
+      .select("id", "name", "write_key", "config").collect().toSeq
+      .filter(_.getString(3).contains("\"url\""))
+      .map { r =>
+        val cfg = configFromJson(r.getString(3))
+        r.getString(1) -> catchUp(stateDir, s"src_${r.getLong(0)}", spoolDir,
+          cfg, r.getString(2), nowMs, client, timeoutMs)
+      }
 }

@@ -137,6 +137,37 @@ class RestPollerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("one poll worker per enabled config-store source with a url (gateway.go:226)") {
+    val srv = new HistoryServer("activity-instance",
+      Map(T0 -> Seq(item("s1", "start"), item("s2", "end"))))
+    val state = tmpDir("graft_rp_state3"); val spool = tmpDir("graft_rp_spool3")
+    val dbUrl = "jdbc:derby:memory:graftrest1;create=true"
+    try {
+      graft.sources.ConfigStore.bootstrap(dbUrl)
+      // a REST source, a plain event source (no url), a DISABLED REST
+      // source — only the first starts a worker
+      graft.sources.ConfigStore.insertSource(dbUrl, 7L, "cam-live", 13,
+        "wk-cam", 1,
+        s"""{"url":"${srv.base}","count":"10","interval":"1","history":"1","activity-instance":"true"}""")
+      graft.sources.ConfigStore.insertSource(dbUrl, 8L, "web", 1, "wk-web", 1, "{}")
+      graft.sources.ConfigStore.insertSource(dbUrl, 9L, "cam-dead", 13,
+        "wk-dead", 1, s"""{"url":"${srv.base}","count":"10","interval":"1","history":"1","activity-instance":"true"}""",
+        status = "disabled")
+
+      val polled = graft.sources.RestPoller.pollStoreSources(spark, dbUrl,
+        state, spool, nowMs = T0 + 60000L)
+      assert(polled.map(_._1) == Seq("cam-live"))
+      assert(polled.head._2 == Seq((T0, T0 + 60000L, 2)))
+      assert(HighWaterMark.read(state, "src_7").contains(T0 + 60000L))
+      assert(HighWaterMark.read(state, "src_9").isEmpty)
+      // the spooled envelope carries the STORE row's write key
+      val events = EventBatchReader.read(spark, spool)
+        .select("message_id", "write_key").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(events == Set("s1" -> "wk-cam", "s2" -> "wk-cam"))
+    } finally srv.stop()
+  }
+
   test("a failed window replays: extract-then-commit is at-least-once on the wire") {
     val srv = new HistoryServer("process-instance",
       Map(T0 -> Seq(item("p1", "start"))))
