@@ -63,6 +63,62 @@ object LlmData {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------------------- d_source_dup_rate
+  // Per-source duplication profile — the curation-dashboard number a
+  // corpus owner reads before deciding where to spend dedup budget:
+  // for each source, how many docs sit in ANY near-dup pair. Rides the
+  // memoized pair store; the dup id set is 8-byte ids (AQE broadcasts
+  // it at typical dup rates), the profile is one partial agg on
+  // source — the corpus text never shuffles.
+  private val sourceDupRate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
+    val dupIds = pairs.select(col("id1").as("doc_id"))
+      .unionAll(pairs.select(col("id2").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    docs.join(dupIds, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  private val sourceDupRateSql = {
+    val P = Dedup.MinhashP
+    val coeffs = Dedup.minhashCoeffs(16)
+    val mhAggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"mh${j * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, md5(concat_ws('|', $cols)) AS band_hash FROM mh"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |starts AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+       |sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM starts),
+       |shx AS (SELECT doc_id,
+       |         TRY_CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS x
+       |        FROM sh),
+       |mh AS (SELECT doc_id,
+       |        $mhAggs
+       |       FROM shx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |dup AS (SELECT id1 AS doc_id FROM pairs UNION SELECT id2 FROM pairs)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  ROUND(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   // ---------------------------------------------- d_minhash_estimate
   private val minhashEstimate: Q = (s, d) =>
     Dedup.minhashJaccardEstimate(Tables.documents(s, d), "doc_id", "text",
@@ -416,6 +472,32 @@ object LlmData {
        | UNION
        | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
        |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
+
+  // ------------------------------------------------------ s_knn_degree
+  // Degree profile of the semantic k-NN graph — the structure every
+  // embedding-dedup / clustering pipeline builds first; its histogram
+  // (how many nodes have how many ≥-threshold neighbors) is the knob
+  // that picks the dedup threshold and predicts cluster blow-up.
+  // Rides the same sign-bit-blocked pair generation as d_semdedup (no
+  // all-pairs path); the profile itself is two id-only partial aggs.
+  private val knnDegree: Q = (s, d) => {
+    val pairs = Similarity.semanticDedup(Tables.embeddings(s, d),
+      "vec_id", "embedding", numPlanes = 6, dim = 64, minCos = 0.35)
+    val deg = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val knnDegreeSql =
+    s"""$semDedupCtes,
+       |ends AS (SELECT id1 AS id FROM sempairs
+       |         UNION ALL SELECT id2 FROM sempairs),
+       |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM ends GROUP BY id)
+       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
   // ---------------------------------------------------- s_cosine_topk
   private val cosineTopK: Q = (s, d) => {
@@ -2030,7 +2112,9 @@ object LlmData {
     "m_phash_dup" -> phashDup,
     "s_lsh_recall" -> lshRecall,
     "s_ivf_recall" -> ivfRecall,
-    "d_sem_clusters" -> semClusters)
+    "d_sem_clusters" -> semClusters,
+    "d_source_dup_rate" -> sourceDupRate,
+    "s_knn_degree" -> knnDegree)
 
   /** Named session-store builders with the exact parameters the gate
     * queries use. Bench times these as standalone `_store_*` keys so
@@ -2072,6 +2156,8 @@ object LlmData {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d_source_dup_rate" -> sourceDupRateSql,
+    "s_knn_degree" -> knnDegreeSql,
     "t_ngram_diversity" -> ngramDiversitySql,
     "d_mix_weights" -> mixWeightsSql,
     "t_seq_pack" -> seqPackSql,
