@@ -862,6 +862,50 @@ object LlmData {
       |  ELSE 'fr' END AS pred_lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- t_lang_mix
+  // Per-source language mix + metadata agreement — the curation view
+  // that flags mislabeled scrapes: for each (source, detected lang),
+  // the doc share within the source and how often the stored `lang`
+  // label agrees with the n-gram detector (zh-labeled docs can never
+  // agree with the 4-way detector — exactly the mismatch signal).
+  // One partial agg on (source, pred_lang); the share window runs
+  // over the AGGREGATED frame (≤ sources × langs rows, partitioned by
+  // source) — never over the corpus.
+  private val langMix: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), T.langId(col("text")).as("pred_lang"))
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), lit(1L)).otherwise(lit(0L)))
+          .as("n_label_agree"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") / sum("n_docs").over(w), 6))
+      .orderBy("source", "pred_lang")
+  }
+
+  private val langMixSql =
+    """WITH pred AS (SELECT source, lang,
+      | CASE
+      |  WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'en'
+      |  WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|que)\b'))
+      |   AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'de'
+      |  WHEN len(regexp_extract_all(text, '\b(el|la|los|de|que)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|et|des)\b'))
+      |  THEN 'es'
+      |  ELSE 'fr' END AS pred_lang
+      | FROM documents),
+      |agg AS (SELECT source, pred_lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
+      | FROM pred GROUP BY source, pred_lang)
+      |SELECT source, pred_lang, n_docs, n_label_agree,
+      |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source), 6) AS share
+      |FROM agg ORDER BY source, pred_lang""".stripMargin
+
   // -------------------------------------------------------- t_quality
   private val quality: Q = (s, d) => {
     val t = col("text")
@@ -2059,11 +2103,42 @@ object LlmData {
       | (cum_after - n_tokens) % 512 AS offset_in_seq
       |FROM c ORDER BY source, seq_first, offset_in_seq""".stripMargin
 
+  // ------------------------------------------------------ t_pack_stats
+  // Packing-efficiency profile per source — the report a batch-prep
+  // run emits after t_seq_pack: sequence count, token volume, how many
+  // docs straddle a sequence boundary (the fragmentation number a
+  // context-length choice is tuned on), and the fill rate of the
+  // fixed-budget sequences (< 1 only via the final partial sequence —
+  // concat-and-chunk fills interior ones by construction, so this
+  // doubles as an invariant check). Rides the same sharded prefix sum
+  // as t_seq_pack, then ONE partial agg on source.
+  private val packStats: Q = (s, d) =>
+    seqPack(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("tokens_total"),
+      (max("seq_last") + lit(1L)).as("n_seqs"),
+      sum(when(col("seq_last") > col("seq_first"), lit(1L)).otherwise(lit(0L)))
+        .as("n_straddle"))
+      .withColumn("fill_rate",
+        round(col("tokens_total").cast("double") / (col("n_seqs") * lit(512L)), 6))
+      .orderBy("source")
+
+  private val packStatsSql =
+    s"""SELECT source,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       | CAST(MAX(seq_last) + 1 AS BIGINT) AS n_seqs,
+       | CAST(SUM(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+       | ROUND(CAST(SUM(n_tokens) AS DOUBLE) / ((MAX(seq_last) + 1) * 512), 6) AS fill_rate
+       |FROM ($seqPackSql) packed
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "t_ngram_diversity" -> ngramDiversity,
     "d_mix_weights" -> mixWeights,
     "t_seq_pack" -> seqPack,
+    "t_pack_stats" -> packStats,
     "d_source_overlap" -> sourceOverlap,
     "d_neardup_contam" -> neardupContam,
     "s_block_profile" -> blockProfile,
@@ -2089,6 +2164,7 @@ object LlmData {
     "s_lsh_topk" -> lshTopK,
     "s_ivf_topk" -> ivfTopK,
     "t_langid" -> langid,
+    "t_lang_mix" -> langMix,
     "t_quality" -> quality,
     "t_tokens" -> tokens,
     "t_normalize" -> normalizeQ,
@@ -2161,6 +2237,7 @@ object LlmData {
     "t_ngram_diversity" -> ngramDiversitySql,
     "d_mix_weights" -> mixWeightsSql,
     "t_seq_pack" -> seqPackSql,
+    "t_pack_stats" -> packStatsSql,
     "d_source_overlap" -> sourceOverlapSql,
     "d_neardup_contam" -> neardupContamSql,
     "s_block_profile" -> blockProfileSql,
@@ -2183,6 +2260,7 @@ object LlmData {
     "d_embedding_neardup" -> embNearDupSql,
     "s_cosine_topk" -> cosineTopKSql,
     "t_langid" -> langidSql,
+    "t_lang_mix" -> langMixSql,
     "t_quality" -> qualitySql,
     "t_tokens" -> tokensSql,
     "t_normalize" -> normalizeSql,
