@@ -250,4 +250,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("gram")), exchanges.mkString("\n"))
   }
+
+  test("r9 curation profiles: corpus never shuffles, share window reads the aggregated frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    // d_source_dup_rate / t_lang_mix / s_knn_degree: every hash
+    // exchange carries ids / group keys — document text and embedding
+    // vectors never ride a shuffle
+    for (name <- Seq("d_source_dup_rate", "t_lang_mix", "s_knn_degree")) {
+      val plan = formatted(name)
+      val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(!exchanges.exists(e => e.contains("text") || e.contains("embedding")),
+        s"$name:\n${exchanges.mkString("\n")}")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
+    // t_lang_mix's per-source share window must run ABOVE the
+    // (source, pred_lang) aggregate — ≤ sources × langs rows — a
+    // regression to a corpus-wide window fails here
+    val mix = SparkEntry.queries("t_lang_mix")(spark, sf)
+    val ws = mix.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(ws.size == 1, s"t_lang_mix: $ws")
+    assert(ws.head.child.collect { case a: Aggregate => a }.nonEmpty,
+      "share window must read the aggregated frame, not the corpus")
+    // t_pack_stats inherits seq_pack's range-sharded running sum (no
+    // single-task per-source sort) and finishes with a partial agg
+    val pack = SparkEntry.queries("t_pack_stats")(spark, sf)
+    val pws = pack.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(pws.nonEmpty && pws.forall(w => w.partitionSpec.size >= 2 &&
+      w.partitionSpec.exists(_.toString.contains("__shard"))),
+      s"t_pack_stats: ${pws.map(_.partitionSpec)}")
+    assert("HashAggregate".r.findAllIn(formatted("t_pack_stats")).size >= 2)
+  }
 }
