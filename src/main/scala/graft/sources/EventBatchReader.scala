@@ -24,6 +24,11 @@ object EventBatchReader {
     StructField("anonymousId", StringType),
     StructField("userId", StringType),
     StructField("event", StringType),
+    // worker-sourced items (RestPoller / extract.go:118) are tagged
+    // with the history api they came from; the processor routes on it
+    // (processor.go reads kassetteType per batch item). Null for
+    // plain web events.
+    StructField("kassetteType", StringType),
     StructField("originalTimestamp", StringType),
     StructField("sentAt", StringType),
     StructField("properties", StringType)))
@@ -58,6 +63,7 @@ object EventBatchReader {
             col("evt.event"), col("evt.sentAt")))).as("message_id"),
         col("evt.userId").as("user_id"),
         col("evt.event").as("event"),
+        col("evt.kassetteType").as("kassette_type"),
         to_timestamp(col("evt.originalTimestamp")).as("original_timestamp"),
         to_timestamp(col("evt.sentAt")).as("sent_at"),
         col("evt.properties").as("properties"))

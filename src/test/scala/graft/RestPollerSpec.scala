@@ -168,6 +168,66 @@ class RestPollerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("polled REST source drives the full live loop: poll → spool → route → deliver, api tag on the wire") {
+    // the reference's WORKER-sourced cycle end-to-end: gateway.go:246
+    // ticker worker polls the history endpoint, ProcessWorkerRequest
+    // feeds the intake queue, the processor fans out on the configdb
+    // routing dim, the router POSTs to the destination — and the
+    // kassetteType tag stamped at extraction (extract.go:118) must be
+    // readable in the bytes the destination RECEIVES, because the
+    // warehouse handler routes on it
+    val srv = new HistoryServer("process-instance",
+      Map(T0 -> Seq(item("pi1", "start"), item("pi2", "end"))))
+    val state = tmpDir("graft_rp_state4"); val spool = tmpDir("graft_rp_spool4")
+    val dbUrl = "jdbc:derby:memory:graftrest2;create=true"
+    val bodies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val dests = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    dests.createContext("/wh", { e =>
+      bodies.merge("/wh", new String(e.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8), (a, b) => a + b)
+      e.sendResponseHeaders(200, -1); e.close()
+    })
+    dests.start()
+    try {
+      graft.sources.ConfigStore.bootstrap(dbUrl)
+      graft.sources.ConfigStore.insertSource(dbUrl, 7L, "cam-live", 13,
+        "wk-cam", 1,
+        s"""{"url":"${srv.base}","count":"10","interval":"1","history":"1","process-instance":"true"}""")
+      graft.sources.ConfigStore.insertDestination(dbUrl, 1L, "warehouse", 2, 1, "{}")
+      graft.sources.ConfigStore.insertConnection(dbUrl, 1L, 7, 1)
+
+      // gateway worker: poll every REST source the config store enables
+      val polled = RestPoller.pollStoreSources(spark, dbUrl, state, spool,
+        nowMs = T0 + 60000L)
+      assert(polled.map(_._1) == Seq("cam-live"))
+
+      // processor: spool → envelope explode → fan-out on the routing dim
+      val events = EventBatchReader.read(spark, spool)
+      val routing = graft.sources.ConfigStore.routingTable(spark, dbUrl)
+      val routed = events.join(broadcast(routing), "write_key")
+        .withColumn("ord", xxhash64(col("message_id")))
+      assert(routed.count() == 2)
+      // the api tag survives the envelope explode into the stream
+      assert(routed.select("kassette_type").collect()
+        .map(_.getString(0)).toSet == Set("process-instance"))
+
+      // router: envelope build + live POST, ledger terminal
+      val urls = Map(
+        "warehouse" -> s"http://localhost:${dests.getAddress.getPort}/wh")
+      val envelopes = graft.sinks.RestBatcher.envelopes(
+        routed.select("destination_name", "ord", "message_id", "kassette_type"),
+        "destination_name", "ord", size = 10)
+      val ledger = graft.sinks.HttpEgress.deliverWithRetries(envelopes,
+        "destination_name", "batch_id", "body", urls,
+        maxRetry = 3, baseBackoffMs = 1L, sleeper = _ => ())
+      assert(ledger.select("state").collect()
+        .forall(_.getString(0) == "succeeded"))
+      val wire = bodies.get("/wh")
+      assert(wire.contains("pi1") && wire.contains("pi2"), wire)
+      assert(wire.contains(""""kassette_type":"process-instance""""), wire)
+    } finally { srv.stop(); dests.stop(0) }
+  }
+
   test("a failed window replays: extract-then-commit is at-least-once on the wire") {
     val srv = new HistoryServer("process-instance",
       Map(T0 -> Seq(item("p1", "start"))))
