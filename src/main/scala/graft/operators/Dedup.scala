@@ -171,6 +171,36 @@ object Dedup {
     withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Row-local shingle hashes, reduced mod P: the SAME tokenization,
+    * k-gram construction and 60-bit md5-prefix hash as
+    * [[shingles]]+[[shingleHash]], folded inside one row — no
+    * explode, no shuffle, so a STREAM can sign documents without any
+    * stateful aggregation. Empty array for docs shorter than k tokens
+    * (the batch path's "no signature" doc). Keep this select in its
+    * OWN projection: the result is referenced numPerms times
+    * downstream and CollapseProject preserves the boundary (same
+    * discipline as [[shingles]]' split()). */
+  def rowLocalShingleHashes(textCol: Column, k: Int): Column = {
+    val toks = split(textCol, " ")
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, i =>
+      shingleHash(array_join(slice(toks, i, lit(k)), " ")) % MinhashP)
+  }
+
+  /** Wide MinHash signature from row-local shingle hashes — the same
+    * universal-hash family as [[minhash]], so the row-local signature
+    * is BIT-IDENTICAL to the batch groupBy signature of the same
+    * document (element i == column mh_i); spec-pinned in
+    * StreamingSpec's parity test. Null-element array (array_min of
+    * empty) for an empty hash array — filter short docs upstream. */
+  def signatureFromHashes(shsCol: Column, numPerms: Int): Column = {
+    val coeffs = minhashCoeffs(numPerms)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shsCol, x => (lit(a) * x + lit(b)) % MinhashP))
+    }: _*)
+  }
+
   /** LSH banding over the wide signature: band j hashes minhashes
     * 4j..4j+3 into one key; row-local projection + posexplode. */
   def lshBands(mh: DataFrame, idCol: String, numPerms: Int,

@@ -119,6 +119,44 @@ object LlmData {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // -------------------------------------------------- d_stream_neardup
+  // The STREAMING near-dup detector run inside the batch gate — the
+  // p_stream_sessions discipline applied to dedup: documents replayed
+  // as a file stream in SEVERAL micro-batches (maxFilesPerTrigger), so
+  // pairs whose docs arrive in different micro-batches exercise the
+  // stateful band-bucket membership; the deduped emission must
+  // hash-match the BATCH LSH oracle exactly (same signature family —
+  // the row-local fold is bit-identical to the groupBy signature).
+  private val streamNearDup: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftSession.tune(s)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream").toString
+    // stage the normalized projection (replay independent of the
+    // corpus's physical shape — single file or replicated 10× dir)
+    val staging = s"$streamDir/_staging"
+    docs.write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (part, i) =>
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$streamDir/docs_$i.parquet"))
+      }
+    val stream = s.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val name = "graft_stream_neardup"
+    val q = graft.streaming.StreamingPipeline
+      .lshNearDupStream(stream, "doc_id", "text",
+        shingleK = 3, numPerms = 16, rowsPerBand = 4)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    s.table(name).select("id1", "id2").distinct().orderBy("id1", "id2")
+  }
+
   // ---------------------------------------------- d_minhash_estimate
   private val minhashEstimate: Q = (s, d) =>
     Dedup.minhashJaccardEstimate(Tables.documents(s, d), "doc_id", "text",
@@ -2154,6 +2192,7 @@ object LlmData {
     "d_split_assign" -> splitAssign,
     "d_exact_dup" -> exactDup,
     "d_minhash_lsh" -> minhashLsh,
+    "d_stream_neardup" -> streamNearDup,
     "d_minhash_estimate" -> minhashEstimate,
     "d_dup_clusters" -> dupClusters,
     "d_simhash" -> simhash,
@@ -2253,6 +2292,7 @@ object LlmData {
     "d_split_assign" -> splitAssignSql,
     "d_exact_dup" -> exactDupSql,
     "d_minhash_lsh" -> minhashLshSql,
+    "d_stream_neardup" -> minhashLshSql,
     "d_minhash_estimate" -> minhashEstimateSql,
     "d_dup_clusters" -> dupClustersSql,
     "d_ngram_jaccard" -> ngramJaccardSql,

@@ -198,15 +198,33 @@ object JdbcSink {
       val withPart = df.withColumn("graft_task_part",
         org.apache.spark.sql.functions.spark_partition_id())
       val stageSchema = withPart.schema
+      // inside an ACTION, accumulator updates apply exactly once per
+      // successful task — a retried task re-deletes its slice and
+      // does not double-count
+      val acc = df.sparkSession.sparkContext.longAccumulator("graft_staged_rows")
       withPart.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val it = rows.buffered
           val part = it.head.getInt(it.head.length - 1)
-          withConnection(url)(conn => insertRows(conn, stage, stageSchema, it,
+          val n = withConnection(url)(conn => insertRows(conn, stage, stageSchema, it,
             batchSize, preamble = Some(s"DELETE FROM $stage WHERE graft_task_part = $part")))
-          ()
+          acc.add(n)
         }
       }
+      // integrity gate before the atomic publish: every row a task
+      // reported inserted must be visible in the stage — a silently
+      // short stage must fail loudly here (retryable), never publish
+      // less than the frame
+      val staged = withConnection(url) { conn =>
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(s"SELECT COUNT(*) FROM $stage")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      }
+      require(staged == acc.value,
+        s"stagedWrite integrity: $staged rows visible in $stage but " +
+          s"${acc.value} reported inserted — refusing to publish a short stage")
       withConnection(url) { conn =>
         conn.setAutoCommit(false)
         val cols = schema.fieldNames

@@ -243,6 +243,70 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  case class BandHit(id: Long, band: Int, band_hash: String)
+  case class BucketIds(ids: List[Long])
+  case class NearDupPair(id1: Long, id2: Long)
+
+  /** Streaming MinHash-LSH near-dup detection — the always-on twin of
+    * [[graft.operators.Dedup.minhashLsh]] (gate query d_minhash_lsh):
+    * each arriving document is signed ROW-LOCALLY (the signature fold
+    * runs inside the projection — [[graft.operators.Dedup
+    * .rowLocalShingleHashes]] — no stateful aggregation, bit-identical
+    * to the batch groupBy signature), banded, and checked against the
+    * accumulated per-bucket membership via flatMapGroupsWithState: a
+    * new doc emits a candidate pair against every existing member of
+    * any band bucket it lands in, the instant it arrives.
+    *
+    * Pairs are emitted AT-LEAST-ONCE (two bands can collide for the
+    * same pair — the batch path resolves this with distinct(); a
+    * streaming consumer dedups on (id1,id2) like every at-least-once
+    * seam). State per bucket is its member id list — the same memory
+    * envelope the batch self-join's bucket holds, sharded across
+    * executors by the band key exactly like the batch shuffle. A
+    * production deployment bounds state with a TTL (ProcessingTime
+    * timeout) when dedup-against-recent suffices. */
+  def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, numPerms: Int = 16,
+                       rowsPerBand: Int = 4): Dataset[NearDupPair] = {
+    implicit val hitEnc = Encoders.product[BandHit]
+    implicit val stEnc = Encoders.product[BucketIds]
+    implicit val outEnc = Encoders.product[NearDupPair]
+    implicit val keyEnc = Encoders.STRING
+
+    val withShs = docs.select(col(idCol).cast("long").as("id"),
+        graft.operators.Dedup.rowLocalShingleHashes(col(textCol), shingleK)
+          .as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sig = withShs.select(col("id"),
+      graft.operators.Dedup.signatureFromHashes(col("shs"), numPerms).as("sig"))
+    val bandCols = (0 until numPerms / rowsPerBand).map { j =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)): _*))
+    }
+    sig.select(col("id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+      .as[BandHit]
+      .groupByKey(r => s"${r.band}|${r.band_hash}")
+      .flatMapGroupsWithState[BucketIds, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[BandHit], state: GroupState[BucketIds]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          // sorted for deterministic emission; re-delivered ids are
+          // no-ops against membership
+          val arriving = rows.map(_.id).toSeq.distinct.sorted
+          val out = Seq.newBuilder[NearDupPair]
+          var members = seen
+          arriving.filterNot(seen.contains).foreach { id =>
+            members.foreach { m =>
+              out += NearDupPair(math.min(id, m), math.max(id, m))
+            }
+            members = id :: members
+          }
+          state.update(BucketIds(members))
+          out.result().iterator
+      }
+  }
+
   case class AttemptEvt(job_id: Long, ts_ms: Long, ok: Boolean)
   case class AttemptEvtW(job_id: Long, ts_ms: Long, ok: Boolean, ts: Timestamp)
   case class RetryState(attempts: Int, aborted: Boolean)

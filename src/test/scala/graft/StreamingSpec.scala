@@ -451,4 +451,52 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("ledger_out").collect()
     assert(rows.length == 1 && rows(0).getString(1) == "succeeded")
   }
+
+  test("streaming LSH near-dup emits the batch pair set — cross-micro-batch, at-least-once") {
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL corpus, fed as a stream in two halves: pairs whose two
+    // docs arrive in DIFFERENT micro-batches must still be found (the
+    // bucket membership is the state), and the deduped emission must
+    // equal Dedup.minhashLsh's pair set on the same docs exactly
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length > 20)
+    val (first, second) = docs.splitAt(docs.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val pairs = StreamingPipeline.lshNearDupStream(stream, "doc_id", "text",
+      shingleK = 3, numPerms = 16, rowsPerBand = 4)
+
+    // ONE continuous query, TWO micro-batches — a fresh query would
+    // replay the MemoryStream from offset 0 with fresh state and the
+    // cross-batch claim would be vacuous
+    val query = pairs.writeStream.format("memory").queryName("lsh_stream")
+      .outputMode("append").start()
+    input.addData(first.toSeq)
+    query.processAllAvailable()
+    val afterFirst = spark.table("lsh_stream").count()
+    input.addData(second.toSeq)
+    query.processAllAvailable()
+    query.stop()
+
+    val allRows = spark.table("lsh_stream").collect()
+    assert(afterFirst < allRows.length, "second micro-batch must add pairs")
+    val streamed = allRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batchDf = spark.createDataFrame(docs.toSeq).toDF("doc_id", "text")
+    val want = graft.operators.Dedup.minhashLsh(batchDf, "doc_id", "text",
+      shingleK = 3, numPerms = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == want, s"streamed=${streamed.size} batch=${want.size} " +
+      s"onlyStream=${(streamed -- want).take(5)} onlyBatch=${(want -- streamed).take(5)}")
+    assert(want.nonEmpty, "corpus should contain near-dups")
+    // at least one pair spans the two halves — the stateful cross-
+    // batch detection actually fired
+    val firstIds = first.map(_._1).toSet
+    assert(streamed.exists(p => firstIds.contains(p._1) != firstIds.contains(p._2)),
+      "expected a cross-micro-batch pair")
+  }
 }
