@@ -307,6 +307,27 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming contamination gate — d_bloom_contam's always-on twin
+    * (eval-set leakage checked at INGEST, not in a nightly audit):
+    * the train-fingerprint Bloom sketch builds ONCE driver-side and
+    * broadcasts; each arriving doc is prefiltered ROW-LOCALLY (no
+    * state, no shuffle), and only the matches + fpp sliver
+    * stream-static join the exact fingerprint counts — the same
+    * two-phase exactness the batch gate proves (no false negatives
+    * by bloom construction, false positives killed by the exact
+    * join). At fleet scale the sketch is MBs for 10⁹ fingerprints
+    * while the exact side stays a broadcast of only the MATCHED
+    * fingerprints' counts. */
+  def contamGateStream(docs: DataFrame, fpCol: String, trainFps: DataFrame,
+                       expectedKeys: Long, fpp: Double = 0.03): DataFrame = {
+    val bf = graft.operators.BloomAuth.build(
+      trainFps.select(fpCol), fpCol, math.max(1000L, expectedKeys), fpp)
+    val counts = trainFps.groupBy(fpCol).agg(count(lit(1)).as("n_train_matches"))
+    docs.filter(graft.operators.BloomAuth.mightContain(bf, col(fpCol),
+        org.apache.spark.sql.types.StringType))
+      .join(broadcast(counts), fpCol)
+  }
+
   case class AttemptEvt(job_id: Long, ts_ms: Long, ok: Boolean)
   case class AttemptEvtW(job_id: Long, ts_ms: Long, ok: Boolean, ts: Timestamp)
   case class RetryState(attempts: Int, aborted: Boolean)

@@ -452,6 +452,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(1) == "succeeded")
   }
 
+  test("streaming contamination gate: bloom prefilter + exact join equals the batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions._
+    // train = even docs' fingerprints (static side), eval docs arrive
+    // as the stream; the gated output must equal the plain exact-join
+    // audit — the bloom is invisible in the RESULT, only in the plan
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    val train = all.filter(col("doc_id") % 2 === 0)
+    val evalDocs = all.filter(col("doc_id") % 2 === 1)
+    val want = evalDocs.join(
+        train.groupBy("fp").agg(count(lit(1)).as("n_train_matches")), "fp")
+      .select("doc_id", "n_train_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "corpus must contain cross-split exact dups")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "fp")
+    val gated = StreamingPipeline.contamGateStream(stream, "fp", train,
+      expectedKeys = train.count())
+    input.addData(evalDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val q = gated.writeStream.format("memory").queryName("contam_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("contam_gate").select("doc_id", "n_train_matches")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
   test("streaming LSH near-dup emits the batch pair set — cross-micro-batch, at-least-once") {
     implicit val sqlCtx = spark.sqlContext
     // the REAL corpus, fed as a stream in two halves: pairs whose two
