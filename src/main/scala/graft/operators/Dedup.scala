@@ -231,6 +231,37 @@ object Dedup {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Incremental near-dup DELTA: the pairs involving at least one NEW
+    * document, computed against an existing banded corpus WITHOUT
+    * re-signing the old corpus — the production shape for a growing
+    * corpus (a crawl refresh lands, only the delta is signed; the old
+    * band table is the persisted artifact, exactly what [[lshBands]]
+    * emits). Within-new pairs come from the usual self-join; new×old
+    * pairs from ONE equi-join of the new band frame against the old
+    * band table. Union with the old corpus's pair table equals
+    * [[minhashLsh]] of the full corpus — spec-pinned (OperatorsSpec).
+    * At fleet scale the old band table is bucketed by (band,
+    * band_hash), so the delta join shuffles only the (small) new
+    * side. */
+  def minhashLshDelta(newDocs: DataFrame, idCol: String, textCol: String,
+                      oldBands: DataFrame, shingleK: Int = 3,
+                      numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newBands = lshBands(
+      minhashSignatures(newDocs, idCol, textCol, shingleK, numPerms, None),
+      idCol, numPerms, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withinNew = candidatePairs(newBands, idCol)
+      val a = newBands.select(col(idCol).as("idN"), col("band"), col("band_hash"))
+      val b = oldBands.select(col(idCol).as("idO"), col("band"), col("band_hash"))
+      val cross = a.join(b, Seq("band", "band_hash"))
+        .select(least(col("idN"), col("idO")).as("id1"),
+          greatest(col("idN"), col("idO")).as("id2"))
+      withinNew.unionByName(cross).distinct()
+        .localCheckpoint(eager = true)
+    } finally { newBands.unpersist(blocking = false); () }
+  }
+
   /** Signature frame for the store: computed once per cacheKey,
     * eagerly materialized (one row per doc, numPerms+1 columns). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,

@@ -309,6 +309,33 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("minhashLshDelta: old pairs + delta == full-corpus pairs, delta touches only new docs") {
+    // the incremental corpus-refresh contract on the REAL corpus:
+    // sign only the delta, join it against the persisted band table,
+    // and the union with the old pair table must equal a full
+    // recompute exactly
+    val all = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val old = all.filter($"doc_id" % 3 =!= 0L)
+    val fresh = all.filter($"doc_id" % 3 === 0L)
+    val freshIds = fresh.select("doc_id").as[Long].collect().toSet
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.minhashLsh(all, "doc_id", "text"))
+    val oldPairs = pairSet(Dedup.minhashLsh(old, "doc_id", "text"))
+    val oldBands = Dedup.lshBands(
+      Dedup.minhashSignatures(old, "doc_id", "text", 3, 16, None), "doc_id", 16, 4)
+    val delta = pairSet(Dedup.minhashLshDelta(fresh, "doc_id", "text", oldBands))
+
+    assert(full.nonEmpty && delta.nonEmpty)
+    assert(delta.forall(p => freshIds.contains(p._1) || freshIds.contains(p._2)),
+      "every delta pair must involve a new doc")
+    assert((oldPairs ++ delta) == full,
+      s"old=${oldPairs.size} delta=${delta.size} full=${full.size} " +
+        s"missing=${(full -- oldPairs -- delta).take(5)} " +
+        s"extra=${((oldPairs ++ delta) -- full).take(5)}")
+  }
+
   test("clusterPairs finds transitive near-dup components") {
     // two components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id1", "id2")
