@@ -2171,8 +2171,56 @@ object LlmData {
        |FROM ($seqPackSql) packed
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------- d_shuffle_export
+  // Deterministic GLOBAL training-order shuffle + fixed-size export
+  // shards — the last step before a corpus ships to the trainer: every
+  // doc gets a global position in a content-seeded pseudo-random order
+  // (reproducible across reruns/shards — no rand(), no seed drift) and
+  // a fixed-size output shard + offset; the result is the per-shard
+  // export MANIFEST (doc count, boundary docs, source mix, an
+  // order-sensitive checksum that pins the within-shard ordering
+  // itself). The naive form is `row_number() OVER (ORDER BY hash)` —
+  // a single-task sort of the whole corpus at 100 TB. Here the global
+  // position is a ShardedWindow prefix count with ONE logical group:
+  // the 60-bit order hash is range-sharded by its top bits, each task
+  // sorts ~1/S of the corpus, and driver-broadcast shard offsets make
+  // the position exactly the global one.
+  private val shuffleExport: Q = (s, d) => {
+    val shardSize = 100L
+    val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      Dedup.shingleHash(concat(lit("shuffle:"), col("text"))).as("oh"))
+      .withColumn("corpus", lit("all"))
+    graft.operators.ShardedWindow.runningSum(docs, "corpus",
+      graft.operators.ShardedWindow.hashShard60(col("oh"), nShards),
+      Seq(col("oh"), col("doc_id")), lit(1L), "pos")
+      .withColumn("shard", expr(s"(pos - 1) div $shardSize"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("pos") * (col("oh") % lit(1000003L))).as("order_sum"))
+      .orderBy("shard")
+  }
+
+  private val shuffleExportSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    TRY_CAST('0x' || substr(md5('shuffle:' || text), 1, 15) AS BIGINT) AS oh
+      |   FROM documents),
+      |p AS (SELECT *, ROW_NUMBER() OVER (ORDER BY oh, doc_id) AS pos FROM d)
+      |SELECT (pos - 1) // 100 AS shard,
+      | COUNT(*) AS n_docs,
+      | min_by(doc_id, pos) AS first_doc,
+      | max_by(doc_id, pos) AS last_doc,
+      | COUNT(DISTINCT source) AS n_sources,
+      | CAST(SUM(pos * (oh % 1000003)) AS BIGINT) AS order_sum
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "d_shuffle_export" -> shuffleExport,
     "t_ngram_diversity" -> ngramDiversity,
     "d_mix_weights" -> mixWeights,
     "t_seq_pack" -> seqPack,
@@ -2271,6 +2319,7 @@ object LlmData {
     })
 
   private val staticOracle: Map[String, String] = Map(
+    "d_shuffle_export" -> shuffleExportSql,
     "d_source_dup_rate" -> sourceDupRateSql,
     "s_knn_degree" -> knnDegreeSql,
     "t_ngram_diversity" -> ngramDiversitySql,

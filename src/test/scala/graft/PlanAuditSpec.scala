@@ -188,6 +188,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d_shuffle_export: global position is range-sharded — no partition-less ordered window") {
+    // the global training-order position is the textbook single-task
+    // sort (`row_number() OVER (ORDER BY hash)`); pin that the plan's
+    // only window partitions by (corpus, __shard) — a regression to a
+    // true global window (empty partitionSpec) fails here
+    val df = SparkEntry.queries("d_shuffle_export")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "partition-less ordered window")
+      assert(w.partitionSpec.exists(_.toString.contains("__shard")),
+        s"${w.partitionSpec}")
+    }
+  }
+
   test("t_tfidf_top / t_zipf: vocabulary rank is two-phase — no task sorts a full source vocab") {
     // phase 1 ranks within (source, token-hash shard); the only
     // source-only window ranks the ≤ shards·k shard-local survivors
