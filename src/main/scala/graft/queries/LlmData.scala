@@ -2218,9 +2218,74 @@ object LlmData {
       | CAST(SUM(pos * (oh % 1000003)) AS BIGINT) AS order_sum
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- d_epoch_expand
+  // Epoch-repeat materialization — the step AFTER d_mix_weights turns
+  // rates into data: a per-source sampling rate (possibly > 1 ⇒
+  // repeat across epochs) becomes per-doc copy counts
+  // deterministically — n_copies = ⌊rate⌋ plus one more iff the doc's
+  // content hash (uniform in [0, 1e6)) falls under the fractional
+  // part, all in INTEGER micro-rate arithmetic after the one shared
+  // floor-rounding, so both engines decide every doc identically (no
+  // rand(), no per-executor seed drift; rate < 1 degenerates to
+  // deterministic subsampling). Output: the per-(source, epoch)
+  // materialization schedule. Scale shape: the rates frame is
+  // source-cardinality (broadcast), the epoch expansion is a
+  // row-local explode, then ONE partial agg.
+  private val epochExpand: Q = (s, d) => {
+    val budget = 40000.0
+    val docs = Tables.documents(s, d).select(col("source"),
+      T.wsTokenCount(col("text")).cast("long").as("toks"),
+      (Dedup.shingleHash(concat(lit("epoch:"), col("text"))) % 1000000L).as("u"))
+    val per = docs.groupBy("source")
+      .agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("s_tok",
+        round(sqrt(col("n_tokens").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
+    val tot = per.agg(sum(col("s_tok")).as("tot_s"))
+    val rateU = floor(lit(budget)
+        * (col("s_tok").cast(DoubleType) / col("tot_s").cast(DoubleType))
+        / col("n_tokens").cast(DoubleType) * 1e6 + 0.5).cast("long")
+    val rates = per.crossJoin(broadcast(tot)).select(col("source"), rateU.as("rate_u"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("n_copies", expr("rate_u div 1000000")
+        + when(col("u") < col("rate_u") % 1000000L, lit(1L)).otherwise(lit(0L)))
+      .where(col("n_copies") > 0)
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens_out"))
+      .orderBy("source", "epoch")
+  }
+
+  private val epochExpandSql =
+    """WITH docs AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    TRY_CAST('0x' || substr(md5('epoch:' || text), 1, 15) AS BIGINT)
+      |      % 1000000 AS u
+      |   FROM documents),
+      |per AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |         CAST(ROUND(sqrt(CAST(SUM(toks) AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS s_tok
+      |        FROM docs GROUP BY source),
+      |tot AS (SELECT SUM(s_tok) AS tot_s FROM per),
+      |rates AS (SELECT source,
+      |    CAST(FLOOR(40000.0 * (CAST(s_tok AS DOUBLE) / CAST(tot_s AS DOUBLE))
+      |         / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS rate_u
+      |   FROM per CROSS JOIN tot),
+      |c AS (SELECT d.source, d.toks,
+      |       rate_u // 1000000
+      |         + CASE WHEN d.u < rate_u % 1000000 THEN 1 ELSE 0 END AS n_copies
+      |      FROM docs d JOIN rates r ON d.source = r.source),
+      |e AS (SELECT source, toks,
+      |       unnest(generate_series(0, CAST(n_copies - 1 AS INT))) AS epoch
+      |      FROM c WHERE n_copies > 0)
+      |SELECT source, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+      | CAST(SUM(toks) AS BIGINT) AS n_tokens_out
+      |FROM e GROUP BY source, epoch ORDER BY source, epoch""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "d_shuffle_export" -> shuffleExport,
+    "d_epoch_expand" -> epochExpand,
     "t_ngram_diversity" -> ngramDiversity,
     "d_mix_weights" -> mixWeights,
     "t_seq_pack" -> seqPack,
@@ -2320,6 +2385,7 @@ object LlmData {
 
   private val staticOracle: Map[String, String] = Map(
     "d_shuffle_export" -> shuffleExportSql,
+    "d_epoch_expand" -> epochExpandSql,
     "d_source_dup_rate" -> sourceDupRateSql,
     "s_knn_degree" -> knnDegreeSql,
     "t_ngram_diversity" -> ngramDiversitySql,
