@@ -113,6 +113,15 @@ object Demo {
     operators.Dedup.crossDocSpanCoverage(corpus, "doc_id", "text",
       k = 5, minDocs = 2).orderBy("doc_id").show(truncate = false)
 
+    // --- trainer-facing export: deterministic shuffle → ordered shards
+    val corpusSrc = corpus.withColumn("source", col("lang"))
+    sinks.ShardExport.export(corpusSrc, "text", "doc_id", "source",
+      s"$out/export", shardSize = 2L)
+    println("== training-shard export manifest (v" +
+      sinks.ShardExport.currentVersion(s"$out/export").get + ") ==")
+    sinks.ShardExport.readManifest(spark, s"$out/export").orderBy("shard")
+      .show(truncate = false)
+
     // --- streaming: same intake as a stream, sessionized
     val stream = sources.EventBatchReader.readStream(spark, s"$out/in")
       .select(

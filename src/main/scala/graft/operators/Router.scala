@@ -43,14 +43,29 @@ object Router {
     * single-task sort; this shape is flat under that skew (see
     * ScaleSmoke's ONE-destination and clustered-key entries).
     *
-    * `orderCol` must be numeric (castable to bigint) and non-null —
-    * a null key has no position in the reference's ordered slice
-    * either. Fails fast with a diagnosable message instead of a null
-    * shard NPE deep inside the window. */
+    * `orderCol` must be numeric or string, and non-null — a null key
+    * has no position in the reference's ordered slice either. Fails
+    * fast with a diagnosable message instead of a null shard NPE deep
+    * inside the window. A string key (the gateway's uuid message ids)
+    * is sharded by a MONOTONE numeric image: its first 7 UTF-8 bytes,
+    * zero-padded to fixed width, read as an unsigned integer —
+    * fixed-width big-endian prefixes order exactly like Spark's
+    * binary string comparison, and prefix TIES merely share a shard
+    * (monotone non-decreasing is all the range split needs; the
+    * within-shard sort still uses the full key). */
   def microBatch(df: DataFrame, destCol: String, orderCol: String,
                  size: Int): DataFrame = {
     val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val key = col(orderCol).cast("bigint")
+    val key = df.schema(orderCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        expr(s"conv(hex(rpad(substring(encode(`$orderCol`, 'utf-8'), 1, 7)," +
+          " 7, x'00')), 16, 10)").cast("bigint")
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(orderCol).cast("bigint")
+      case other => throw new IllegalArgumentException(
+        s"Router.microBatch: order column '$orderCol' must be numeric " +
+          s"or string, got $other")
+    }
     val probs = (1 until shards).map(_.toDouble / shards)
     val boundsCol =
       if (probs.isEmpty) lit(null).cast("array<bigint>")

@@ -195,17 +195,26 @@ object JdbcSink {
       try st.executeUpdate(stageDdl(stage, schema)) finally st.close()
     }
     try {
-      val withPart = df.withColumn("graft_task_part",
-        org.apache.spark.sql.functions.spark_partition_id())
-      val stageSchema = withPart.schema
+      // graft_task_part is the RUNTIME task partition id, read inside
+      // the task via TaskContext — NOT a plan-level
+      // spark_partition_id() column: over a LocalRelation, Catalyst's
+      // ConvertToLocalRelation evaluates projections on the driver
+      // with nondeterministic expressions initialized at partition 0,
+      // baking part=0 into EVERY row — two concurrent write tasks
+      // then share a slice key and the retry-guard DELETE below can
+      // erase a sibling task's committed rows (a real observed race:
+      // ~1/40 on a 2-row local frame).
+      val stageSchema = org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          "graft_task_part", org.apache.spark.sql.types.IntegerType, nullable = false))
       // inside an ACTION, accumulator updates apply exactly once per
       // successful task — a retried task re-deletes its slice and
       // does not double-count
       val acc = df.sparkSession.sparkContext.longAccumulator("graft_staged_rows")
-      withPart.foreachPartition { (rows: Iterator[Row]) =>
+      df.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          val it = rows.buffered
-          val part = it.head.getInt(it.head.length - 1)
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val it = rows.map(r => Row.fromSeq(r.toSeq :+ part))
           val n = withConnection(url)(conn => insertRows(conn, stage, stageSchema, it,
             batchSize, preamble = Some(s"DELETE FROM $stage WHERE graft_task_part = $part")))
           acc.add(n)

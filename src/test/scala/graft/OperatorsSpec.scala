@@ -210,6 +210,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(3) == 10L && out(1).getLong(4) == 19L)
   }
 
+  test("Router.microBatch batches STRING ids in binary order (uuid message ids)") {
+    // the generic contract the quantile-shard rewrite must keep: a
+    // string order key (the gateway's uuid message ids) batches in
+    // plain string order — the byte-prefix shard image is monotone,
+    // so batch k holds exactly sorted ids [k*size, k*size+size)
+    val ids = (0 until 30).map(i => f"m${(i * 7919) % 97}%02d-${i}%02d")
+    val df = ids.map(("d1", _)).toDF("dest", "mid")
+    val out = Router.microBatch(df, "dest", "mid", size = 8)
+      .orderBy("mid").collect()
+    val sorted = ids.sorted
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("mid") == sorted(i))
+      assert(r.getAs[Long]("batch_id") == i / 8,
+        s"${sorted(i)} -> batch ${r.getAs[Long]("batch_id")}, want ${i / 8}")
+    }
+    // unsupported order types still fail fast with a clear message
+    val bad = intercept[IllegalArgumentException] {
+      Router.microBatch(
+        Seq(("d1", Array(1.toByte))).toDF("dest", "b"), "dest", "b", 8)
+    }
+    assert(bad.getMessage.contains("numeric or string"))
+  }
+
   test("AsOfJoin.backward picks latest right row at or before left ts") {
     val trades = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
       .toDF("key", "ts", "trade_id")
