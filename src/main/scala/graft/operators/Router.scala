@@ -47,7 +47,8 @@ object Router {
     * has no position in the reference's ordered slice either. Fails
     * fast with a diagnosable message instead of a null shard NPE deep
     * inside the window. A string key (the gateway's uuid message ids)
-    * is sharded by a MONOTONE numeric image: its first 7 UTF-8 bytes,
+    * is sharded by a MONOTONE numeric image: the 7 UTF-8 bytes after
+    * the corpus-wide common prefix (one extra min/max agg),
     * zero-padded to fixed width, read as an unsigned integer —
     * fixed-width big-endian prefixes order exactly like Spark's
     * binary string comparison, and prefix TIES merely share a shard
@@ -58,8 +59,24 @@ object Router {
     val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val key = df.schema(orderCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        expr(s"conv(hex(rpad(substring(encode(`$orderCol`, 'utf-8'), 1, 7)," +
-          " 7, x'00')), 16, 10)").cast("bigint")
+        // skip the corpus-wide common prefix first: id schemes like
+        // `evt-2024-…` share their leading bytes on EVERY key, which
+        // would collapse the fixed-width image (and so every shard)
+        // to one value. All keys sort between min and max, so they
+        // all carry min∧max's common prefix — dropping it keeps the
+        // image monotone and spends the 7 bytes where keys differ.
+        val mm = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+        val common =
+          if (mm.isNullAt(0) || mm.isNullAt(1)) 0
+          else {
+            val lo = mm.getString(0).getBytes("UTF-8")
+            val hi = mm.getString(1).getBytes("UTF-8")
+            var i = 0
+            while (i < lo.length && i < hi.length && lo(i) == hi(i)) i += 1
+            i
+          }
+        expr(s"conv(hex(rpad(substring(encode(`$orderCol`, 'utf-8')," +
+          s" ${common + 1}, 7), 7, x'00')), 16, 10)").cast("bigint")
       case _: org.apache.spark.sql.types.NumericType =>
         col(orderCol).cast("bigint")
       case other => throw new IllegalArgumentException(

@@ -191,6 +191,17 @@ object ScaleSmoke {
     val clustBig = clustered(oneDestBig)
     time("micro_batch_clustered_x1")(microBatchSum(clust1))
     time(s"micro_batch_clustered_x$n")(microBatchSum(clustBig))
+    // r9-close entry: ONE destination AND a STRING order key whose ids
+    // all share a long common prefix (the uuid/message-id regime) —
+    // a fixed-width prefix image would collapse every key into one
+    // shard here (single-task sort); the common-prefix skip must keep
+    // this flat 1×→N× like the numeric regimes
+    def strung(df: DataFrame): DataFrame = df.withColumn("event_id",
+      concat(lit("evt-2024-01-01-message-"), lpad(col("event_id"), 12, "0")))
+    val str1 = strung(oneDest1)
+    val strBig = strung(oneDestBig)
+    time("micro_batch_string_x1")(microBatchSum(str1))
+    time(s"micro_batch_string_x$n")(microBatchSum(strBig))
     spark.stop()
   }
 }

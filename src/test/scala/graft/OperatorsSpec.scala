@@ -225,6 +225,16 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Long]("batch_id") == i / 8,
         s"${sorted(i)} -> batch ${r.getAs[Long]("batch_id")}, want ${i / 8}")
     }
+    // common-prefix id schemes (`evt-2024-…`) must not collapse the
+    // shard image: the image reads past the corpus-wide common prefix
+    val pids = (0 until 30).map(i => f"evt-2024-01-01-batch-${(i * 31) % 97}%05d")
+    val pout = Router.microBatch(pids.map(("d1", _)).toDF("dest", "mid"),
+      "dest", "mid", size = 8).orderBy("mid").collect()
+    val psorted = pids.sorted
+    pout.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("mid") == psorted(i) &&
+        r.getAs[Long]("batch_id") == i / 8, s"$i: $r")
+    }
     // unsupported order types still fail fast with a clear message
     val bad = intercept[IllegalArgumentException] {
       Router.microBatch(
