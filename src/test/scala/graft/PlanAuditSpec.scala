@@ -268,6 +268,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("gram")), exchanges.mkString("\n"))
   }
 
+  test("d_epoch_expand: rates broadcast, expansion row-local — corpus text never shuffles") {
+    // the per-source rates frame joins back BROADCAST (source
+    // cardinality), the epoch explode is row-local, and the only hash
+    // exchanges carry (source[, epoch]) group keys — a regression to
+    // a sort-merge join on source or a text-bearing shuffle fails
+    val plan = formatted("d_epoch_expand")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "rates join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no sort-merge join on source")
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"text rides a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("Window"), "no window in the expansion path")
+  }
+
   test("r9 curation profiles: corpus never shuffles, share window reads the aggregated frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
     // d_source_dup_rate / t_lang_mix / s_knn_degree: every hash
