@@ -83,7 +83,9 @@ class ShardExportSpec extends SparkSpec {
 
   test("publish is atomic: re-export bumps the version, crash leaves the old live") {
     val root = tmpRoot()
-    val docs = sources.Tables.documents(spark, sf).limit(40)
+    // deterministic subset — limit() without an order can pick
+    // different rows per evaluation, and `docs` re-evaluates per export
+    val docs = sources.Tables.documents(spark, sf).where(col("doc_id") < 40)
     ShardExport.export(docs, "text", "doc_id", "source", root, shardSize = 8L)
     val before = ShardExport.readManifest(spark, root).collect().toSeq
 
