@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   * attribution across rounds. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: time only the named queries/stores (dev spot-
+    // checks while iterating on one plan; the driver passes none)
+    val only = args.toSet
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -38,6 +42,7 @@ object Bench {
     // lookup, and single-run store numbers were the noisiest rows
     // left in the round-8 bench.
     val stores = graft.queries.LlmData.storeBuilders.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
       .map { case (name, fn) =>
         def coldOnce(): (Double, Boolean) = {
           graft.operators.Dedup.clearStore()
@@ -72,7 +77,9 @@ object Bench {
     // time went to phantom regressions that were one-off scheduler /
     // GC hiccups on the shared driver machine — min-of-2 keeps the
     // number attributable to the plan, not the machine.
-    val results = stores ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = stores ++ SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -47,59 +47,91 @@ object Router {
     * has no position in the reference's ordered slice either. Fails
     * fast with a diagnosable message instead of a null shard NPE deep
     * inside the window. A string key (the gateway's uuid message ids)
-    * is sharded by a MONOTONE numeric image: the 7 UTF-8 bytes after
-    * the corpus-wide common prefix (one extra min/max agg),
-    * zero-padded to fixed width, read as an unsigned integer —
-    * fixed-width big-endian prefixes order exactly like Spark's
-    * binary string comparison, and prefix TIES merely share a shard
-    * (monotone non-decreasing is all the range split needs; the
-    * within-shard sort still uses the full key). */
+    * is sharded by a MONOTONE numeric image of its first 7 UTF-8
+    * bytes — fixed-width big-endian prefixes order exactly like
+    * Spark's binary string comparison, and prefix TIES merely share a
+    * shard (monotone non-decreasing is all the range split needs; the
+    * within-shard sort still uses the full key). All pre-window stats
+    * (null count, quantile bounds, string min/max) fold into ONE
+    * eager agg pass; a corpus-wide common prefix that degrades the
+    * raw image's bounds triggers at most one more (see inline). */
   def microBatch(df: DataFrame, destCol: String, orderCol: String,
                  size: Int): DataFrame = {
     val shards = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val key = df.schema(orderCol).dataType match {
+    val probs = (1 until shards).map(_.toDouble / shards)
+    // The bounds steer shard BALANCE only — the running-sum output is
+    // exact whatever the split — so the quantile digest reads a ~5%
+    // sample of the key (the null-count guard in the same agg still
+    // scans every row; it's semantic). The sampler is a hash of the
+    // key itself — deterministic, so legal inside an aggregate where
+    // rand() is not, and uniform across the key space for the
+    // near-unique id keys this batcher orders by. A 20× cheaper
+    // digest update at the cost of slightly fuzzier cut points, which
+    // the balance does not notice at thousands of rows per shard.
+    def boundsOf(k: Column): Column =
+      if (probs.isEmpty) lit(null).cast("array<bigint>")
+      else percentile_approx(when(pmod(xxhash64(k), lit(20)) === 0, k),
+        lit(probs.toArray), lit(1000))
+    def distinctSorted(r: Row, i: Int): Seq[Long] =
+      // distinct ascending boundaries: heavy ties collapse adjacent
+      // quantiles — those rows must share a shard anyway
+      // (monotonicity), so dropping duplicate bounds loses nothing
+      if (r.isNullAt(i)) Seq.empty else r.getSeq[Long](i).distinct.sorted
+    def requireNoBad(bad: Long): Unit = require(bad == 0L,
+      s"Router.microBatch: order column '$orderCol' must be non-null " +
+        s"numeric (castable to bigint); $bad row(s) have " +
+        "null or non-castable values")
+    val (key: Column, bounds: Seq[Long]) = df.schema(orderCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        // skip the corpus-wide common prefix first: id schemes like
+        // A string key (the gateway's uuid message ids) is sharded by
+        // a monotone numeric image: 7 UTF-8 bytes zero-padded to fixed
+        // width, read as an unsigned integer. Id schemes like
         // `evt-2024-…` share their leading bytes on EVERY key, which
-        // would collapse the fixed-width image (and so every shard)
-        // to one value. All keys sort between min and max, so they
-        // all carry min∧max's common prefix — dropping it keeps the
-        // image monotone and spends the 7 bytes where keys differ.
-        val mm = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+        // eats into the image's resolution — and past 7 shared bytes
+        // collapses it (and so every shard) to one value. All keys
+        // sort between min and max, so they all carry min∧max's common
+        // prefix. ONE pass computes min, max, the null count, and the
+        // quantile bounds of the RAW image together; only when the
+        // prefix actually degrades those bounds (fewer than half the
+        // requested cuts survive dedup) does a second pass re-quantile
+        // the prefix-skipped image — so clean corpora pay one scan,
+        // prefix-heavy corpora two (previously: two and three).
+        def imageAt(skip: Int): Column =
+          expr(s"conv(hex(rpad(substring(encode(`$orderCol`, 'utf-8')," +
+            s" ${skip + 1}, 7), 7, x'00')), 16, 10)").cast("bigint")
+        val raw = imageAt(0)
+        val st = df.agg(
+          count(when(raw.isNull, lit(1))).as("bad"),
+          min(col(orderCol)).as("lo"), max(col(orderCol)).as("hi"),
+          boundsOf(raw).as("bounds")).head()
+        requireNoBad(st.getLong(0))
         val common =
-          if (mm.isNullAt(0) || mm.isNullAt(1)) 0
+          if (st.isNullAt(1) || st.isNullAt(2)) 0
           else {
-            val lo = mm.getString(0).getBytes("UTF-8")
-            val hi = mm.getString(1).getBytes("UTF-8")
+            val lo = st.getString(1).getBytes("UTF-8")
+            val hi = st.getString(2).getBytes("UTF-8")
             var i = 0
             while (i < lo.length && i < hi.length && lo(i) == hi(i)) i += 1
             i
           }
-        expr(s"conv(hex(rpad(substring(encode(`$orderCol`, 'utf-8')," +
-          s" ${common + 1}, 7), 7, x'00')), 16, 10)").cast("bigint")
+        val rawBounds = distinctSorted(st, 3)
+        if (common == 0 || probs.isEmpty || rawBounds.size * 2 >= probs.size)
+          (raw, rawBounds)
+        else {
+          val skipped = imageAt(common)
+          (skipped, distinctSorted(df.agg(boundsOf(skipped)).head(), 0))
+        }
       case _: org.apache.spark.sql.types.NumericType =>
-        col(orderCol).cast("bigint")
+        val k = col(orderCol).cast("bigint")
+        val st = df.agg(
+          count(when(k.isNull, lit(1))).as("bad"),
+          boundsOf(k).as("bounds")).head()
+        requireNoBad(st.getLong(0))
+        (k, distinctSorted(st, 1))
       case other => throw new IllegalArgumentException(
         s"Router.microBatch: order column '$orderCol' must be numeric " +
           s"or string, got $other")
     }
-    val probs = (1 until shards).map(_.toDouble / shards)
-    val boundsCol =
-      if (probs.isEmpty) lit(null).cast("array<bigint>")
-      else percentile_approx(key, lit(probs.toArray), lit(10000))
-    val stats = df.agg(
-      count(when(key.isNull, lit(1))).as("bad"),
-      boundsCol.as("bounds")).head()
-    require(stats.getLong(0) == 0L,
-      s"Router.microBatch: order column '$orderCol' must be non-null " +
-        s"numeric (castable to bigint); ${stats.getLong(0)} row(s) have " +
-        "null or non-castable values")
-    // distinct ascending boundaries: heavy ties collapse adjacent
-    // quantiles — those rows must share a shard anyway (monotonicity),
-    // so dropping duplicate bounds loses nothing
-    val bounds: Seq[Long] =
-      if (stats.isNullAt(1)) Seq.empty
-      else stats.getSeq[Long](1).distinct.sorted
     // shard = #boundaries below the key: a monotone non-decreasing
     // step function of the key (ties share a shard), each step holding
     // ~1/S of the rows regardless of key density

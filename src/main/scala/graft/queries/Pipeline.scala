@@ -896,8 +896,15 @@ object Pipeline {
   // Exercises every path: 2xx success, retryable 5xx under/at the
   // retry ceiling, non-retryable 4xx abort.
   private val ackLedgerQ: Q = (s, d) => {
+    // Materialize the envelope set ONCE: both join sides (the
+    // envelopes and the acks synthesized from them) read this frame,
+    // and without the checkpoint the whole sharded-window micro-batch
+    // lineage — including its eager quantile-bounds pass — recomputes
+    // per branch (the r9 bench regression). Few-hundred-row frame:
+    // the checkpoint is the production "envelopes table" the router
+    // loop would read back from the jobsdb anyway.
     val env = Router.batchSummary(Tables.events(s, d), "event_type",
-      "event_id", size = 50)
+      "event_id", size = 50).localCheckpoint(eager = true)
     val acks = env.select(col("event_type"), col("batch_id"),
         col("first_id"), col("last_id"),
         (lit(1) + col("first_id") % 3).cast("int").as("n_att"))

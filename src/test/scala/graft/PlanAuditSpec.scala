@@ -242,14 +242,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!prio.contains("Window"), "keeper choice must not rank")
   }
 
-  test("p_ack_ledger: batcher window, ack agg and envelope join stay hash-partitioned, no sort-merge") {
-    // the envelope build (window on event_type), the ack argmax agg
-    // and the envelope↔ack join all key on (event_type[, batch_id]) —
-    // nothing should degrade to a SortMergeJoin and every aggregate
-    // must be partial (map-side combined)
+  test("p_ack_ledger: ack agg and envelope join stay hash-partitioned, no sort-merge") {
+    // the envelope set is checkpointed once (both join branches read
+    // it — r9's regression was recomputing the batcher lineage per
+    // branch), so the audited plan starts at the checkpoint scan: the
+    // ack freeze-fold agg (struct min/max → object-hash) and the
+    // envelope↔ack join key on (event_type, batch_id) — nothing may
+    // degrade to a SortMergeJoin, and the join must be the hinted
+    // shuffled-hash form
     val plan = formatted("p_ack_ledger")
     assert(!plan.contains("SortMergeJoin"), "expected hash joins only")
-    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+    // the freeze-fold is a struct min/max (declarative → SortAggregate)
+    // riding the window's batch-key sort — partial+final with NO extra
+    // exchange between window and agg; total exchange NODES = ack side
+    // + envelope side + the gate's final orderBy (formatted mode lists
+    // each node twice: tree line + detail section)
+    assert("(SortAggregate|ObjectHashAggregate|HashAggregate)".r
+      .findAllIn(plan).size >= 2, plan)
+    assert("Exchange".r.findAllIn(plan).size <= 6, plan)
   }
 
   test("t_ngram_diversity: the distinct shuffle carries 8-byte hashes, not bigram strings") {
