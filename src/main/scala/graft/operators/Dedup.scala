@@ -254,7 +254,12 @@ object Dedup {
       val withinNew = candidatePairs(newBands, idCol)
       val a = newBands.select(col(idCol).as("idN"), col("band"), col("band_hash"))
       val b = oldBands.select(col(idCol).as("idO"), col("band"), col("band_hash"))
+      // idN == idO happens when a delta doc's id already exists in the
+      // old band table (re-crawl / update of a known doc) — a
+      // degenerate self-pair that would break the id1 < id2 invariant
+      // every closure query assumes
       val cross = a.join(b, Seq("band", "band_hash"))
+        .where(col("idN") =!= col("idO"))
         .select(least(col("idN"), col("idO")).as("id1"),
           greatest(col("idN"), col("idO")).as("id2"))
       withinNew.unionByName(cross).distinct()

@@ -154,6 +154,13 @@ object LlmData {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
+    // the memory sink now holds the result — drop the staged corpus
+    // copy, or bench's min-of-2 and repeated gate runs accumulate a
+    // full corpus per invocation in /tmp
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(streamDir))
     s.table(name).select("id1", "id2").distinct().orderBy("id1", "id2")
   }
 

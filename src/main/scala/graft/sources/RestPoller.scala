@@ -174,11 +174,28 @@ object RestPoller {
     * ProcessWorkerRequest (gateway.go:299-301 ipAddr 127.0.0.2), with
     * receivedAt = the window's exclusive end (deterministic across
     * replays, unlike a wall-clock stamp). */
-  private[sources] def envelope(writeKey: String, items: Seq[String],
+  private[graft] def envelope(writeKey: String, items: Seq[String],
                                 toMs: Long): String = {
     val receivedAt = DateTimeFormatter.ISO_INSTANT
       .format(Instant.ofEpochMilli(toMs))
-    s"""{"writeKey":"$writeKey","requestIP":"127.0.0.2","receivedAt":"$receivedAt","batch":[${items.mkString(",")}]}"""
+    // the write key is config-store DATA — escape it, or a key holding
+    // a quote/backslash corrupts the envelope and the spool stream
+    // silently drops or misparses the whole batch
+    val wk = jsonEscape(writeKey)
+    s"""{"writeKey":"$wk","requestIP":"127.0.0.2","receivedAt":"$receivedAt","batch":[${items.mkString(",")}]}"""
+  }
+
+  /** JSON string-body escape: backslash, quote, and all control chars
+    * (everything a config-store-sourced value could smuggle into an
+    * interpolated envelope). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   /** Per-instance nonce so N poller pods can share one spool dir
@@ -269,7 +286,11 @@ object RestPoller {
     ConfigStore.sources(spark, dbUrl)
       .filter(org.apache.spark.sql.functions.col("status") === "enabled")
       .select("id", "name", "write_key", "config").collect().toSeq
-      .filter(_.getString(3).contains("\"url\""))
+      // a misconfigured row (NULL config / write_key) is SKIPPED, not
+      // fatal — the reference's per-source guard does the same rather
+      // than letting one bad row kill every poll worker's startup
+      .filter(r => Option(r.getString(3)).exists(_.contains("\"url\"")) &&
+        r.getString(2) != null)
       .map { r =>
         val cfg = configFromJson(r.getString(3))
         r.getString(1) -> catchUp(stateDir, s"src_${r.getLong(0)}", spoolDir,

@@ -367,6 +367,14 @@ class OperatorsSpec extends SparkSpec {
       s"old=${oldPairs.size} delta=${delta.size} full=${full.size} " +
         s"missing=${(full -- oldPairs -- delta).take(5)} " +
         s"extra=${((oldPairs ++ delta) -- full).take(5)}")
+
+    // re-crawl of KNOWN docs: delta ids already present in the band
+    // table must not emit degenerate self-pairs (id1 == id2 would
+    // break the id1 < id2 invariant the closure queries assume)
+    val recrawl = pairSet(Dedup.minhashLshDelta(
+      old.limit(20), "doc_id", "text", oldBands))
+    assert(recrawl.forall(p => p._1 < p._2),
+      s"self/self-inverted pairs in re-crawl delta: ${recrawl.filter(p => p._1 >= p._2).take(5)}")
   }
 
   test("clusterPairs finds transitive near-dup components") {

@@ -137,6 +137,20 @@ class RestPollerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("envelope escapes a hostile write key — the spool stream parses it back intact") {
+    val wk = "k\"ey\\with\ncontrol"
+    val body = graft.sources.RestPoller.envelope(wk,
+      Seq("""{"id":"x"}"""), 1700000000000L)
+    val spool = tmpDir("graft_rp_esc")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(spool, "rest_esc_1.json"),
+      body.getBytes("UTF-8"))
+    val rows = EventBatchReader.read(spark, spool)
+      .select("write_key").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq(wk),
+      s"write key must round-trip through the envelope: $rows")
+  }
+
   test("one poll worker per enabled config-store source with a url (gateway.go:226)") {
     val srv = new HistoryServer("activity-instance",
       Map(T0 -> Seq(item("s1", "start"), item("s2", "end"))))
@@ -153,6 +167,10 @@ class RestPollerSpec extends SparkSpec {
       graft.sources.ConfigStore.insertSource(dbUrl, 9L, "cam-dead", 13,
         "wk-dead", 1, s"""{"url":"${srv.base}","count":"10","interval":"1","history":"1","activity-instance":"true"}""",
         status = "disabled")
+      // (a NULL config/write_key row can't exist here — the DDL says
+      // NOT NULL, matching the reference's configdb.go:128 — but
+      // pollStoreSources still guards against an external store
+      // without the constraint: Option(..).exists skips, not NPEs)
 
       val polled = graft.sources.RestPoller.pollStoreSources(spark, dbUrl,
         state, spool, nowMs = T0 + 60000L)
