@@ -119,6 +119,97 @@ object ConfigStore {
       } finally ps.close()
     }
 
+  def insertCatalogue(url: String, id: Long, name: String, typ: String,
+                      access: String, category: String, catUrl: String,
+                      notes: String, metadata: String,
+                      iconUrl: String): Unit =
+    withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "INSERT INTO \"service_catalogue\" (id, name, type, access, category, url, notes, metadata, iconurl) VALUES (?,?,?,?,?,?,?,?,?)")
+      try {
+        ps.setLong(1, id); ps.setString(2, name); ps.setString(3, typ)
+        ps.setString(4, access); ps.setString(5, category)
+        ps.setString(6, catUrl); ps.setString(7, notes)
+        ps.setString(8, metadata); ps.setString(9, iconUrl)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+
+  // portal update/delete surface (configdb.go:342 UpdateSource, :355
+  // DeleteSource and the destination/connection twins) — prepared
+  // statements where the reference splices strings; true = no error,
+  // matching the reference's success contract (an UPDATE matching no
+  // row still "succeeds")
+
+  def updateSource(url: String, id: Long, name: String, serviceId: Int,
+                   writeKey: String, customerId: Int, config: String,
+                   status: String): Boolean =
+    try withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "UPDATE \"source\" SET name=?, service_id=?, write_key=?, customer_id=?, config=?, status=? WHERE id=?")
+      try {
+        ps.setString(1, name); ps.setInt(2, serviceId)
+        ps.setString(3, writeKey); ps.setInt(4, customerId)
+        ps.setString(5, config); ps.setString(6, status); ps.setLong(7, id)
+        ps.executeUpdate(); true
+      } finally ps.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  def deleteSource(url: String, id: Long): Boolean =
+    deleteById(url, "source", id)
+
+  def updateDestination(url: String, id: Long, name: String, serviceId: Int,
+                        customerId: Int, config: String,
+                        status: String): Boolean =
+    try withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "UPDATE \"destination\" SET name=?, service_id=?, customer_id=?, config=?, status=? WHERE id=?")
+      try {
+        ps.setString(1, name); ps.setInt(2, serviceId)
+        ps.setInt(3, customerId); ps.setString(4, config)
+        ps.setString(5, status); ps.setLong(6, id)
+        ps.executeUpdate(); true
+      } finally ps.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  def deleteDestination(url: String, id: Long): Boolean =
+    deleteById(url, "destination", id)
+
+  def updateConnection(url: String, id: Long, sourceId: Int,
+                       destinationId: Int, transforms: String): Boolean =
+    try withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "UPDATE \"connection\" SET source_id=?, destination_id=?, transforms=? WHERE id=?")
+      try {
+        ps.setInt(1, sourceId); ps.setInt(2, destinationId)
+        ps.setString(3, transforms); ps.setLong(4, id)
+        ps.executeUpdate(); true
+      } finally ps.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  def deleteConnection(url: String, id: Long): Boolean =
+    deleteById(url, "connection", id)
+
+  private def deleteById(url: String, table: String, id: Long): Boolean =
+    try withConnection(url) { conn =>
+      val ps = conn.prepareStatement(s"""DELETE FROM "$table" WHERE id=?""")
+      try { ps.setLong(1, id); ps.executeUpdate(); true } finally ps.close()
+    } catch { case _: java.sql.SQLException => false }
+
+  /** Portal login check (configdb.go:565 Authenticate): does ANY
+    * source row carry this write key — status ignored, exactly the
+    * reference's `count(*) WHERE write_key = …`. */
+  def authenticate(url: String, writeKey: String): Boolean =
+    withConnection(url) { conn =>
+      val ps = conn.prepareStatement(
+        "SELECT COUNT(*) FROM \"source\" WHERE write_key = ?")
+      try {
+        ps.setString(1, writeKey)
+        val rs = ps.executeQuery()
+        try { rs.next(); rs.getLong(1) > 0 } finally rs.close()
+      } finally ps.close()
+    }
+
   /** The portal's enable/disable toggle — what the hot-reload loop
     * observes between micro-batches. */
   def setSourceStatus(url: String, id: Long, status: String): Unit =

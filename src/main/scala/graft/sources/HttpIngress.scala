@@ -40,16 +40,17 @@ object HttpIngress {
     * Concurrency: `threads` handler threads serve requests (the
     * reference gateway's concurrent webRequestQ workers), and at most
     * `maxInFlight` of them do body-read + auth + fsync at once. A
-    * request arriving with every permit taken is answered 503
-    * IMMEDIATELY — overload sheds load, it never hangs a client — so
-    * the pool keeps headroom over the permit count (a 503 needs a
-    * thread too; enforced below). */
+    * request arriving with every permit taken is answered 429
+    * `Max Requests Limit reached` IMMEDIATELY (response.go
+    * TooManyRequests) — overload sheds load, it never hangs a client
+    * — so the pool keeps headroom over the permit count (a shed
+    * answer needs a thread too; enforced below). */
   def start(port: Int, spoolDir: String,
             isAuthorized: String => Boolean,
             threads: Int = 16, maxInFlight: Int = 8): HttpServer = {
     require(threads > maxInFlight,
       s"HttpIngress: threads ($threads) must exceed maxInFlight " +
-        s"($maxInFlight) so overload 503s always find a free thread")
+        s"($maxInFlight) so overload sheds always find a free thread")
     Files.createDirectories(Paths.get(spoolDir))
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     // per-instance nonce: N gateway pods share one spool directory
@@ -59,32 +60,86 @@ object HttpIngress {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val seq = new java.util.concurrent.atomic.AtomicLong(0L)
     val permits = new java.util.concurrent.Semaphore(maxInFlight)
+    import GatewayResponse._
+    // every wire answer speaks the reference's response vocabulary
+    // (response/response.go statusMap): body = {"msg": <message>},
+    // code from the same key → code map
+    def answer(exchange: HttpExchange, key: String): Unit =
+      respond(exchange, getErrorStatusCode(key), makeResponse(getStatus(key)))
+    def spool(body: String): Unit = {
+      // atomic spool: tmp write + rename, so the streaming file
+      // source never lists a half-written request
+      val name = s"req_${nonce}_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
+      val tmp = Paths.get(spoolDir, s".$name.tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(spoolDir, s"$name.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     server.createContext("/v1/batch", (exchange: HttpExchange) => {
       try {
-        if (exchange.getRequestMethod != "POST") respond(exchange, 405, "method")
+        if (exchange.getRequestMethod != "POST") answer(exchange, InvalidRequestMethod)
         else if (!permits.tryAcquire()) // shed before reading the body
-          respond(exchange, 503, """{"status":"server busy"}""")
+          answer(exchange, TooManyRequests)
         else try {
           val body = new String(exchange.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          extractWriteKey(body) match {
-            case None => respond(exchange, 400, "no writeKey")
-            case Some(wk) if !isAuthorized(wk) => respond(exchange, 401, "unauthorized")
+          if (body.isEmpty) answer(exchange, RequestBodyNil)
+          else extractWriteKey(body) match {
+            case None => answer(exchange, NoWriteKeyInBasicAuth)
+            case Some(wk) if !isAuthorized(wk) => answer(exchange, InvalidWriteKey)
             case Some(_) =>
-              // atomic spool: tmp write + rename, so the streaming
-              // file source never lists a half-written request
-              val name = s"req_${nonce}_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
-              val tmp = Paths.get(spoolDir, s".$name.tmp")
-              Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-              Files.move(tmp, Paths.get(spoolDir, s"$name.json"),
-                StandardCopyOption.ATOMIC_MOVE)
-              respond(exchange, 200, """{"status":"ok"}""")
+              spool(body)
+              respond(exchange, 200, makeResponse(Ok))
           }
         } finally permits.release()
       } catch {
         // getMessage can be null (NPE et al.) — never let the error
         // body itself throw and leave the client with no response
-        case e: Throwable => respond(exchange, 500, String.valueOf(e.getMessage))
+        case e: Throwable =>
+          respond(exchange, 500, makeResponse(String.valueOf(e.getMessage)))
+      }
+    })
+    // the 1×1-GIF intake path (response.go:58 transPixelResponse) — a
+    // GET whose query params ARE the event; the spooled envelope is
+    // the same shape the POST path accepts, so the streaming reader
+    // needs no second parser
+    server.createContext("/pixel/v1/track", (exchange: HttpExchange) => {
+      try {
+        if (exchange.getRequestMethod != "GET") answer(exchange, InvalidRequestMethod)
+        else {
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          def param(k: String): Option[String] =
+            q.split("&").collectFirst {
+              case kv if kv.takeWhile(_ != '=') == k =>
+                java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+            }.filter(_.nonEmpty)
+          param("writeKey") match {
+            case None => answer(exchange, NoWriteKeyInQueryParams)
+            case Some(wk) if !isAuthorized(wk) => answer(exchange, InvalidWriteKey)
+            case Some(wk) =>
+              if (param("anonymousId").isEmpty && param("userId").isEmpty)
+                answer(exchange, NonIdentifiableRequest)
+              else {
+                val item = (Seq("messageId", "anonymousId", "userId", "event",
+                  "originalTimestamp", "sentAt", "properties")
+                  .flatMap(k => param(k).map(v =>
+                    s""""$k":"${RestPoller.jsonEscape(v)}"""")) :+
+                  """"type":"track"""").mkString("{", ",", "}")
+                val receivedAt = java.time.format.DateTimeFormatter.ISO_INSTANT
+                  .format(java.time.Instant.ofEpochMilli(System.currentTimeMillis()))
+                spool(s"""{"writeKey":"${RestPoller.jsonEscape(wk)}",""" +
+                  s""""requestIP":"${exchange.getRemoteAddress.getAddress.getHostAddress}",""" +
+                  s""""receivedAt":"$receivedAt","batch":[$item]}""")
+                exchange.getResponseHeaders.set("Content-Type", "image/gif")
+                exchange.sendResponseHeaders(200, pixelResponse.length.toLong)
+                val os = exchange.getResponseBody
+                try os.write(pixelResponse) finally os.close()
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          respond(exchange, 500, makeResponse(String.valueOf(e.getMessage)))
       }
     })
     // daemon threads: server.stop() doesn't shut the executor down,

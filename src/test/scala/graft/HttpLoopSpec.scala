@@ -53,7 +53,7 @@ class HttpLoopSpec extends SparkSpec {
       assert(post(base, env("wk-live", evt("m1", "click"), evt("m2", "view"))) == 200)
       assert(post(base, env("wk-live", evt("m3", "purchase"))) == 200)
       assert(post(base, env("wk-dead", evt("m4", "click"))) == 401)
-      assert(post(base, """{"batch":[]}""") == 400) // no writeKey at all
+      assert(post(base, """{"batch":[]}""") == 401) // no writeKey at all (NoWriteKeyInBasicAuth)
       assert(new java.io.File(spool).listFiles()
         .count(_.getName.endsWith(".json")) == 2)
 
@@ -72,23 +72,23 @@ class HttpLoopSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
-  test("HTTP ingress: concurrent clients all spool; overload sheds 503, never hangs") {
+  test("HTTP ingress: concurrent clients all spool; overload sheds 429, never hangs") {
     val spool = java.nio.file.Files.createTempDirectory("graft_spool_conc").toString
     def env(i: Int) =
       s"""{"writeKey":"wk-live","requestIP":"10.0.0.1","receivedAt":"2024-01-01T00:10:00.000Z","batch":[{"messageId":"c$i","userId":"u1","event":"e","originalTimestamp":"2024-01-01T00:00:00.000Z","sentAt":"2024-01-01T00:00:00.000Z"}]}"""
 
     // phase 1: 32 parallel clients against 8 permits — a burst MAY be
-    // shed (503 is the protocol: retry), but with retry-on-503 every
+    // shed (429 TooManyRequests is the protocol: retry), so every
     // client lands exactly once and no accepted event is lost
     val server = HttpIngress.start(0, spool, _ => true,
       threads = 16, maxInFlight = 8)
     try {
       val base = s"http://localhost:${server.getAddress.getPort}/v1/batch"
       def postRetrying(body: String): Int = {
-        var code = 503; var tries = 0
-        while (code == 503 && tries < 50) {
+        var code = 429; var tries = 0
+        while (code == 429 && tries < 50) {
           code = post(base, body); tries += 1
-          if (code == 503) Thread.sleep(20)
+          if (code == 429) Thread.sleep(20)
         }
         code
       }
@@ -105,7 +105,7 @@ class HttpLoopSpec extends SparkSpec {
     } finally server.stop(0)
 
     // phase 2: permits exhausted by requests parked in auth — the
-    // overflow gets an IMMEDIATE 503 while the parked ones still land
+    // overflow gets an IMMEDIATE 429 while the parked ones still land
     val gate = new java.util.concurrent.CountDownLatch(1)
     val parked = new java.util.concurrent.atomic.AtomicInteger(0)
     val spool2 = java.nio.file.Files.createTempDirectory("graft_spool_ovl").toString
@@ -120,11 +120,11 @@ class HttpLoopSpec extends SparkSpec {
       val t0 = System.currentTimeMillis()
       while (parked.get() < 2 && System.currentTimeMillis() - t0 < 10000) Thread.sleep(10)
       assert(parked.get() == 2)
-      // every further request is shed load: 503 within the timeout,
+      // every further request is shed load: 429 within the timeout,
       // no client ever hangs on a queue
       val shed = (2 until 6).map(i => pool.submit(() => post(base, env(i)): Integer))
         .map(_.get(10, java.util.concurrent.TimeUnit.SECONDS).toInt)
-      assert(shed.forall(_ == 503), shed.toString)
+      assert(shed.forall(_ == 429), shed.toString)
       gate.countDown() // release the parked pair — they complete normally
       assert(blocked.map(_.get(10, java.util.concurrent.TimeUnit.SECONDS).toInt)
         .forall(_ == 200))
