@@ -262,12 +262,38 @@ object StreamingPipeline {
     * streaming consumer dedups on (id1,id2) like every at-least-once
     * seam). State per bucket is its member id list — the same memory
     * envelope the batch self-join's bucket holds, sharded across
-    * executors by the band key exactly like the batch shuffle. A
-    * production deployment bounds state with a TTL (ProcessingTime
-    * timeout) when dedup-against-recent suffices. */
+    * executors by the band key exactly like the batch shuffle.
+    *
+    * Unbounded streams bound that state two ways (composable):
+    *
+    *  - `initialBands`: BOOTSTRAP the bucket membership from a
+    *    persisted band table ([[graft.operators.Dedup.lshBands]] —
+    *    the artifact [[graft.operators.Dedup.minhashLshDelta]] joins
+    *    against), so a restarted stream pairs new docs against the
+    *    whole prior corpus WITHOUT replaying it. Pairs internal to
+    *    the snapshot are NOT re-emitted — they live in the persisted
+    *    pair table, exactly the delta contract (old ∪ streamed ==
+    *    full recompute; spec-pinned on the real corpus).
+    *  - `stateTtlMs`: an idle-bucket TTL (ProcessingTime timeout —
+    *    the timer resets whenever the bucket sees a doc). Expired
+    *    buckets drop, so state tracks the ACTIVE working set instead
+    *    of growing O(corpus seen). The documented trade: a new doc
+    *    cannot pair with a doc whose every shared bucket has been
+    *    idle past the TTL — dedup-against-recent, the horizon a
+    *    production crawl actually wants; periodic compaction back
+    *    into the band table (minhashLshDelta's path) restores full
+    *    recall. NB processing-time timers make the engine's no-data
+    *    micro-batches report "requires another batch" forever, so
+    *    `processAllAvailable()`-style synchronization never settles
+    *    with the default `noDataMicroBatches.enabled=true`; an
+    *    always-on stream doesn't care, and replay-style harnesses
+    *    disable no-data batches (timers then fire inside ordinary
+    *    data batches). */
   def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 3, numPerms: Int = 16,
-                       rowsPerBand: Int = 4): Dataset[NearDupPair] = {
+                       rowsPerBand: Int = 4,
+                       initialBands: Option[DataFrame] = None,
+                       stateTtlMs: Option[Long] = None): Dataset[NearDupPair] = {
     implicit val hitEnc = Encoders.product[BandHit]
     implicit val stEnc = Encoders.product[BucketIds]
     implicit val outEnc = Encoders.product[NearDupPair]
@@ -283,28 +309,53 @@ object StreamingPipeline {
       md5(concat_ws("|",
         (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)): _*))
     }
-    sig.select(col("id"),
+    val grouped = sig.select(col("id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
       .as[BandHit]
       .groupByKey(r => s"${r.band}|${r.band_hash}")
-      .flatMapGroupsWithState[BucketIds, NearDupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[BandHit], state: GroupState[BucketIds]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Nil)
-          // sorted for deterministic emission; re-delivered ids are
-          // no-ops against membership
-          val arriving = rows.map(_.id).toSeq.distinct.sorted
-          val out = Seq.newBuilder[NearDupPair]
-          var members = seen
-          arriving.filterNot(seen.contains).foreach { id =>
-            members.foreach { m =>
-              out += NearDupPair(math.min(id, m), math.max(id, m))
-            }
-            members = id :: members
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val fold = (_: String, rows: Iterator[BandHit], state: GroupState[BucketIds]) =>
+      if (state.hasTimedOut) {
+        // idle past the TTL: this bucket's members leave the dup
+        // horizon (they stay pair-able through their OTHER buckets
+        // until those expire too)
+        state.remove()
+        Iterator.empty: Iterator[NearDupPair]
+      } else {
+        val seen = state.getOption.map(_.ids).getOrElse(Nil)
+        // sorted for deterministic emission; re-delivered ids are
+        // no-ops against membership
+        val arriving = rows.map(_.id).toSeq.distinct.sorted
+        val out = Seq.newBuilder[NearDupPair]
+        var members = seen
+        arriving.filterNot(seen.contains).foreach { id =>
+          members.foreach { m =>
+            out += NearDupPair(math.min(id, m), math.max(id, m))
           }
-          state.update(BucketIds(members))
-          out.result().iterator
+          members = id :: members
+        }
+        state.update(BucketIds(members))
+        stateTtlMs.foreach(state.setTimeoutDuration)
+        out.result().iterator
       }
+    initialBands match {
+      case Some(bands) =>
+        implicit val snapEnc = Encoders.product[(String, List[Long])]
+        val init = bands
+          .groupBy(col("band"), col("band_hash"))
+          .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
+          .select(concat_ws("|", col("band"), col("band_hash")).as("_1"),
+            col("ids").as("_2"))
+          .as[(String, List[Long])]
+          .groupByKey(_._1).mapValues(t => BucketIds(t._2))
+        grouped.flatMapGroupsWithState[BucketIds, NearDupPair](
+          OutputMode.Append(), timeoutConf, init)(fold)
+      case None =>
+        grouped.flatMapGroupsWithState[BucketIds, NearDupPair](
+          OutputMode.Append(), timeoutConf)(fold)
+    }
   }
 
   /** Streaming contamination gate — d_bloom_contam's always-on twin

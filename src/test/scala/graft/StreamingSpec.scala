@@ -529,4 +529,96 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(p => firstIds.contains(p._1) != firstIds.contains(p._2)),
       "expected a cross-micro-batch pair")
   }
+
+  test("streaming LSH bootstrapped from a persisted band table matches full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus refresh without replay: the old corpus exists only as its
+    // persisted band table (minhashLshDelta's artifact); the stream
+    // carries ONLY the new docs, state bootstraps from the snapshot,
+    // and old-pairs ∪ streamed-pairs must equal a full recompute
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val old = all.filter($"doc_id" % 3 =!= 0L)
+    val fresh = all.filter($"doc_id" % 3 === 0L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val oldBands = graft.operators.Dedup.lshBands(
+      graft.operators.Dedup.minhashSignatures(old, "doc_id", "text", 3, 16, None),
+      "doc_id", 16, 4).localCheckpoint(eager = true)
+
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingPipeline.lshNearDupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      initialBands = Some(oldBands))
+    val query = pairs.writeStream.format("memory").queryName("lsh_boot")
+      .outputMode("append").start()
+    input.addData(fresh.toSeq)
+    query.processAllAvailable()
+    query.stop()
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = spark.table("lsh_boot")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldPairs = pairSet(graft.operators.Dedup.candidatePairs(oldBands, "doc_id"))
+    val full = pairSet(graft.operators.Dedup.minhashLsh(all, "doc_id", "text"))
+    val freshIds = fresh.map(_._1).toSet
+    assert(streamed.nonEmpty &&
+      streamed.forall(p => freshIds.contains(p._1) || freshIds.contains(p._2)),
+      "every streamed pair must involve a new doc")
+    assert((oldPairs ++ streamed) == full,
+      s"old=${oldPairs.size} streamed=${streamed.size} full=${full.size} " +
+        s"missing=${(full -- oldPairs -- streamed).take(5)} " +
+        s"extra=${((oldPairs ++ streamed) -- full).take(5)}")
+  }
+
+  test("streaming LSH idle-bucket TTL drops state: bounded rows, recent dups still found") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, seed: String) =
+      (id, s"$seed one two three four five six seven eight nine ten")
+    // Under ProcessingTimeTimeout the engine's no-data timer batches
+    // ALWAYS "require another batch" (FlatMapGroupsWithStateExec
+    // .shouldRunAnotherBatch is unconditionally true for that conf),
+    // so noNewData never latches and processAllAvailable() hangs
+    // forever. Disable no-data batches for this test: timers then
+    // fire inside ordinary data batches — which an always-on crawl
+    // has continuously anyway.
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try {
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingPipeline.lshNearDupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      stateTtlMs = Some(3000L))
+    val query = pairs.writeStream.format("memory").queryName("lsh_ttl")
+      .outputMode("append").start()
+    // batch 1: doc 1 enters state — 16 perms / 4 rows = 4 band buckets
+    input.addData(doc(1L, "alpha"))
+    query.processAllAvailable()
+    val stateAfter1 = query.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateAfter1 == 4L, s"doc 1 must occupy its 4 band buckets: $stateAfter1")
+    // idle past the TTL, then land an UNRELATED doc: that data batch
+    // fires the expired timers of doc 1's (data-less) buckets
+    Thread.sleep(3500L)
+    input.addData(doc(50L, "zeta wholly different vocabulary in here"))
+    query.processAllAvailable()
+    val stateAfterExpiry = query.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateAfterExpiry == 4L,
+      s"doc 1's buckets must expire, leaving only the filler's: $stateAfterExpiry")
+    // doc 2 is a near-dup of doc 1 — but doc 1 left the horizon, so
+    // NO pair fires (the documented dedup-against-recent trade)...
+    input.addData(doc(2L, "alpha"))
+    query.processAllAvailable()
+    val dupAfterExpiry = spark.table("lsh_ttl")
+      .filter("id1 = 1 and id2 = 2").count()
+    // ...while a dup arriving WITHIN the TTL still pairs instantly
+    input.addData(doc(3L, "alpha"))
+    query.processAllAvailable()
+    val freshDup = spark.table("lsh_ttl").filter("id1 = 2 and id2 = 3").count()
+    query.stop()
+    assert(dupAfterExpiry == 0L,
+      "expired buckets must not pair (dedup-against-recent horizon)")
+    assert(freshDup > 0L, "a dup within the TTL must still pair")
+    } finally spark.conf.set(noData, prior)
+  }
 }
