@@ -202,6 +202,28 @@ object ScaleSmoke {
     val strBig = strung(oneDestBig)
     time("micro_batch_string_x1")(microBatchSum(str1))
     time(s"micro_batch_string_x$n")(microBatchSum(strBig))
+    // round-10 entry: the trainer-facing shard export at N× — the
+    // global permutation is a ONE-group sharded prefix count (no
+    // single-task corpus sort), so the wall must track corpus size
+    // ~linearly; and the manifest must be BIT-IDENTICAL across
+    // physical input layouts (the content-seeded order has no
+    // partition dependence — the reproducibility a training run
+    // actually needs)
+    def exportOnce(df: DataFrame, root: String): Long = {
+      graft.sinks.ShardExport.export(df, "text", "doc_id", "source",
+        root, shardSize = 1000L)
+      graft.sinks.ShardExport.readManifest(spark, root)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    time("shard_export_x1")(exportOnce(docs1, s"$out/exp_1"))
+    time(s"shard_export_x$n")(exportOnce(docsBig, s"$out/exp_N"))
+    time(s"shard_export_x${n}_relayout")(
+      exportOnce(docsBig.repartition(17), s"$out/exp_N2"))
+    def manifestRows(root: String): Seq[String] =
+      graft.sinks.ShardExport.readManifest(spark, root)
+        .orderBy("shard").collect().map(_.toString).toSeq
+    val stable = manifestRows(s"$out/exp_N") == manifestRows(s"$out/exp_N2")
+    println(s"SCALE shard_export_manifest_stable_across_layouts $stable")
     spark.stop()
   }
 }
