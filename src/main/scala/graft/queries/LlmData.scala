@@ -2072,23 +2072,14 @@ object LlmData {
   // discipline); the final ratios share the FLOOR(x·10⁶+.5) formula.
   // One partial-agg shuffle + a broadcast scalar join; the source
   // domain is bounded, so the report is tiny at any corpus scale.
-  private val mixWeights: Q = (s, d) => {
-    val budget = 5000.0 // global token budget for the mixture
-    val per = Tables.documents(s, d)
-      .select(col("source"), T.wsTokenCount(col("text")).cast("long").as("toks"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      .withColumn("s_tok",
-        round(sqrt(col("n_tokens").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
-    val tot = per.agg(sum(col("s_tok")).as("tot_s"))
-    val frac = col("s_tok").cast(DoubleType) / col("tot_s").cast(DoubleType)
-    per.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        (floor(frac * 1e6 + 0.5) / 1e6).as("weight"),
-        (floor(lit(budget) * frac / col("n_tokens").cast(DoubleType) * 1e6 + 0.5)
-          / 1e6).as("sample_rate"))
+  // Rides operators.Mixing — the same builder the live curation loop
+  // (CurationLoopSpec) composes, so the gate pins the shared core.
+  private val mixWeights: Q = (s, d) =>
+    Mixing.sourceRates(Tables.documents(s, d), "text", "source",
+        tokenBudget = 5000.0)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("rate_u") / 1e6).as("sample_rate"))
       .orderBy("source")
-  }
 
   private val mixWeightsSql =
     """WITH per AS (SELECT source, COUNT(*) AS n_docs,
@@ -2238,26 +2229,13 @@ object LlmData {
   // materialization schedule. Scale shape: the rates frame is
   // source-cardinality (broadcast), the epoch expansion is a
   // row-local explode, then ONE partial agg.
+  // Rides operators.Mixing (sourceRates → expandEpochs), the same
+  // builders the live curation loop composes end-to-end.
   private val epochExpand: Q = (s, d) => {
-    val budget = 40000.0
-    val docs = Tables.documents(s, d).select(col("source"),
-      T.wsTokenCount(col("text")).cast("long").as("toks"),
-      (Dedup.shingleHash(concat(lit("epoch:"), col("text"))) % 1000000L).as("u"))
-    val per = docs.groupBy("source")
-      .agg(sum(col("toks")).as("n_tokens"))
-      .withColumn("s_tok",
-        round(sqrt(col("n_tokens").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
-    val tot = per.agg(sum(col("s_tok")).as("tot_s"))
-    val rateU = floor(lit(budget)
-        * (col("s_tok").cast(DoubleType) / col("tot_s").cast(DoubleType))
-        / col("n_tokens").cast(DoubleType) * 1e6 + 0.5).cast("long")
-    val rates = per.crossJoin(broadcast(tot)).select(col("source"), rateU.as("rate_u"))
-    docs.join(broadcast(rates), "source")
-      .withColumn("n_copies", expr("rate_u div 1000000")
-        + when(col("u") < col("rate_u") % 1000000L, lit(1L)).otherwise(lit(0L)))
-      .where(col("n_copies") > 0)
-      .select(col("source"), col("toks"),
-        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+    val docs = Tables.documents(s, d).select(col("source"), col("text"),
+      T.wsTokenCount(col("text")).cast("long").as("toks"))
+    val rates = Mixing.sourceRates(docs, "text", "source", tokenBudget = 40000.0)
+    Mixing.expandEpochs(docs, "text", "source", rates)
       .groupBy("source", "epoch")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens_out"))
       .orderBy("source", "epoch")
