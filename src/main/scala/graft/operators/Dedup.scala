@@ -595,4 +595,48 @@ object Dedup {
         round(coalesce(col("nc"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("covered_frac"))
   }
+
+  /** SimHash hamming-ball near-dup pairs (the Manku/Jain/Sarma
+    * WWW'07 design): all (id1 < id2, hamming) with
+    * hamming(simhash₁, simhash₂) ≤ `maxHamming` — the bitwise
+    * complement to MinHash-LSH (token-frequency-weighted, catches
+    * reordered/templated text Jaccard shingles dilute).
+    *
+    * The fingerprint splits into `nBlocks` equal bit blocks; with
+    * nBlocks > maxHamming the pigeonhole principle gives the
+    * block-bucket join PERFECT recall (≤ maxHamming flipped bits
+    * cannot corrupt every block), so the banded result IS the
+    * all-pairs result at bucket-join cost — no all-pairs stage, no
+    * recall/precision tuning. Shuffles carry (block, block-value)
+    * keys plus the 8-byte fingerprint, never text; the exact hamming
+    * check is one codegen'd `bit_count(xor)` per candidate. Skew
+    * caveat (shared with LSH banding): a block value common to m
+    * docs costs an m² bucket — boilerplate-heavy corpora should
+    * strip template frames upstream (crossDocSpanCoverage) first. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, nBlocks: Int = 4): DataFrame = {
+    require(nBlocks > maxHamming,
+      s"need nBlocks ($nBlocks) > maxHamming ($maxHamming) for exact recall")
+    require(nBlocks >= 2 && 64 % nBlocks == 0,
+      s"nBlocks must divide 64: $nBlocks")
+    graft.plans.SimHash64.register(df.sparkSession)
+    val w = 64 / nBlocks
+    val mask = (1L << w) - 1
+    val banded = df
+      .select(col(idCol).as("id"),
+        expr(s"simhash64(split(lower($textCol), ' '))").as("sh"))
+      .select(col("id"), col("sh"),
+        explode(array((0 until nBlocks).map(i => struct(lit(i).as("blk"),
+          expr(s"shiftright(sh, ${w * i}) & $mask").as("v"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.blk").as("blk"), col("b.v").as("v"))
+    banded.select(col("id").as("id1"), col("sh").as("sh1"), col("blk"), col("v"))
+      .join(banded.select(
+        col("id").as("id2"), col("sh").as("sh2"), col("blk"), col("v")),
+        Seq("blk", "v"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sh1 ^ sh2)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

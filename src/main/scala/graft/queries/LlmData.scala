@@ -330,7 +330,9 @@ object LlmData {
       .orderBy("doc_id")
   }
 
-  private val simhashSql =
+  // Shared by the d_simhash projection oracle and the
+  // d_simhash_neardup all-pairs oracle.
+  private val simhashCtes =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
       |),
@@ -355,12 +357,41 @@ object LlmData {
       |  SELECT doc_id,
       |    SUM(CASE WHEN c > 0 THEN CAST(POWER(2, bit) AS HUGEINT) ELSE 0::HUGEINT END) AS sh
       |  FROM counts GROUP BY doc_id
-      |)
-      |SELECT doc_id,
-      |  CAST(CASE WHEN sh >= 9223372036854775808::HUGEINT
-      |       THEN sh - 18446744073709551616::HUGEINT ELSE sh END AS BIGINT) AS simhash,
-      |  CAST(sh % 65536 AS BIGINT) AS band16
-      |FROM sim ORDER BY doc_id""".stripMargin
+      |),
+      |signed AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN sh >= 9223372036854775808::HUGEINT
+      |         THEN sh - 18446744073709551616::HUGEINT ELSE sh END AS BIGINT) AS simhash,
+      |    sh
+      |  FROM sim
+      |)""".stripMargin
+
+  private val simhashSql =
+    s"""$simhashCtes
+      |SELECT doc_id, simhash, CAST(sh % 65536 AS BIGINT) AS band16
+      |FROM signed ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ d_simhash_neardup
+  // SimHash hamming-ball near-dup pairs (Dedup.simhashNearDup — the
+  // Manku WWW'07 block-split design): 4 16-bit blocks give the
+  // block-bucket join PERFECT recall at hamming ≤ 3 by pigeonhole,
+  // so the oracle can be the literal ALL-PAIRS scan — the banded
+  // Spark plan must reproduce it exactly, pair for pair, which makes
+  // the recall property itself the thing hash-checked (not sampled).
+  // Complements d_minhash_lsh: bitwise fingerprint distance catches
+  // templated/reordered text whose shingle Jaccard is diluted.
+  private val simhashNeardup: Q = (s, d) =>
+    Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, nBlocks = 4)
+      .orderBy("id1", "id2")
+
+  private val simhashNeardupSql =
+    s"""$simhashCtes
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id1, id2""".stripMargin
 
   // -------------------------------------------------- d_ngram_jaccard
   private val ngramJaccard: Q = (s, d) =>
@@ -2294,6 +2325,7 @@ object LlmData {
     "d_minhash_estimate" -> minhashEstimate,
     "d_dup_clusters" -> dupClusters,
     "d_simhash" -> simhash,
+    "d_simhash_neardup" -> simhashNeardup,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_containment_dup" -> containmentDup,
     "d_embedding_neardup" -> embNearDup,
@@ -2414,6 +2446,7 @@ object LlmData {
     "t_length_hist" -> lengthHistSql,
     "t_fingerprint" -> fingerprintSql,
     "d_simhash" -> simhashSql,
+    "d_simhash_neardup" -> simhashNeardupSql,
     "t_char_entropy" -> charEntropySql,
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,

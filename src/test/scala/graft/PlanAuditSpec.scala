@@ -323,4 +323,17 @@ class PlanAuditSpec extends SparkSpec {
       s"t_pack_stats: ${pws.map(_.partitionSpec)}")
     assert("HashAggregate".r.findAllIn(formatted("t_pack_stats")).size >= 2)
   }
+
+  test("d_simhash_neardup: bucket join keys on (block, value), text never shuffles") {
+    // the hamming-ball join must stay a block-bucket equi-join of
+    // 8-byte fingerprints — a regression to a cartesian (the naive
+    // all-pairs form) or a text-bearing exchange fails
+    val plan = formatted("d_simhash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "all-pairs join shape")
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"text rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
