@@ -113,9 +113,19 @@ object Demo {
     operators.Dedup.crossDocSpanCoverage(corpus, "doc_id", "text",
       k = 5, minDocs = 2).orderBy("doc_id").show(truncate = false)
 
-    // --- trainer-facing export: deterministic shuffle → ordered shards
+    // --- mixing policy: temperature weights → deterministic epoch repeats
     val corpusSrc = corpus.withColumn("source", col("lang"))
-    sinks.ShardExport.export(corpusSrc, "text", "doc_id", "source",
+    val rates = operators.Mixing.sourceRates(corpusSrc, "text", "source",
+      tokenBudget = 120.0)
+    println("== mixture weights + micro-rates (tokens^0.5 temperature) ==")
+    rates.orderBy("source").show()
+    val expanded = operators.Mixing.expandEpochs(corpusSrc, "text", "source", rates)
+      .select(concat_ws("#", col("doc_id"), col("epoch")).as("row_id"),
+        col("source"), col("text"))
+    println("== epoch-expanded trainer rows == " + expanded.count())
+
+    // --- trainer-facing export: deterministic shuffle → ordered shards
+    sinks.ShardExport.export(expanded, "text", "row_id", "source",
       s"$out/export", shardSize = 2L)
     println("== training-shard export manifest (v" +
       sinks.ShardExport.currentVersion(s"$out/export").get + ") ==")
