@@ -224,6 +224,17 @@ object ScaleSmoke {
         .orderBy("shard").collect().map(_.toString).toSeq
     val stable = manifestRows(s"$out/exp_N") == manifestRows(s"$out/exp_N2")
     println(s"SCALE shard_export_manifest_stable_across_layouts $stable")
+    // round-10 entry: simhash hamming-ball near-dup — replica token
+    // spaces are disjoint so fingerprints decorrelate across replicas
+    // (random 64-bit pairs land within hamming 3 with p ≈ 2e-15):
+    // pairs grow ~N×, and the 16-bit block-bucket join must keep the
+    // WALL ~linear (the property under test — a naive all-pairs form
+    // would grow N²)
+    def simhashPairs(df: DataFrame): Long =
+      graft.operators.Dedup.simhashNearDup(df, "doc_id", "text")
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    time("simhash_neardup_x1")(simhashPairs(docs1))
+    time(s"simhash_neardup_x$n")(simhashPairs(docsBig))
     spark.stop()
   }
 }

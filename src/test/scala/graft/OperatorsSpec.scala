@@ -463,4 +463,33 @@ class OperatorsSpec extends SparkSpec {
     // doc 1 passes "cap" but fails the length stage — sequential, not
     // independent: it is counted removed at stage 1 only
   }
+
+  test("Mixing subsample regime: rate < 1 keeps a deterministic budget-sized slice") {
+    // one source, 80 docs x 10 tokens = 800 tokens; budget 80 => rate
+    // 0.1 — every doc gets n_copies in {0, 1} decided by its content
+    // hash, so the kept set is a stable ~10% slice
+    val docs = (1 to 80).map(i =>
+        (i.toLong, "web", s"doc $i " + (1 to 8).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rates = Mixing.sourceRates(docs, "text", "source", tokenBudget = 80.0)
+    val r = rates.collect()(0)
+    assert(r.getAs[Double]("weight") == 1.0)
+    val rateU = r.getAs[Long]("rate_u")
+    assert(rateU > 0 && rateU < 1000000L, s"subsample regime: $rateU")
+    val copies = Mixing.epochCopies(docs, "text", "source", rates)
+    assert(copies.where(col("n_copies") < 0 || col("n_copies") > 1).isEmpty)
+    val kept = Mixing.expandEpochs(docs, "text", "source", rates)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // spend lands within ±40% of the budget on this tiny corpus and
+    // every kept row is epoch 0
+    assert(keptIds.size >= 4 && keptIds.size <= 12, s"kept ${keptIds.size}")
+    assert(kept.where(col("epoch") =!= 0L).isEmpty)
+    // re-run decides the same docs (content-hash, no rand)
+    val again = Mixing.expandEpochs(docs, "text", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+    // zero budget degenerates to an empty schedule
+    val zero = Mixing.sourceRates(docs, "text", "source", tokenBudget = 0.0)
+    assert(Mixing.expandEpochs(docs, "text", "source", zero).isEmpty)
+  }
 }
