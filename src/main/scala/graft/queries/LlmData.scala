@@ -393,6 +393,47 @@ object LlmData {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------------- d_neardup_venn
+  // Near-dup DETECTOR AGREEMENT report — the diagnostic a curation
+  // run reads before picking thresholds: the pair-level Venn of the
+  // three text families (exact n-gram Jaccard overlap, its MinHash-
+  // LSH approximation, SimHash hamming ball). A jaccard-only row is
+  // an LSH recall gap; a minhash-only row is banding noise below the
+  // Jaccard bar; simhash-only rows are the bitwise family's
+  // templated-text catch. The two shingle families ride the ONE
+  // memoized gram/signature store; the full-outer joins carry
+  // 16-byte pair keys; output is ≤ 7 rows at any corpus scale.
+  private val neardupVenn: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nj = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3,
+        maxDocFreq = 50, minJaccard = 0.1, cacheKey = mhKey(s, d))
+      .select(col("id1"), col("id2"), lit(1L).as("in_jaccard"))
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
+      .select(col("id1"), col("id2"), lit(1L).as("in_minhash"))
+    val sh = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .select(col("id1"), col("id2"), lit(1L).as("in_simhash"))
+    nj.join(mh, Seq("id1", "id2"), "full_outer")
+      .join(sh, Seq("id1", "id2"), "full_outer")
+      .na.fill(0L, Seq("in_jaccard", "in_minhash", "in_simhash"))
+      .groupBy("in_jaccard", "in_minhash", "in_simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_jaccard", "in_minhash", "in_simhash")
+  }
+
+  // The three family oracles embed verbatim as derived tables (each
+  // is individually gate-proven; DuckDB accepts a WITH prologue
+  // inside a subquery), so the venn oracle can never drift from them.
+  private lazy val neardupVennSql =
+    s"""SELECT CAST(COALESCE(j.fj, 0) AS BIGINT) AS in_jaccard,
+      |  CAST(COALESCE(m.fm, 0) AS BIGINT) AS in_minhash,
+      |  CAST(COALESCE(s.fs, 0) AS BIGINT) AS in_simhash,
+      |  COUNT(*) AS n_pairs
+      |FROM (SELECT id1, id2, 1 AS fj FROM ($ngramJaccardSql)) j
+      |FULL JOIN (SELECT id1, id2, 1 AS fm FROM ($minhashLshSql)) m USING (id1, id2)
+      |FULL JOIN (SELECT id1, id2, 1 AS fs FROM ($simhashNeardupSql)) s USING (id1, id2)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // -------------------------------------------------- d_ngram_jaccard
   private val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
@@ -2326,6 +2367,7 @@ object LlmData {
     "d_dup_clusters" -> dupClusters,
     "d_simhash" -> simhash,
     "d_simhash_neardup" -> simhashNeardup,
+    "d_neardup_venn" -> neardupVenn,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_containment_dup" -> containmentDup,
     "d_embedding_neardup" -> embNearDup,
@@ -2447,6 +2489,7 @@ object LlmData {
     "t_fingerprint" -> fingerprintSql,
     "d_simhash" -> simhashSql,
     "d_simhash_neardup" -> simhashNeardupSql,
+    "d_neardup_venn" -> neardupVennSql,
     "t_char_entropy" -> charEntropySql,
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,
