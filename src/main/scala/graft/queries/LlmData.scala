@@ -434,6 +434,61 @@ object LlmData {
       |FULL JOIN (SELECT id1, id2, 1 AS fs FROM ($simhashNeardupSql)) s USING (id1, id2)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------- d_lsh_calibration
+  // LSH RECALL CALIBRATION curve — the quantitative companion to the
+  // venn: empirical MinHash-LSH recall per exact-Jaccard decile,
+  // next to the analytic banding S-curve 1-(1-s^r)^b evaluated at the
+  // decile midpoint (r=4 rows/band, b=4 bands — the gate's config).
+  // This is the table a curation run reads to pick (numPerms,
+  // rowsPerBand) for a target similarity threshold: where the
+  // empirical column falls off is where banding starts missing pairs.
+  // Both families ride the ONE memoized gram/signature store; the
+  // left join carries 16-byte pair keys; output is ≤ 10 rows at any
+  // corpus scale. The S-curve uses explicit products (no pow) so both
+  // engines run the same IEEE multiply sequence.
+  private val lshCalibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3,
+        maxDocFreq = 50, minJaccard = 0.1, cacheKey = mhKey(s, d))
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numPerms = 16, rowsPerBand = 4, cacheKey = mhKey(s, d))
+      .select(col("id1"), col("id2"), lit(1L).as("caught"))
+    val mid = least(col("j_bucket").cast("double") / lit(10.0) + lit(0.05), lit(1.0))
+    val s4 = mid * mid * mid * mid
+    val miss = lit(1.0) - s4
+    val expected = lit(1.0) - miss * miss * miss * miss
+    exact.join(lsh, Seq("id1", "id2"), "left_outer")
+      .withColumn("j_bucket", floor(col("jaccard") * lit(10.0)).cast("long"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_pairs"), 6))
+      .withColumn("expected_recall", round(expected, 6))
+      .orderBy("j_bucket")
+  }
+
+  // Embeds the two gate-proven family oracles verbatim (the venn
+  // discipline) so the calibration can never drift from them.
+  private lazy val lshCalibrationSql =
+    s"""WITH e AS (SELECT id1, id2, jaccard FROM ($ngramJaccardSql)),
+      |l AS (SELECT id1, id2, 1 AS caught FROM ($minhashLshSql)),
+      |b AS (SELECT CAST(FLOOR(jaccard * 10.0) AS BIGINT) AS j_bucket,
+      |             CASE WHEN l.caught IS NOT NULL THEN 1 ELSE 0 END AS c
+      |      FROM e LEFT JOIN l USING (id1, id2)),
+      |g AS (SELECT j_bucket, COUNT(*) AS n_pairs,
+      |             CAST(SUM(c) AS BIGINT) AS n_caught
+      |      FROM b GROUP BY j_bucket),
+      |m AS (SELECT *, LEAST(CAST(j_bucket AS DOUBLE) / 10.0 + 0.05, 1.0) AS mid
+      |      FROM g)
+      |SELECT j_bucket, n_pairs, n_caught,
+      |  ROUND(CAST(n_caught AS DOUBLE) / n_pairs, 6) AS recall,
+      |  ROUND(1.0 - (1.0 - mid*mid*mid*mid) * (1.0 - mid*mid*mid*mid)
+      |            * (1.0 - mid*mid*mid*mid) * (1.0 - mid*mid*mid*mid), 6)
+      |    AS expected_recall
+      |FROM m ORDER BY j_bucket""".stripMargin
+
   // -------------------------------------------------- d_ngram_jaccard
   private val ngramJaccard: Q = (s, d) =>
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
@@ -1204,6 +1259,73 @@ object LlmData {
       |       / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_nll
       |FROM bg JOIN c2 USING (s) JOIN uni ON uni.w = bg.w1
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- t_dsir_weight
+  // DSIR importance weight (Xie et al., "Data Selection for Language
+  // Models via Importance Resampling", NeurIPS 2023): per-doc
+  // log-ratio of a hashed-unigram LM fit on a TARGET domain (source
+  // 'src1' — the stand-in for "text that looks like my eval set") vs
+  // the raw-corpus LM, +1-smoothed over B=256 hash buckets; sampling
+  // proportional to the exponentiated weight IS importance
+  // resampling. Decomposed so every ln argument is an INTEGER count
+  // (the cross-engine ulp discipline of t_bigram_nll):
+  //   w(doc) = Σ_b c_doc(b)·(ln(ct_b+1) − ln(cr_b+1))
+  //          + n_doc·(ln(tot_r+B) − ln(tot_t+B))
+  // Scale shape: two partial-agg shuffles (corpus bucket counts,
+  // per-(doc,bucket) counts), the ≤B-row ratio table broadcasts, the
+  // corpus totals ride a broadcast scalar frame — text never joins.
+  private val dsirWeight: Q = (s, d) => {
+    val B = 256L
+    val tb = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"), col("source"),
+        pmod(Dedup.shingleHash(col("w")), lit(B)).as("b"))
+    val cr = tb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tb.filter(col("source") === "src1")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val ratio = cr.join(ct, Seq("b"), "left_outer")
+      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("lr",
+        log((col("ct") + lit(1L)).cast(DoubleType)) -
+          log((col("cr") + lit(1L)).cast(DoubleType)))
+    val tots = ratio.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))
+    val dc = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    dc.join(ratio.select("b", "lr"), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast(DoubleType) * col("lr")).as("sw"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor((col("sw") + col("n_tokens").cast(DoubleType) *
+            (log((col("tot_r") + lit(B)).cast(DoubleType)) -
+              log((col("tot_t") + lit(B)).cast(DoubleType))))
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  private val dsirWeightSql =
+    """WITH tb AS (
+      |  SELECT doc_id, source,
+      |    TRY_CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS b
+      |  FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |cr AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+      |ct AS (SELECT b, COUNT(*) AS ct FROM tb WHERE source = 'src1' GROUP BY b),
+      |ratio AS (SELECT b, cr, COALESCE(ct, 0) AS ct,
+      |            ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)) - ln(CAST(cr + 1 AS DOUBLE)) AS lr
+      |          FROM cr LEFT JOIN ct USING (b)),
+      |tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS tot_r,
+      |                CAST(SUM(ct) AS BIGINT) AS tot_t FROM ratio),
+      |dc AS (SELECT doc_id, b, COUNT(*) AS c FROM tb GROUP BY doc_id, b),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |               SUM(CAST(c AS DOUBLE) * lr) AS sw
+      |        FROM dc JOIN ratio USING (b) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  FLOOR((sw + CAST(n_tokens AS DOUBLE) *
+      |        (ln(CAST(tot_r + 256 AS DOUBLE)) - ln(CAST(tot_t + 256 AS DOUBLE))))
+      |        * 10000.0 + 0.5) / 10000.0 AS dsir_weight
+      |FROM agg, tots ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------- d_contamination
   // Train/test contamination check: eval-split docs whose normalized
@@ -2368,6 +2490,8 @@ object LlmData {
     "d_simhash" -> simhash,
     "d_simhash_neardup" -> simhashNeardup,
     "d_neardup_venn" -> neardupVenn,
+    "d_lsh_calibration" -> lshCalibration,
+    "t_dsir_weight" -> dsirWeight,
     "d_ngram_jaccard" -> ngramJaccard,
     "d_containment_dup" -> containmentDup,
     "d_embedding_neardup" -> embNearDup,
@@ -2490,6 +2614,8 @@ object LlmData {
     "d_simhash" -> simhashSql,
     "d_simhash_neardup" -> simhashNeardupSql,
     "d_neardup_venn" -> neardupVennSql,
+    "d_lsh_calibration" -> lshCalibrationSql,
+    "t_dsir_weight" -> dsirWeightSql,
     "t_char_entropy" -> charEntropySql,
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,
