@@ -194,11 +194,17 @@ object Similarity {
     * training runs on Spark alone (no replay), so it skips the k
     * round() calls per row. Expects the vector in `_v`. */
   private def assignExpr(cs: Array[Array[Double]],
-                         replayExact: Boolean = true): Column = {
+                         replayExact: Boolean = true): Column =
+    assignExprOn(col("_v"), cs, replayExact)
+
+  /** [[assignExpr]] generalized over the vector expression — PQ
+    * assigns each SLICE of the vector against its own codebook. */
+  private def assignExprOn(v: Column, cs: Array[Array[Double]],
+                           replayExact: Boolean): Column = {
     val scored = cs.zipWithIndex.map { case (cvec, j) =>
       val carr = array(cvec.map(lit): _*)
       val c2 = cvec.map(x => x * x).sum
-      val raw = lit(c2) - lit(2.0) * dot(col("_v"), carr)
+      val raw = lit(c2) - lit(2.0) * dot(v, carr)
       struct((if (replayExact) round(raw, 6) else raw).as("s"), lit(j).as("j"))
     }
     array_min(array(scored: _*)).getField("j")
@@ -282,5 +288,98 @@ object Similarity {
         cosineWithNorms(dot(col("v1"), col("v2")), col("n1"), col("n2")).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .withColumn("drop_id", col("id2"))
+  }
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector splits into `m` contiguous subspaces of dim/m dims, each
+    * trained independently with the SAME deterministic Lloyd trainer
+    * as the IVF coarse quantizer ([[kmeansCentroids]] on the sliced
+    * frame). Returns books(m)(j) = the j-th sub-centroid of subspace
+    * m — m·ks·(dim/m) doubles, kilobytes at any corpus scale, held
+    * driver-side and interpolated into engine-independent replays. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, dim: Int, iters: Int = 4,
+                  trainMod: Int = 4,
+                  cacheKey: Option[String] = None): Array[Array[Array[Double]]] = {
+    val sd = dim / m
+    Array.tabulate(m) { sub =>
+      val sliced = df.select(col(idCol),
+        slice(col(vecCol), sub * sd + 1, sd).as(vecCol))
+      kmeansCentroids(sliced, idCol, vecCol, k = ks, iters = iters,
+        trainMod = trainMod, cacheKey = cacheKey.map(ck => s"$ck|pq$sub"))
+    }
+  }
+
+  /** PQ code assignment: (id, code_0 … code_{m-1}) — each subspace
+    * slice argmin'd against its codebook (6-digit-rounded score,
+    * lower-index tiebreak: the [[kmeansCells]] replay discipline).
+    * The codes are the COMPRESSED representation a 100-TB index
+    * stores: m small ints (m bytes packed) instead of dim floats —
+    * a 64-dim float vector shrinks 64× at m=4. Row-local, zero
+    * shuffle; at scale this runs once at ingest and the float
+    * vectors never leave cold storage again. */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              books: Array[Array[Array[Double]]]): DataFrame = {
+    val codeCols = books.zipWithIndex.map { case (b, sub) =>
+      val sd = b(0).length
+      assignExprOn(slice(col(vecCol), sub * sd + 1, sd), b,
+        replayExact = true).cast("long").as(s"code_$sub")
+    }
+    df.select(col(idCol) +: codeCols.toSeq: _*)
+  }
+
+  /** PQ asymmetric-distance top-k (ADC shortlist + exact rerank —
+    * the standard two-stage PQ pipeline): queries stay full-
+    * precision; each query precomputes an m×ks inner-product LUT
+    * against the codebook literals (a per-QUERY cost — m·ks dot
+    * products), and a candidate's approximate inner product is then
+    * m LUT lookups on its code — no float-vector access on the
+    * candidate side. The top-`shortlist` candidates by compressed
+    * score then rerank on the exact cosine, and only they touch the
+    * float vectors. That asymmetry is the 100-TB point: the scored
+    * frame is broadcast(queries-with-LUT) × codes, so the big side
+    * streams m-byte codes only, and the exact store serves just
+    * |Q|·shortlist fetches (the candidate stream also composes with
+    * an IVF probe join over [[kmeansCells]] to prune before
+    * scoring). Both rankings round to 6 digits with a cid tiebreak
+    * (replay discipline). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, books: Array[Array[Array[Double]]],
+             k: Int, shortlist: Int = 32): DataFrame = {
+    val m = books.length
+    val codes = pqCodes(candidates, idCol, vecCol, books)
+      .withColumnRenamed(idCol, "cid")
+    val lutCols = books.zipWithIndex.map { case (b, sub) =>
+      val sd = b(0).length
+      array(b.map(cj =>
+        dot(slice(col("qvec"), sub * sd + 1, sd),
+          array(cj.map(lit): _*))).toSeq: _*).as(s"lut_$sub")
+    }
+    val qlut = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+        .select(col("qid") +: lutCols.toSeq: _*))
+    val ip = (0 until m).map(sub =>
+      element_at(col(s"lut_$sub"), (col(s"code_$sub") + lit(1)).cast("int")))
+      .reduce(_ + _)
+    val wS = Window.partitionBy("qid").orderBy(col("approx_score").desc, col("cid"))
+    val shortPairs = codes.crossJoin(qlut)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score", round(ip, 6))
+      .select(col("qid"), col("cid"), col("approx_score"))
+      .withColumn("srnk", row_number().over(wS))
+      .filter(col("srnk") <= shortlist)
+      .select("qid", "cid")
+    val qv = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+        .withColumn("qnrm", norm(col("qvec"))))
+    val cv = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("cid"))
+    shortPairs.join(qv, "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"), col("cnrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 }

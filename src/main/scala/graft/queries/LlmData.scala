@@ -1002,6 +1002,140 @@ object LlmData {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // ----------------------------------------------------- s_pq_topk
+  // Product quantization (Jégou et al. TPAMI'11) — the COMPRESSED-
+  // domain ANN path: 4 subspaces × 8 sub-centroids turn a 64-dim
+  // float vector into 4 bytes of codes (64× smaller); scoring is m
+  // LUT lookups per candidate instead of a dim-length dot, and only
+  // the 64-deep ADC shortlist touches float vectors for the exact
+  // rerank — at 100 TB the candidate stream carries codes only and
+  // the exact store serves |Q|·64 fetches. Deterministic end-to-end
+  // (same Lloyd trainer + rounding/tiebreak discipline as IVF), so
+  // the trained codebooks interpolate into the oracle and DuckDB
+  // replays assignment, LUT, shortlist and rerank exactly.
+  private val pqBooksStash =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  graft.operators.Dedup.onClearStore(() => pqBooksStash.clear())
+
+  private def trainPq(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val books = Similarity.pqCodebooks(Tables.embeddings(s, d), "vec_id",
+      "embedding", m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4,
+      cacheKey = mhKey(s, d))
+    mhKey(s, d).foreach(k => pqBooksStash.put(k, books))
+    books
+  }
+
+  private val pqTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", trainPq(s, d), k = 3, shortlist = 64)
+      .orderBy("qid", "rnk")
+  }
+
+  // ---------------------------------------------------- s_pq_recall
+  // recall@3 of the compressed-domain ranking vs the exact top-3 —
+  // the PQ accuracy claim lives in the driver gate (the s_ivf_recall
+  // discipline), quantifying what 64× compression costs.
+  private val pqRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("qid"), col("cid"))
+    val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        trainPq(s, d), k = 3, shortlist = 64)
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  /** Shared PQ replay CTEs, codebooks as literals: per-subspace
+    * assignment by squared-L2 argmin over the sub-centroid literals
+    * (6-digit round, lower-code tiebreak), per-query LUT inner
+    * products, candidate score = sum of m lookups, ranking on the
+    * 6-digit-rounded score with cid tiebreak — mirroring
+    * Similarity.pqCodes/pqTopK stage by stage. Subspace m covers
+    * global dims m·sd+1 … (m+1)·sd, so `flat` joins books on
+    * f.i = b.m*sd + b.i. */
+  private def pqReplayCtes(books: Array[Array[Array[Double]]]): String = {
+    val sd = books(0)(0).length
+    val bookCtes = (for {
+      (b, m) <- books.zipWithIndex
+      (cj, j) <- b.zipWithIndex
+    } yield s"SELECT $m AS m, $j AS j, " +
+      s"unnest([${cj.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
+      s"unnest(generate_series(1, ${cj.length})) AS i").mkString("\nUNION ALL ")
+    s"""flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |         FROM embeddings),
+       |books AS ($bookCtes),
+       |bsq AS (SELECT m, j, SUM(c*c) AS c2 FROM books GROUP BY m, j),
+       |cdots AS (SELECT f.vec_id, b.m, b.j, SUM(f.x * b.c) AS dc
+       |          FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
+       |          GROUP BY f.vec_id, b.m, b.j),
+       |assign AS (SELECT vec_id, m, j AS code FROM (
+       |            SELECT d.vec_id, d.m, d.j,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+       |                ORDER BY ROUND(q.c2 - 2*d.dc, 6) ASC, d.j ASC) AS r
+       |            FROM cdots d JOIN bsq q ON q.m = d.m AND q.j = d.j)
+       |           WHERE r = 1),
+       |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
+       |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
+       |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
+       |scored AS (SELECT l.qid, a.vec_id AS cid, SUM(l.ip) AS aip
+       |           FROM assign a JOIN lut l ON l.m = a.m AND l.j = a.code
+       |           WHERE a.vec_id <> l.qid
+       |           GROUP BY l.qid, a.vec_id),
+       |short AS (SELECT qid, cid FROM (
+       |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(aip, 6) DESC, cid) AS srnk
+       |           FROM scored) WHERE srnk <= 64),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |rdots AS (SELECT s.qid, s.cid, SUM(q.x * t.x) AS dot
+       |          FROM short s JOIN flat q ON q.vec_id = s.qid
+       |                       JOIN flat t ON t.vec_id = s.cid AND t.i = q.i
+       |          GROUP BY s.qid, s.cid),
+       |pq_ranked AS (SELECT qid, cid,
+       |               ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim,
+       |               ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rnk
+       |              FROM rdots JOIN norms nq ON qid = nq.vec_id
+       |                         JOIN norms nc ON cid = nc.vec_id)""".stripMargin
+  }
+
+  private def pqTopKSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqReplayCtes(books)}
+       |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM pq_ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+
+  private def pqRecallSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqReplayCtes(books)},
+       |exact_dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+       |               FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |               WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id),
+       |exact_ranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |                 FROM exact_dots JOIN norms nq ON qid = nq.vec_id
+       |                                 JOIN norms nc ON cid = nc.vec_id),
+       |exact_top AS (SELECT e.qid, e.cid FROM exact_ranked e WHERE e.rnk <= 3),
+       |atop AS (SELECT p.qid, p.cid FROM pq_ranked p WHERE p.rnk <= 3),
+       |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+       |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
+       |         GROUP BY e.qid)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |       / CAST(q.n_exact AS DOUBLE), 6) AS recall_at_3
+       |FROM (SELECT qid, COUNT(*) AS n_exact FROM exact_top GROUP BY qid) q
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY q.qid""".stripMargin
+
   // --------------------------------------------------------- t_langid
   private val langid: Q = (s, d) => {
     val t = col("text")
@@ -2498,6 +2632,8 @@ object LlmData {
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_topk" -> lshTopK,
     "s_ivf_topk" -> ivfTopK,
+    "s_pq_topk" -> pqTopK,
+    "s_pq_recall" -> pqRecall,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
     "t_quality" -> quality,
@@ -2549,7 +2685,8 @@ object LlmData {
       Similarity.kmeansCells(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
       ()
-    }))
+    }),
+    "_store_pq" -> ((s, d) => { trainPq(s, d); () }))
 
   /** Static oracles plus the centroid-interpolated IVF replay (present
     * once the s_ivf_topk query has trained — Verify runs every query
@@ -2563,6 +2700,10 @@ object LlmData {
     staticOracle ++ (ivfCentroids.values.toList match {
       case c :: Nil =>
         Map("s_ivf_topk" -> ivfTopKSql(c), "s_ivf_recall" -> ivfRecallSql(c))
+      case _ => Map.empty[String, String]
+    }) ++ (pqBooksStash.values.toList match {
+      case b :: Nil =>
+        Map("s_pq_topk" -> pqTopKSql(b), "s_pq_recall" -> pqRecallSql(b))
       case _ => Map.empty[String, String]
     })
 
