@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table catalogue over an sf directory (TESTDATA.md).
   *
@@ -23,20 +24,42 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
-    * `nanosAsLong` it surfaces as epoch-nanos LongType. Normalize to:
+  /** Normalize events.parquet's `ts` — whose parquet annotation has
+    * drifted across test-data generators — to a stable contract:
     *  - `ts_ms`  epoch millis (BIGINT, floor) — the canonical event
-    *    time used by every pipeline operator (ns→ms floor matches the
+    *    time used by every pipeline operator (floor matches the
     *    DuckDB oracle's `epoch_ns(ts)//1000000`),
-    *  - `ts` TimestampType (micros) for windowing/watermarks.
+    *  - `ts` TimestampType (micros, UTC session) for
+    *    windowing/watermarks.
+    * Dispatches on the ACTUAL column type rather than assuming one
+    * physical annotation:
+    *  - LongType: INT64 TIMESTAMP(NANOS) surfaced as epoch-nanos via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (older generator).
+    *  - TimestampNTZType: TIMESTAMP_MICROS(isAdjustedToUTC=false)
+    *    (current generator). The session timezone is pinned to UTC
+    *    (GraftSession), so casting NTZ→TimestampType reinterprets the
+    *    wall-clock value as UTC — the same instant the nanos path and
+    *    the DuckDB oracle (naive-UTC) derive.
+    *  - TimestampType: already instant-typed; derive ts_ms directly.
     * Idempotent: a corpus WRITTEN from this frame (the replicated
-    * scale-smoke tables) already carries ts_ms + a micros ts — the
-    * double floor ns→µs→ms equals the single ns→ms floor, so reading
-    * it back unchanged keeps every oracle consistent. */
+    * scale-smoke tables) already carries ts_ms + a micros ts and
+    * short-circuits unchanged, keeping every oracle consistent. */
   private def normalizeEvents(df: DataFrame): DataFrame =
     if (df.columns.contains("ts_ms")) df
-    else df.withColumn("ts_ms", expr("ts div 1000000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      case TimestampType =>
+        df.withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend " +
+            "Tables.normalizeEvents for the new generator annotation")
+    }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

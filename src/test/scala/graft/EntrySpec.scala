@@ -20,6 +20,42 @@ class EntrySpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
+  test("Tables.normalizeEvents handles every ts parquet annotation") {
+    // The test-data generator has drifted between INT64 TIMESTAMP(NANOS)
+    // (surfaced as LongType via nanosAsLong) and TIMESTAMP_MICROS
+    // isAdjustedToUTC=false (surfaced as TIMESTAMP_NTZ). Guard: write
+    // events with each annotation, read back through Tables, and demand
+    // the identical (ts_ms, ts) normalization from all of them — so the
+    // next generator drift fails HERE with a clear message instead of
+    // breaking 41 gate queries at analysis.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val baseNanos = Seq(
+      (1L, 1700000000123456789L, 10L, "page", 1.0, "{}"),
+      (2L, 1700000123999999999L, 11L, "click", 2.0, "{}"))
+    val nanosDf = spark.createDataFrame(baseNanos)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dirs = Map(
+      "long_nanos" -> nanosDf,
+      "ts_ntz" -> nanosDf.withColumn(
+        "ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)),
+      "ts_utc" -> nanosDf.withColumn(
+        "ts", timestamp_micros(expr("ts div 1000"))))
+    val results = dirs.map { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$label/events.parquet")
+      val read = sources.Tables.events(spark, s"$tmp/$label")
+      assert(read.schema("ts").dataType == TimestampType,
+        s"$label: ts must normalize to TimestampType")
+      label -> read.select("event_id", "ts_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val expected = baseNanos.map(r => (r._1, r._2 / 1000000L))
+    results.foreach { case (label, got) =>
+      assert(got == expected, s"$label: ts_ms drifted: $got vs $expected")
+    }
+  }
+
   test("multimodal decode stub emits plausible features") {
     val feats = graft.operators.Multimodal.features(
       spark.read.parquet(s"$sf/documents.parquet"))
