@@ -362,13 +362,19 @@ object Similarity {
     val ip = (0 until m).map(sub =>
       element_at(col(s"lut_$sub"), (col(s"code_$sub") + lit(1)).cast("int")))
       .reduce(_ + _)
-    val wS = Window.partitionBy("qid").orderBy(col("approx_score").desc, col("cid"))
-    val shortPairs = codes.crossJoin(qlut)
+    // Shortlist via two-phase sharded top-k: a plain per-qid rank
+    // window would sort the ENTIRE scored corpus on one task per
+    // query (each qid partition spans all candidates). Sharding on
+    // cid bounds phase 2 at shards·shortlist rows per query while
+    // staying row-identical to the logical window (total order:
+    // approx_score desc, cid).
+    val scored = codes.crossJoin(qlut)
       .filter(col("qid") =!= col("cid"))
       .withColumn("approx_score", round(ip, 6))
       .select(col("qid"), col("cid"), col("approx_score"))
-      .withColumn("srnk", row_number().over(wS))
-      .filter(col("srnk") <= shortlist)
+    val shortPairs = ShardedWindow.topK(scored, "qid",
+        Seq(col("approx_score").desc, col("cid")), shortlist,
+        shardOn = col("cid"), shards = 16, rankOut = "srnk")
       .select("qid", "cid")
     val qv = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))

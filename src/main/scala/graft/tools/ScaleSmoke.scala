@@ -235,6 +235,22 @@ object ScaleSmoke {
         .agg(count(lit(1))).collect()(0).getLong(0)
     time("simhash_neardup_x1")(simhashPairs(docs1))
     time(s"simhash_neardup_x$n")(simhashPairs(docsBig))
+    // round-11 entry: PQ ADC top-k at N× — codebooks train ONCE on
+    // the 1× sample (a real index trains on a sample and codes at
+    // ingest); with |Q| fixed the candidate side streams m-byte codes
+    // only and the shortlist is a ShardedWindow two-phase top-k (no
+    // corpus-sized per-query window partition), so the wall must
+    // track candidate volume ~linearly — the naive per-qid rank
+    // window form this replaced sorts |Q| full corpora
+    val pqBooks = graft.operators.Similarity.pqCodebooks(
+      emb1, "vec_id", "embedding", m = 4, ks = 8, dim = 64,
+      iters = 4, trainMod = 4)
+    def pqShortTopK(df: DataFrame): Long =
+      graft.operators.Similarity.pqTopK(emb1.filter(col("vec_id") < 10),
+          df, "vec_id", "embedding", pqBooks, k = 3, shortlist = 64)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    time("pq_topk_x1")(pqShortTopK(emb1))
+    time(s"pq_topk_x$n")(pqShortTopK(embBig))
     spark.stop()
   }
 }

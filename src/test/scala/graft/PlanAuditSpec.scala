@@ -231,6 +231,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s_pq_topk: ADC shortlist is two-phase — no task sorts the whole scored corpus per query") {
+    // the ADC scored frame is |Q| × corpus; a plain per-qid rank
+    // window would sort the ENTIRE corpus on one task per query.
+    // Pin: every qid-only window ranks a set already bounded by a
+    // shard-local (__lr) or shortlist (srnk) filter beneath it, and
+    // at least one window is (qid, shard)-sharded phase 1.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    val df = SparkEntry.queries("s_pq_topk")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.nonEmpty)
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"no sharded phase-1 window: ${windows.map(_.partitionSpec)}")
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "partition-less ordered window")
+      val bounded = w.child.collect {
+        case f: Filter if f.condition.toString.contains("__lr") ||
+          f.condition.toString.contains("srnk") => f
+      }.nonEmpty
+      assert(bounded, s"qid-only window over an unbounded set:\n${w.child}")
+    }
+  }
+
   test("t_doc_chunk / d_dedup_priority: chunking plans no hash exchange, priority keeper has no rank window") {
     // chunking is a row-local explode — the only exchange the plan may
     // contain is the gate's final orderBy (range partitioning)
