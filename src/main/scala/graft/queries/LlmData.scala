@@ -1055,6 +1055,49 @@ object LlmData {
       .orderBy("qid")
   }
 
+  // ------------------------------------------------- d_pq_semdedup
+  // Compressed-domain semantic dedup — SemDeDup pushed into the PQ
+  // index: vectors whose codes agree in ALL m subspaces quantize to
+  // the same reconstruction (symmetric code-to-code ADC distance 0),
+  // so an occupied multi-member cell IS a semantic near-dup cluster
+  // at codebook resolution. Keep-the-lowest exemplar per cell (the
+  // exact-dedup keeper policy). The 100-TB point vs d_semdedup: the
+  // pair generation there joins full float vectors within LSH
+  // blocks; here the corpus side carries m-byte codes only — one
+  // partial agg on the cell key + one equi-join, floats never
+  // shuffle, and the cell table doubles as the coarse layer the ADC
+  // shortlist prunes with.
+  private val pqSemDedup: Q = (s, d) => {
+    val books = trainPq(s, d)
+    val codes = Similarity.pqCodes(Tables.embeddings(s, d), "vec_id",
+      "embedding", books)
+    val cell = books.indices.map(i => s"code_$i")
+    val keep = codes.groupBy(cell.map(col): _*)
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_members"))
+    codes.join(keep, cell)
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(cell.map(col) ++ Seq(col("n_members"), col("keep_id"),
+        col("vec_id").as("drop_id")): _*)
+      .orderBy((cell :+ "drop_id").map(col): _*)
+  }
+
+  private def pqSemDedupSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqAssignCtes(books)},
+       |cells AS (SELECT vec_id,
+       |  CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
+       |  CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
+       |  CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code_2,
+       |  CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code_3
+       | FROM assign GROUP BY vec_id),
+       |keep AS (SELECT code_0, code_1, code_2, code_3,
+       |  MIN(vec_id) AS keep_id, COUNT(*) AS n_members
+       | FROM cells GROUP BY 1, 2, 3, 4)
+       |SELECT c.code_0, c.code_1, c.code_2, c.code_3, k.n_members,
+       | k.keep_id, c.vec_id AS drop_id
+       |FROM cells c JOIN keep k USING (code_0, code_1, code_2, code_3)
+       |WHERE c.vec_id <> k.keep_id
+       |ORDER BY c.code_0, c.code_1, c.code_2, c.code_3, drop_id""".stripMargin
+
   /** Shared PQ replay CTEs, codebooks as literals: per-subspace
     * assignment by squared-L2 argmin over the sub-centroid literals
     * (6-digit round, lower-code tiebreak), per-query LUT inner
@@ -1063,7 +1106,10 @@ object LlmData {
     * Similarity.pqCodes/pqTopK stage by stage. Subspace m covers
     * global dims m·sd+1 … (m+1)·sd, so `flat` joins books on
     * f.i = b.m*sd + b.i. */
-  private def pqReplayCtes(books: Array[Array[Array[Double]]]): String = {
+  /** The assignment half of the PQ replay (flat → books → per-subspace
+    * squared-L2 argmin): shared by the ADC queries and the compressed-
+    * domain dedup, which needs codes but no query LUTs. */
+  private def pqAssignCtes(books: Array[Array[Array[Double]]]): String = {
     val sd = books(0)(0).length
     val bookCtes = (for {
       (b, m) <- books.zipWithIndex
@@ -1084,7 +1130,12 @@ object LlmData {
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
        |                ORDER BY ROUND(q.c2 - 2*d.dc, 6) ASC, d.j ASC) AS r
        |            FROM cdots d JOIN bsq q ON q.m = d.m AND q.j = d.j)
-       |           WHERE r = 1),
+       |           WHERE r = 1)""".stripMargin
+  }
+
+  private def pqReplayCtes(books: Array[Array[Array[Double]]]): String = {
+    val sd = books(0)(0).length
+    s"""${pqAssignCtes(books)},
        |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
        |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
        |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
@@ -2634,6 +2685,7 @@ object LlmData {
     "s_ivf_topk" -> ivfTopK,
     "s_pq_topk" -> pqTopK,
     "s_pq_recall" -> pqRecall,
+    "d_pq_semdedup" -> pqSemDedup,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
     "t_quality" -> quality,
@@ -2703,7 +2755,8 @@ object LlmData {
       case _ => Map.empty[String, String]
     }) ++ (pqBooksStash.values.toList match {
       case b :: Nil =>
-        Map("s_pq_topk" -> pqTopKSql(b), "s_pq_recall" -> pqRecallSql(b))
+        Map("s_pq_topk" -> pqTopKSql(b), "s_pq_recall" -> pqRecallSql(b),
+          "d_pq_semdedup" -> pqSemDedupSql(b))
       case _ => Map.empty[String, String]
     })
 
