@@ -347,31 +347,88 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, books: Array[Array[Array[Double]]],
              k: Int, shortlist: Int = 32): DataFrame = {
-    val m = books.length
     val codes = pqCodes(candidates, idCol, vecCol, books)
       .withColumnRenamed(idCol, "cid")
+    val scored = codes.crossJoin(pqQueryLut(queries, idCol, vecCol, books))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score", round(adcScore(books.length), 6))
+      .select(col("qid"), col("cid"), col("approx_score"))
+    adcShortlistRerank(scored, queries, candidates, idCol, vecCol,
+      k, shortlist)
+  }
+
+  /** IVF-pruned PQ search (IVFADC — Jégou'11 §IV): the coarse
+    * quantizer restricts each query to its `nprobe` nearest trained
+    * cells BEFORE any code is scored, so the ADC stream reads the
+    * probed cells' members instead of the whole corpus — at 100 TB
+    * the codes table is bucketed/partitioned by cell and the probe
+    * equi-join prunes partitions at the scan. Scoring stays
+    * compressed-domain (m LUT lookups on m-byte codes), the
+    * shortlist is the sharded two-phase top-k, and only
+    * |Q|·shortlist rows touch float vectors in the exact rerank.
+    * Probe ranking is deterministic (6-digit-rounded dot against the
+    * trained centroid LITERALS, cell-index tiebreak), so the whole
+    * composed pipeline replays in an engine-independent oracle. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+                vecCol: String, cells: DataFrame,
+                cents: Array[Array[Double]],
+                books: Array[Array[Array[Double]]],
+                k: Int, nprobe: Int = 3, shortlist: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    // |Q| × n_cells probe scores; the per-qid window ranks exactly
+    // n_cells rows per partition — bounded by the centroid count,
+    // never the corpus
+    val wP = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cell"))
+    val probes = q.select(col("qid"), posexplode(array(cents.map(c =>
+        round(dot(col("qvec"), array(c.map(lit): _*)), 6)): _*))
+        .as(Seq("cell", "cscore")))
+      .withColumn("prnk", row_number().over(wP))
+      .filter(col("prnk") <= nprobe)
+      .select(col("qid"), col("cell").cast("long").as("cell"))
+    val codes = pqCodes(candidates, idCol, vecCol, books)
+      .withColumnRenamed(idCol, "cid")
+      .join(cells.select(col(idCol).as("cid"), col("cell")), "cid")
+    val scored = codes.join(broadcast(probes), "cell")
+      .join(pqQueryLut(queries, idCol, vecCol, books), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score", round(adcScore(books.length), 6))
+      .select(col("qid"), col("cid"), col("approx_score"))
+    adcShortlistRerank(scored, queries, candidates, idCol, vecCol,
+      k, shortlist)
+  }
+
+  /** Broadcast per-query ADC lookup tables: lut_m[j] = ⟨q_slice_m,
+    * codebook_m[j]⟩ — m·ks dot products per query, kilobytes total. */
+  private def pqQueryLut(queries: DataFrame, idCol: String, vecCol: String,
+                         books: Array[Array[Array[Double]]]): DataFrame = {
     val lutCols = books.zipWithIndex.map { case (b, sub) =>
       val sd = b(0).length
       array(b.map(cj =>
         dot(slice(col("qvec"), sub * sd + 1, sd),
           array(cj.map(lit): _*))).toSeq: _*).as(s"lut_$sub")
     }
-    val qlut = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-        .select(col("qid") +: lutCols.toSeq: _*))
-    val ip = (0 until m).map(sub =>
+    broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col("qid") +: lutCols.toSeq: _*))
+  }
+
+  /** Approximate inner product: m LUT lookups on the candidate's
+    * codes — no float-vector access on the candidate side. */
+  private def adcScore(m: Int): Column =
+    (0 until m).map(sub =>
       element_at(col(s"lut_$sub"), (col(s"code_$sub") + lit(1)).cast("int")))
       .reduce(_ + _)
-    // Shortlist via two-phase sharded top-k: a plain per-qid rank
-    // window would sort the ENTIRE scored corpus on one task per
-    // query (each qid partition spans all candidates). Sharding on
-    // cid bounds phase 2 at shards·shortlist rows per query while
-    // staying row-identical to the logical window (total order:
-    // approx_score desc, cid).
-    val scored = codes.crossJoin(qlut)
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("approx_score", round(ip, 6))
-      .select(col("qid"), col("cid"), col("approx_score"))
+
+  /** Shortlist + exact rerank shared by the ADC paths. Shortlist via
+    * two-phase sharded top-k: a plain per-qid rank window would sort
+    * the ENTIRE scored stream on one task per query. Sharding on cid
+    * bounds phase 2 at shards·shortlist rows per query while staying
+    * row-identical to the logical window (total order: approx_score
+    * desc, cid). Only the ≤ |Q|·shortlist survivors join back to the
+    * float vectors. */
+  private def adcShortlistRerank(scored: DataFrame, queries: DataFrame,
+                                 candidates: DataFrame, idCol: String,
+                                 vecCol: String, k: Int,
+                                 shortlist: Int): DataFrame = {
     val shortPairs = ShardedWindow.topK(scored, "qid",
         Seq(col("approx_score").desc, col("cid")), shortlist,
         shardOn = col("cid"), shards = 16, rankOut = "srnk")

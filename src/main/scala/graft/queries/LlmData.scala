@@ -1098,6 +1098,141 @@ object LlmData {
        |WHERE c.vec_id <> k.keep_id
        |ORDER BY c.code_0, c.code_1, c.code_2, c.code_3, drop_id""".stripMargin
 
+  // ------------------------------------------------- s_ivfpq_topk
+  // IVFADC (Jégou'11 §IV) — the COMPOSED index: the IVF coarse
+  // quantizer prunes each query to its 3 nearest trained cells
+  // before a single code is scored, then ADC + sharded shortlist +
+  // exact rerank run on the probed members only. The 100-TB shape:
+  // cell-bucketed codes tables let the probe join prune partitions
+  // at the scan; everything downstream of the probe carries m-byte
+  // codes. Both trainings (Lloyd cells, PQ codebooks) ride the
+  // memoized session stores; both interpolate into the oracle as
+  // literals, so the full composition hash-replays.
+  private val ivfPqTopKQ: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+        "embedding", cells, cents, trainPq(s, d), k = 3, nprobe = 3,
+        shortlist = 32)
+      .orderBy("qid", "rnk")
+  }
+
+  // ----------------------------------------------- s_ivfpq_recall
+  // recall@3 of the composed IVF+PQ ranking vs exact brute force —
+  // the s_ivf_recall/s_pq_recall discipline on the composed index:
+  // what nprobe-of-8 pruning PLUS 64× compression together cost.
+  private val ivfPqRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("qid"), col("cid"))
+    val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        cells, cents, trainPq(s, d), k = 3, nprobe = 3, shortlist = 32)
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  /** IVFADC replay: the PQ assignment CTEs plus the trained-centroid
+    * cell assignment / probe ranking, with the candidate stream
+    * restricted to probed cells before ADC scoring — mirroring
+    * Similarity.ivfPqTopK stage by stage. CTE names are disjoint
+    * from pqAssignCtes' (cellc/cellsq/celld/cellassign). */
+  private def ivfPqCtes(cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]],
+                        sd: Int): String = {
+    val centCtes = cents.zipWithIndex.map { case (c, j) =>
+      s"SELECT $j AS cell, unnest([${c.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
+        s"unnest(generate_series(1, ${c.length})) AS i"
+    }.mkString("\nUNION ALL ")
+    s"""${pqAssignCtes(books)},
+       |cellc AS ($centCtes),
+       |cellsq AS (SELECT cell, SUM(c*c) AS c2 FROM cellc GROUP BY cell),
+       |celld AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+       |          FROM flat f JOIN cellc ct ON f.i = ct.i
+       |          GROUP BY f.vec_id, ct.cell),
+       |cellassign AS (SELECT vec_id, cell FROM (
+       |            SELECT d.vec_id, d.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
+       |            FROM celld d JOIN cellsq cq USING (cell)) WHERE r = 1),
+       |probes AS (SELECT qid, cell FROM (
+       |            SELECT d.vec_id AS qid, d.cell,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                ORDER BY ROUND(d.dc, 6) DESC, d.cell ASC) AS prnk
+       |            FROM celld d WHERE d.vec_id < 10) WHERE prnk <= 3),
+       |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
+       |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
+       |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
+       |scored AS (SELECT l.qid, a.vec_id AS cid, SUM(l.ip) AS aip
+       |           FROM assign a
+       |           JOIN cellassign ca ON ca.vec_id = a.vec_id
+       |           JOIN probes p ON p.cell = ca.cell
+       |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
+       |           WHERE a.vec_id <> l.qid
+       |           GROUP BY l.qid, a.vec_id),
+       |short AS (SELECT qid, cid FROM (
+       |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(aip, 6) DESC, cid) AS srnk
+       |           FROM scored) WHERE srnk <= 32),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+       |rdots AS (SELECT s.qid, s.cid, SUM(q.x * t.x) AS dot
+       |          FROM short s JOIN flat q ON q.vec_id = s.qid
+       |                       JOIN flat t ON t.vec_id = s.cid AND t.i = q.i
+       |          GROUP BY s.qid, s.cid),
+       |ivfpq_ranked AS (SELECT qid, cid,
+       |               ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim,
+       |               ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rnk
+       |              FROM rdots JOIN norms nq ON qid = nq.vec_id
+       |                         JOIN norms nc ON cid = nc.vec_id)""".stripMargin
+  }
+
+  private def ivfPqTopKSql(cents: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqCtes(cents, books, books(0)(0).length)}
+       |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ivfpq_ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+
+  private def ivfPqRecallSql(cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqCtes(cents, books, books(0)(0).length)},
+       |exact_dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+       |               FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |               WHERE q.vec_id < 10 GROUP BY q.vec_id, c.vec_id),
+       |exact_ranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |                 FROM exact_dots JOIN norms nq ON qid = nq.vec_id
+       |                                 JOIN norms nc ON cid = nc.vec_id),
+       |exact_top AS (SELECT e.qid, e.cid FROM exact_ranked e WHERE e.rnk <= 3),
+       |atop AS (SELECT p.qid, p.cid FROM ivfpq_ranked p WHERE p.rnk <= 3),
+       |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+       |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
+       |         GROUP BY e.qid)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |       / CAST(q.n_exact AS DOUBLE), 6) AS recall_at_3
+       |FROM (SELECT qid, COUNT(*) AS n_exact FROM exact_top GROUP BY qid) q
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY q.qid""".stripMargin
+
   /** Shared PQ replay CTEs, codebooks as literals: per-subspace
     * assignment by squared-L2 argmin over the sub-centroid literals
     * (6-digit round, lower-code tiebreak), per-query LUT inner
@@ -2686,6 +2821,8 @@ object LlmData {
     "s_pq_topk" -> pqTopK,
     "s_pq_recall" -> pqRecall,
     "d_pq_semdedup" -> pqSemDedup,
+    "s_ivfpq_topk" -> ivfPqTopKQ,
+    "s_ivfpq_recall" -> ivfPqRecall,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
     "t_quality" -> quality,
@@ -2757,6 +2894,13 @@ object LlmData {
       case b :: Nil =>
         Map("s_pq_topk" -> pqTopKSql(b), "s_pq_recall" -> pqRecallSql(b),
           "d_pq_semdedup" -> pqSemDedupSql(b))
+      case _ => Map.empty[String, String]
+    }) ++ ((ivfCentroids.values.toList, pqBooksStash.values.toList) match {
+      // the composed-index replay needs BOTH trainings stashed
+      // unambiguously (one (session, sfDir) in this JVM)
+      case (c :: Nil, b :: Nil) =>
+        Map("s_ivfpq_topk" -> ivfPqTopKSql(c, b),
+          "s_ivfpq_recall" -> ivfPqRecallSql(c, b))
       case _ => Map.empty[String, String]
     })
 
