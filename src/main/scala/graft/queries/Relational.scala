@@ -38,27 +38,45 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------- q1
-  private val q1: Q = (s, d) =>
+  private val q1: Q = (s, d) => {
+    // The discount/tax factors are re-narrowed to DECIMAL(4,2) (their
+    // values fit exactly: 0.90-1.10) so the triple product stays
+    // (12,2)×(4,2)×(4,2) → DECIMAL(22,6) — EXACT. Without the casts
+    // Spark widens (1 - disc) to (13,2) and the triple product wants
+    // precision 40 > 38, so Spark rounds per row (allowPrecisionLoss)
+    // while the decimal-exact oracle doesn't; the drift is invisible
+    // below a double ulp at sf≤0.1 but crossed an ulp at the 10×
+    // gate. Order-free exact sums are the point: a 1000-executor
+    // accumulation must hash-equal the oracle at ANY scale.
+    val discF = (lit(1) - rate(col("l_discount"))).cast(DecimalType(4, 2))
+    val taxF = (lit(1) + rate(col("l_tax"))).cast(DecimalType(4, 2))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("sum_disc_price"),
-        dbl(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) * (lit(1) + rate(col("l_tax"))))).as("sum_charge"),
+        dbl(sum(money(col("l_extendedprice")) * discF)).as("sum_disc_price"),
+        dbl(sum(money(col("l_extendedprice")) * discF * taxF)).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         round(dbl(sum(rate(col("l_discount")))) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
+  // The disc-price/charge sums cast DECIMAL→DOUBLE through VARCHAR:
+  // DuckDB 1.0 converts a decimal whose scaled integer exceeds 2^53
+  // via int128→double DIVISION (two roundings — observed 1-ulp drift
+  // at the 10× gate on sum_charge, scale 6, sum ≈ 2.8e10 → scaled
+  // 2.8e16), while the decimal→string→double path rounds once, like
+  // Spark's BigDecimal.toDouble. Identical below 2^53, exact above.
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
       | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
       | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,

@@ -25,38 +25,20 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // replicate with disjoint keys: copy i shifts ids/users by i·10⁹
+    // replicate with disjoint key/shingle/vector spaces — the
+    // transforms live in Replicate (shared with the full-gate N×
+    // directory builder); see the Scaladoc there for why replica
+    // spaces must be disjoint (structure replicates N×, pairs don't
+    // go quadratic by construction)
     val ev = graft.sources.Tables.events(spark, sf)
-    val maxDoc = 1000000000L
-    val evN = (0 until n).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * maxDoc))
-        .withColumn("user_id", col("user_id") + lit(i * maxDoc))
-    }.reduce(_ unionAll _)
-    evN.write.mode("overwrite").parquet(s"$out/events")
+    (0 until n).map(Replicate.events(ev, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events")
     val docs = graft.sources.Tables.documents(spark, sf)
-    val docsN = (0 until n).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
-        // prefix every token with the replica tag: replica shingle
-        // spaces are fully disjoint, so the near-dup STRUCTURE is
-        // replicated N× rather than every replica being a near-dup of
-        // the original (which would grow pairs quadratically by
-        // construction and measure the data, not the operator)
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
-    }.reduce(_ unionAll _)
-    docsN.write.mode("overwrite").parquet(s"$out/documents")
-    // embeddings replicate with a per-replica Rademacher diagonal
-    // (deterministic ±1 per (replica, position)): norms and
-    // WITHIN-replica geometry are preserved; cross-replica cosines
-    // decorrelate in EXPECTATION (std ≈ 1/√dim, so a 0.35 threshold
-    // still admits tail pairs — measured: pairs grow super-N× while
-    // the WALL stays ~linear, which is the property under test)
+    (0 until n).map(Replicate.documents(docs, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/documents")
     val emb = graft.sources.Tables.embeddings(spark, sf)
-    val embN = (0 until n).map { i =>
-      emb.withColumn("vec_id", col("vec_id") + lit(i * maxDoc))
-        .withColumn("embedding", expr(
-          s"transform(embedding, (x, p) -> CAST(x * (1 - 2 * ((hash($i, p) % 2 + 2) % 2)) AS FLOAT))"))
-    }.reduce(_ unionAll _)
-    embN.write.mode("overwrite").parquet(s"$out/embeddings")
+    (0 until n).map(Replicate.embeddings(emb, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings")
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
