@@ -253,6 +253,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s_ivfpq_topk: probe prune precedes scoring, shortlist is sharded") {
+    // the composed index must keep both scale properties: the probe
+    // set joins as a BROADCAST (|Q|·nprobe rows — the prune must not
+    // shuffle the codes), and no qid-only window ranks an unbounded
+    // set (the pqTopK pin, inherited through the shared tail)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    val df = SparkEntry.queries("s_ivfpq_topk")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"no broadcast join in the probe path:\n$plan")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.exists(_.partitionSpec.size >= 2),
+      s"no sharded phase-1 window: ${windows.map(_.partitionSpec)}")
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "partition-less ordered window")
+      // bounded if a shard-local/shortlist filter sits beneath it, or
+      // if the partition's rows come from exploding the LITERAL
+      // centroid-score array (the probe ranking: exactly n_cells rows
+      // per qid by construction)
+      val bounded = w.child.collect {
+        case f: Filter if f.condition.toString.contains("__lr") ||
+          f.condition.toString.contains("srnk") ||
+          f.condition.toString.contains("prnk") => f
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.nonEmpty
+      assert(bounded, s"qid-only window over an unbounded set:\n${w.child}")
+    }
+  }
+
   test("t_doc_chunk / d_dedup_priority: chunking plans no hash exchange, priority keeper has no rank window") {
     // chunking is a row-local explode — the only exchange the plan may
     // contain is the gate's final orderBy (range partitioning)
