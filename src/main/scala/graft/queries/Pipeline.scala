@@ -986,9 +986,16 @@ object Pipeline {
       "event_id", failedValue = "error", maxRetry = LedgerDefaults.MaxRetry)
     val unproc = JobLedger.unprocessed(c, Seq("user_id"), "event_type",
       terminalValue = "purchase", tsMsCol = "ts_ms")
+    // checksums reduce each row mod 2^20 BEFORE summing: the raw
+    // per-row terms (shifted user_ids × 37 + epoch millis ≈ 5e12 at
+    // the 100× gate) summed over 10M rows overflow a BIGINT in both
+    // engines — the residue sum stays < 2^44 per 10M rows, exact at
+    // any realistic ledger volume, and still pins every row's
+    // (id, ts, field) content
+    val ckMod = 1048576L
     def stat(name: String, df: DataFrame, checksum: org.apache.spark.sql.Column): DataFrame =
       df.agg(count(lit(1)).as("n"),
-          coalesce(sum(checksum), lit(0L)).as("checksum"))
+          coalesce(sum(pmod(checksum, lit(ckMod))), lit(0L)).as("checksum"))
         .select(lit(name).as("view"), col("n"), col("checksum"))
     stat("1_latest", latest,
         col("user_id") * lit(37L) + col("last_ms")
@@ -1027,23 +1034,23 @@ object Pipeline {
        |tl AS (SELECT * FROM e
        |       WHERE user_id NOT IN (SELECT user_id FROM term))
        |SELECT '1_latest' AS view, COUNT(*) AS n,
-       | CAST(COALESCE(SUM(user_id * 37 + last_ms + length(last_event)), 0)
+       | CAST(COALESCE(SUM((user_id * 37 + last_ms + length(last_event)) % 1048576), 0)
        |   AS BIGINT) AS checksum
        |FROM lat
        |UNION ALL
        |SELECT '2_retry', COUNT(*),
-       | CAST(COALESCE(SUM(user_id * 37 + attempts * 1000 + last_ms), 0) AS BIGINT)
+       | CAST(COALESCE(SUM((user_id * 37 + attempts * 1000 + last_ms) % 1048576), 0) AS BIGINT)
        |FROM retry
        |UNION ALL
        |SELECT '3_unprocessed', COUNT(*),
-       | CAST(COALESCE(SUM(user_id * 37 + n_pending * 1000 + first_ms + last_ms), 0)
+       | CAST(COALESCE(SUM((user_id * 37 + n_pending * 1000 + first_ms + last_ms) % 1048576), 0)
        |   AS BIGINT)
        |FROM unp
        |UNION ALL
        |SELECT '4_ledger',
        | (SELECT COUNT(*) FROM tl) + (SELECT COUNT(*) FROM term),
-       | (SELECT CAST(COALESCE(SUM(user_id + ts_ms), 0) AS BIGINT) FROM tl)
-       |  + (SELECT CAST(COALESCE(SUM(user_id + last_ms), 0) AS BIGINT) FROM term)
+       | (SELECT CAST(COALESCE(SUM((user_id + ts_ms) % 1048576), 0) AS BIGINT) FROM tl)
+       |  + (SELECT CAST(COALESCE(SUM((user_id + last_ms) % 1048576), 0) AS BIGINT) FROM term)
        |ORDER BY view""".stripMargin
 
   // ---------------------------------------------- p_stream_sessions
