@@ -233,6 +233,24 @@ object ScaleSmoke {
         .agg(count(lit(1))).collect()(0).getLong(0)
     time("pq_topk_x1")(pqShortTopK(emb1))
     time(s"pq_topk_x$n")(pqShortTopK(embBig))
+    // round-11 second entry: the composed IVFADC at N× — same
+    // queries, but the probe prune restricts the ADC stream to
+    // nprobe-of-8 cells, so the wall must sit BELOW the un-pruned
+    // pq_topk at the same scale and grow sub-linearly. The timer
+    // deliberately includes the coarse training (Lloyd on the
+    // corpus's hash sample) — the full build-and-query cost.
+    def ivfPqSmoke(df: DataFrame): Long = {
+      val cents = graft.operators.Similarity.kmeansCentroids(
+        df, "vec_id", "embedding", k = 8, iters = 4, trainMod = 4)
+      val cells = graft.operators.Similarity.kmeansCells(
+        df, "vec_id", "embedding", k = 8, iters = 4, trainMod = 4)
+      graft.operators.Similarity.ivfPqTopK(emb1.filter(col("vec_id") < 10),
+          df, "vec_id", "embedding", cells, cents, pqBooks, k = 3,
+          nprobe = 3, shortlist = 64)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    time("ivfpq_topk_x1")(ivfPqSmoke(emb1))
+    time(s"ivfpq_topk_x$n")(ivfPqSmoke(embBig))
     spark.stop()
   }
 }
