@@ -377,10 +377,16 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     // |Q| × n_cells probe scores; the per-qid window ranks exactly
     // n_cells rows per partition — bounded by the centroid count,
-    // never the corpus
-    val wP = Window.partitionBy("qid").orderBy(col("cscore").desc, col("cell"))
-    val probes = q.select(col("qid"), posexplode(array(cents.map(c =>
-        round(dot(col("qvec"), array(c.map(lit): _*)), 6)): _*))
+    // never the corpus. Probe ranking uses the SAME rounded squared-L2
+    // score the cell assignment argmins (‖c‖² − 2⟨q,c⟩ asc, cell
+    // tiebreak) — a raw-inner-product ranking would probe cells that
+    // don't hold the L2-assigned true neighbors when embeddings are
+    // unnormalized, silently depressing recall.
+    val wP = Window.partitionBy("qid").orderBy(col("cscore").asc, col("cell"))
+    val probes = q.select(col("qid"), posexplode(array(cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        round(lit(c2) - lit(2.0) * dot(col("qvec"), array(c.map(lit): _*)), 6)
+      }: _*))
         .as(Seq("cell", "cscore")))
       .withColumn("prnk", row_number().over(wP))
       .filter(col("prnk") <= nprobe)

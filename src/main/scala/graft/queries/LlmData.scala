@@ -1081,22 +1081,28 @@ object LlmData {
       .orderBy((cell :+ "drop_id").map(col): _*)
   }
 
-  private def pqSemDedupSql(books: Array[Array[Array[Double]]]): String =
+  private def pqSemDedupSql(books: Array[Array[Array[Double]]]): String = {
+    // column lists derive from books.indices, mirroring the Scala
+    // side's genericity over m — changing trainPq's m cannot desync
+    val cols = books.indices.map(i => s"code_$i")
+    val pivot = books.indices.map(i =>
+      s"  CAST(MAX(CASE WHEN m = $i THEN code END) AS BIGINT) AS code_$i").mkString(",\n")
+    val colList = cols.mkString(", ")
+    val cColList = cols.map(c => s"c.$c").mkString(", ")
+    val groupNums = books.indices.map(i => (i + 1).toString).mkString(", ")
     s"""WITH ${pqAssignCtes(books)},
        |cells AS (SELECT vec_id,
-       |  CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
-       |  CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
-       |  CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code_2,
-       |  CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code_3
+       |$pivot
        | FROM assign GROUP BY vec_id),
-       |keep AS (SELECT code_0, code_1, code_2, code_3,
+       |keep AS (SELECT $colList,
        |  MIN(vec_id) AS keep_id, COUNT(*) AS n_members
-       | FROM cells GROUP BY 1, 2, 3, 4)
-       |SELECT c.code_0, c.code_1, c.code_2, c.code_3, k.n_members,
+       | FROM cells GROUP BY $groupNums)
+       |SELECT $cColList, k.n_members,
        | k.keep_id, c.vec_id AS drop_id
-       |FROM cells c JOIN keep k USING (code_0, code_1, code_2, code_3)
+       |FROM cells c JOIN keep k USING ($colList)
        |WHERE c.vec_id <> k.keep_id
-       |ORDER BY c.code_0, c.code_1, c.code_2, c.code_3, drop_id""".stripMargin
+       |ORDER BY $cColList, drop_id""".stripMargin
+  }
 
   // ------------------------------------------------- s_ivfpq_topk
   // IVFADC (Jégou'11 §IV) — the COMPOSED index: the IVF coarse
@@ -1156,7 +1162,8 @@ object LlmData {
     * from pqAssignCtes' (cellc/cellsq/celld/cellassign). */
   private def ivfPqCtes(cents: Array[Array[Double]],
                         books: Array[Array[Array[Double]]],
-                        sd: Int): String = {
+                        sd: Int, nprobe: Int = 3,
+                        shortlist: Int = 32): String = {
     val centCtes = cents.zipWithIndex.map { case (c, j) =>
       s"SELECT $j AS cell, unnest([${c.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
         s"unnest(generate_series(1, ${c.length})) AS i"
@@ -1175,8 +1182,9 @@ object LlmData {
        |probes AS (SELECT qid, cell FROM (
        |            SELECT d.vec_id AS qid, d.cell,
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                ORDER BY ROUND(d.dc, 6) DESC, d.cell ASC) AS prnk
-       |            FROM celld d WHERE d.vec_id < 10) WHERE prnk <= 3),
+       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS prnk
+       |            FROM celld d JOIN cellsq cq USING (cell)
+       |            WHERE d.vec_id < 10) WHERE prnk <= $nprobe),
        |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
        |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
        |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
@@ -1190,7 +1198,7 @@ object LlmData {
        |short AS (SELECT qid, cid FROM (
        |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY ROUND(aip, 6) DESC, cid) AS srnk
-       |           FROM scored) WHERE srnk <= 32),
+       |           FROM scored) WHERE srnk <= $shortlist),
        |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
        |rdots AS (SELECT s.qid, s.cid, SUM(q.x * t.x) AS dot
        |          FROM short s JOIN flat q ON q.vec_id = s.qid

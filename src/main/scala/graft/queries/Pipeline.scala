@@ -988,9 +988,11 @@ object Pipeline {
       terminalValue = "purchase", tsMsCol = "ts_ms")
     // checksums reduce each row mod 2^20 BEFORE summing: the raw
     // per-row terms (shifted user_ids × 37 + epoch millis ≈ 5e12 at
-    // the 100× gate) summed over 10M rows overflow a BIGINT in both
-    // engines — the residue sum stays < 2^44 per 10M rows, exact at
-    // any realistic ledger volume, and still pins every row's
+    // the 100× gate) summed over 10M rows overflow Spark's 64-bit
+    // LongType sum (DuckDB would survive — it widens SUM(BIGINT) to
+    // HUGEINT — but the mod keeps both engines on comparable math);
+    // the residue sum stays < 2^44 per 10M rows, exact at any
+    // realistic ledger volume, and still pins every row's
     // (id, ts, field) content
     val ckMod = 1048576L
     def stat(name: String, df: DataFrame, checksum: org.apache.spark.sql.Column): DataFrame =

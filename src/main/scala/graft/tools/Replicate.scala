@@ -58,20 +58,32 @@ object Replicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import java.nio.file.{Files, Paths}
+    require(Paths.get(out).toAbsolutePath != Paths.get(sf).toAbsolutePath,
+      s"outDir == sfDir ($out): would overwrite input parquet mid-read")
     Files.createDirectories(Paths.get(out))
-    def rep(name: String, src: DataFrame, f: (DataFrame, Int) => DataFrame): Unit = {
+    def rep(name: String, src: DataFrame, f: (DataFrame, Int) => DataFrame, idCol: String): Unit = {
+      // Replicating an already-replicated dir would silently collide
+      // key spaces across replicas; ids must sit below one shift band.
+      val maxId = src.agg(max(col(idCol).cast("long"))).head.getLong(0)
+      require(maxId < shift,
+        s"$name.$idCol max=$maxId >= shift=$shift — input looks already replicated; replicate from the base sf dir")
       (0 until n).map(i => f(src, i)).reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"REPLICATE $name x$n written")
     }
-    rep("lineitem", graft.sources.Tables.lineitem(spark, sf), lineitem)
-    rep("orders", graft.sources.Tables.orders(spark, sf), orders)
-    rep("events", graft.sources.Tables.events(spark, sf), events)
-    rep("documents", graft.sources.Tables.documents(spark, sf), documents)
-    rep("embeddings", graft.sources.Tables.embeddings(spark, sf), embeddings)
+    rep("lineitem", graft.sources.Tables.lineitem(spark, sf), lineitem, "l_orderkey")
+    rep("orders", graft.sources.Tables.orders(spark, sf), orders, "o_orderkey")
+    rep("events", graft.sources.Tables.events(spark, sf), events, "event_id")
+    rep("documents", graft.sources.Tables.documents(spark, sf), documents, "doc_id")
+    rep("embeddings", graft.sources.Tables.embeddings(spark, sf), embeddings, "vec_id")
     for (d <- Seq("region", "nation", "customer", "supplier", "part")) {
       val link = Paths.get(s"$out/$d.parquet")
-      Files.deleteIfExists(link)
+      // A prior run may have left the dim target as a materialized
+      // parquet DIRECTORY (deleteIfExists throws on non-empty dirs).
+      if (Files.isDirectory(link) && !Files.isSymbolicLink(link)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(link).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } else Files.deleteIfExists(link)
       Files.createSymbolicLink(link, Paths.get(s"$sf/$d.parquet"))
       println(s"REPLICATE $d linked")
     }

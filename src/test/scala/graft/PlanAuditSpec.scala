@@ -265,6 +265,13 @@ class PlanAuditSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
     assert(bhj.nonEmpty, s"no broadcast join in the probe path:\n$plan")
+    // the PROBE join specifically must broadcast (keyed on cell) — the
+    // query-LUT broadcast alone must not satisfy this pin, or a
+    // regression that shuffles the codes on the probe key would pass
+    val probeBhj = bhj.filter(j =>
+      (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "cell")))
+    assert(probeBhj.nonEmpty,
+      s"probe join (on cell) is not a broadcast join:\n${bhj.mkString("\n")}")
     val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
     assert(windows.exists(_.partitionSpec.size >= 2),
       s"no sharded phase-1 window: ${windows.map(_.partitionSpec)}")
