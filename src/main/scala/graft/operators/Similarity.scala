@@ -374,6 +374,25 @@ object Similarity {
                 cents: Array[Array[Double]],
                 books: Array[Array[Array[Double]]],
                 k: Int, nprobe: Int = 3, shortlist: Int = 32): DataFrame = {
+    val scored = ivfPqScored(queries, candidates, idCol, vecCol, cells,
+        cents, books, maxProbe = nprobe)
+      .select(col("qid"), col("cid"), col("approx_score"))
+    adcShortlistRerank(scored, queries, candidates, idCol, vecCol,
+      k, shortlist)
+  }
+
+  /** The probe + ADC scoring stage of [[ivfPqTopK]] with each
+    * candidate's probe rank (`pr`) carried: (qid, cid, pr,
+    * approx_score). Shared by the search path (which prunes at
+    * maxProbe = nprobe and drops `pr`) and the calibration curve
+    * (which scores ONCE at the grid's max nprobe and then grids over
+    * (nprobe, shortlist) by filtering `pr` — re-scoring per config
+    * would rerun the ADC stream 24×). */
+  def ivfPqScored(queries: DataFrame, candidates: DataFrame, idCol: String,
+                  vecCol: String, cells: DataFrame,
+                  cents: Array[Array[Double]],
+                  books: Array[Array[Array[Double]]],
+                  maxProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     // |Q| × n_cells probe scores; the per-qid window ranks exactly
     // n_cells rows per partition — bounded by the centroid count,
@@ -389,18 +408,17 @@ object Similarity {
       }: _*))
         .as(Seq("cell", "cscore")))
       .withColumn("prnk", row_number().over(wP))
-      .filter(col("prnk") <= nprobe)
-      .select(col("qid"), col("cell").cast("long").as("cell"))
+      .filter(col("prnk") <= maxProbe)
+      .select(col("qid"), col("cell").cast("long").as("cell"),
+        col("prnk").cast("long").as("pr"))
     val codes = pqCodes(candidates, idCol, vecCol, books)
       .withColumnRenamed(idCol, "cid")
       .join(cells.select(col(idCol).as("cid"), col("cell")), "cid")
-    val scored = codes.join(broadcast(probes), "cell")
+    codes.join(broadcast(probes), "cell")
       .join(pqQueryLut(queries, idCol, vecCol, books), "qid")
       .filter(col("qid") =!= col("cid"))
       .withColumn("approx_score", round(adcScore(books.length), 6))
-      .select(col("qid"), col("cid"), col("approx_score"))
-    adcShortlistRerank(scored, queries, candidates, idCol, vecCol,
-      k, shortlist)
+      .select(col("qid"), col("cid"), col("pr"), col("approx_score"))
   }
 
   /** Broadcast per-query ADC lookup tables: lut_m[j] = ⟨q_slice_m,

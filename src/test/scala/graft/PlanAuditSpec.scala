@@ -291,6 +291,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s_ivfpq_tuning: config-bounded rank windows, no cartesian grid join") {
+    // the 24-config grid must multiply the ADC stream via a BROADCAST
+    // theta join (pr <= nprobe), and every rank window must carry the
+    // config keys in its partition — a qid-only window here would sort
+    // the whole gridded stream per query
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val df = SparkEntry.queries("s_ivfpq_tuning")(spark, sf)
+    val cart = df.queryExecution.sparkPlan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, "grid join degraded to a cartesian shuffle")
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.size < 3).foreach { w =>
+      // sub-config windows allowed: the probe ranking (literal explode
+      // — n_cells rows per partition) and the |Q|-sampled brute-force
+      // exact baseline (broadcast-hinted query side — the calibration
+      // metric, not a prod path)
+      val fromGenerate = w.child.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.nonEmpty
+      val exactBaseline = w.child.toString.contains("strategy=broadcast")
+      assert(fromGenerate || exactBaseline,
+        s"unbounded window ${w.partitionSpec}:\n${w.child}")
+    }
+  }
+
   test("t_doc_chunk / d_dedup_priority: chunking plans no hash exchange, priority keeper has no rank window") {
     // chunking is a row-local explode — the only exchange the plan may
     // contain is the gate's final orderBy (range partitioning)

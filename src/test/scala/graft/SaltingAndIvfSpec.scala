@@ -120,6 +120,38 @@ class SaltingAndIvfSpec extends SparkSpec {
     assert(ivfRecall >= 0.4, s"IVF recall@3 = $ivfRecall")
   }
 
+  test("s_ivfpq_tuning: full grid, shortlist-monotone recall, floor holds, full probe == un-pruned PQ") {
+    val rows = SparkEntry.queries("s_ivfpq_tuning")(spark, sf).collect()
+    assert(rows.length == 24, s"expected 8×3 grid, got ${rows.length}")
+    val recall = rows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // a larger shortlist reranks a superset exactly, so recall cannot
+    // drop across 16 → 32 → 64 at fixed nprobe (nprobe is NOT
+    // monotone — more probed cells can displace shortlist entries)
+    for (np <- 1L to 8L) {
+      assert(recall((np, 16L)) <= recall((np, 32L)) + 1e-9)
+      assert(recall((np, 32L)) <= recall((np, 64L)) + 1e-9)
+    }
+    // the floor claim is rated-regime (occupancy in [16,128]) and
+    // this 500-vector corpus is in-regime at 62.5/cell — the default
+    // row's verdict is a live floor comparison here, not vacuous
+    assert(rows.forall(_.getBoolean(4)), "default row broke its recall floor")
+    // probing all 8 cells is no prune at all: the composed index must
+    // reproduce the plain ADC path's recall at the same shortlist
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", books,
+        k = 3, shortlist = 64)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    assert(math.abs(recall((8L, 64L)) - pqRecall) < 1e-6,
+      s"nprobe=8 recall ${recall((8L, 64L))} != plain PQ recall $pqRecall")
+  }
+
   test("CatalogReader round-trips csv and json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
