@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED form of the composed IVFADC index
+  * ([[Similarity.ivfPqTopK]]) — the artifact a 100-TB deployment
+  * actually serves from, closing the gap between "at scale the codes
+  * table is bucketed by cell" in the Scaladoc and what exists on
+  * disk. Analogous to what [[Dedup.minhashLshDelta]] does for the
+  * MinHash band table: train once, persist the compressed index,
+  * append deltas row-locally, search forever without touching the
+  * training path again.
+  *
+  * Layout under `dir`:
+  *  - `codes/` — the bucketed codes table (idCol, cell,
+  *    code_0..code_{m-1}): parquet CLUSTERED BY (cell) SORTED BY
+  *    (cell) INTO numBuckets BUCKETS, registered as an EXTERNAL table
+  *    so a fresh session re-attaches with one DDL statement
+  *    ([[load]]). Bucketing by the probe key is the scan-pruning
+  *    story: a search's probed cells reduce to a literal IN filter on
+  *    the bucket column, so FileSourceScanExec prunes buckets at the
+  *    SCAN (`SelectedBucketsCount` < total — pinned in AnnIndexSpec),
+  *    and the probe equi-join itself broadcasts the |Q|·nprobe probe
+  *    set: the codes never shuffle.
+  *  - `meta_params/`, `meta_cents/`, `meta_books/` — the trained
+  *    artifacts (Lloyd centroids, PQ codebooks) plus shape params as
+  *    tiny parquet tables. Doubles round-trip exactly through
+  *    parquet, so a search from a re-loaded index is bit-identical to
+  *    one from the in-session training run (spec-pinned).
+  *
+  * Delta append ([[append]]): new vectors are coded ROW-LOCALLY
+  * against the persisted literals (cell via
+  * [[Similarity.assignCellsLiteral]], codes via [[Similarity.pqCodes]]
+  * — identical rounding/tiebreak to the build path), then written
+  * into the same bucketed table. Float vectors never re-shuffle; the
+  * only movement is the m-byte code rows into their buckets.
+  * append == rebuild parity is spec-pinned (AnnIndexSpec): building
+  * on a base corpus and appending a delta yields byte-identical codes
+  * — and therefore identical search results — to coding the full
+  * corpus with the same trained artifacts.
+  */
+object AnnIndex {
+
+  /** Trained index artifacts + shape. `cents`: ncells × dim Lloyd
+    * centroids; `books`: m × ks × (dim/m) PQ codebooks — kilobytes,
+    * driver-held, interpolated into searches as literals. */
+  case class IndexMeta(idCol: String, idType: String, numBuckets: Int,
+                       cents: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def ncells: Int = cents.length
+  }
+
+  /** The codes frame for `df` under trained artifacts — shared by
+    * build (full corpus) and append (delta): row-local projections
+    * only, no shuffle until the bucketed write. */
+  def codeRows(df: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Double]],
+               books: Array[Array[Array[Double]]]): DataFrame =
+    Similarity.pqCodes(df, idCol, vecCol, books)
+      .join(Similarity.assignCellsLiteral(df, idCol, vecCol, cents),
+        idCol)
+      .select(col(idCol) +: col("cell") +:
+        books.indices.map(i => col(s"code_$i")): _*)
+
+  /** Train (or take pre-trained artifacts) and write the full index.
+    * Passing `cents`/`books` trained elsewhere (e.g. the session
+    * memo stores) keeps one Lloyd run per corpus; omitting them
+    * trains here with the standard deterministic trainer. */
+  def write(df: DataFrame, idCol: String, vecCol: String,
+            dir: String, table: String,
+            cents: Array[Array[Double]],
+            books: Array[Array[Array[Double]]],
+            numBuckets: Int = 8): IndexMeta = {
+    val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType.sql
+    val meta = IndexMeta(idCol, idType, numBuckets, cents, books)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    deleteRecursively(new java.io.File(s"$dir/codes"))
+    writeCodes(codeRows(df, idCol, vecCol, cents, books), dir, table,
+      idCol, numBuckets, SaveMode.Overwrite)
+    writeMeta(spark, dir, meta)
+    meta
+  }
+
+  /** Append a delta: code the new vectors row-locally against the
+    * persisted artifacts and add them to the bucketed table. No
+    * retraining, no float shuffle — the production ingest path. */
+  def append(newDf: DataFrame, vecCol: String,
+             dir: String, table: String): Unit = {
+    val spark = newDf.sparkSession
+    val meta = loadMeta(spark, dir)
+    registerIfAbsent(spark, dir, table, meta)
+    writeCodes(codeRows(newDf, meta.idCol, vecCol, meta.cents, meta.books),
+      dir, table, meta.idCol, meta.numBuckets, SaveMode.Append)
+  }
+
+  /** Attach the persisted index in this session: re-register the
+    * external bucketed table if the catalog doesn't have it (fresh
+    * session), reload the trained artifacts. Returns (codes frame,
+    * meta). */
+  def load(spark: SparkSession, dir: String, table: String): (DataFrame, IndexMeta) = {
+    val meta = loadMeta(spark, dir)
+    registerIfAbsent(spark, dir, table, meta)
+    (spark.table(table), meta)
+  }
+
+  /** Search the persisted index — [[Similarity.ivfPqTopK]] semantics
+    * (probe prune → ADC → sharded shortlist → exact rerank), with the
+    * codes READ from the bucketed table instead of computed, and the
+    * probed cells pushed into the scan as a literal IN filter so
+    * bucket pruning fires. The probe set's DISTINCT cells are bounded
+    * by ncells (the driver already holds ncells·dim centroid doubles),
+    * so the collect is safe at any corpus size or |Q|. `exact` is the
+    * float-vector store only the ≤ |Q|·shortlist rerank rows touch. */
+  def search(queries: DataFrame, codes: DataFrame, meta: IndexMeta,
+             exact: DataFrame, vecCol: String, k: Int,
+             nprobe: Int, shortlist: Int): DataFrame = {
+    val idCol = meta.idCol
+    val probes = Similarity.probeCells(queries, idCol, vecCol,
+        meta.cents, nprobe)
+      .localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = codes
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .withColumnRenamed(idCol, "cid")
+      .join(broadcast(probes.drop("pr")), "cell")
+      .join(Similarity.pqQueryLut(queries, idCol, vecCol, meta.books), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score", round(Similarity.adcScore(meta.m), 6))
+      .select(col("qid"), col("cid"), col("approx_score"))
+    Similarity.adcShortlistRerank(scored, queries, exact, idCol, vecCol,
+      k, shortlist)
+  }
+
+  // ------------------------------------------------------------------
+  // storage plumbing
+
+  private def writeCodes(codes: DataFrame, dir: String, table: String,
+                         idCol: String, numBuckets: Int,
+                         mode: SaveMode): Unit =
+    codes.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .option("path", s"$dir/codes")
+      .saveAsTable(table)
+
+  private def registerIfAbsent(spark: SparkSession, dir: String,
+                               table: String, meta: IndexMeta): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val codeCols = meta.books.indices
+        .map(i => s"code_$i BIGINT").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $table (${meta.idCol} ${meta.idType}, cell BIGINT, $codeCols)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell) INTO ${meta.numBuckets} BUCKETS
+           |LOCATION '$dir/codes'""".stripMargin)
+    }
+
+  /** Trained artifacts as tiny parquet tables — doubles round-trip
+    * exactly, and no JSON codec dependency. */
+  private def writeMeta(spark: SparkSession, dir: String,
+                        meta: IndexMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.idCol, meta.idType, meta.numBuckets))
+      .toDF("id_col", "id_type", "num_buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta_params")
+    meta.cents.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, pos) => (cell, pos, v) }
+    }.toSeq.toDF("cell", "pos", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta_cents")
+    meta.books.zipWithIndex.flatMap { case (b, sub) =>
+      b.zipWithIndex.flatMap { case (cj, j) =>
+        cj.zipWithIndex.map { case (v, pos) => (sub, j, pos, v) }
+      }
+    }.toSeq.toDF("sub", "j", "pos", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta_books")
+  }
+
+  def loadMeta(spark: SparkSession, dir: String): IndexMeta = {
+    val p = spark.read.parquet(s"$dir/meta_params").head()
+    val cents = spark.read.parquet(s"$dir/meta_cents")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val books = spark.read.parquet(s"$dir/meta_books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._3).map(_._4)).toArray).toArray
+    IndexMeta(p.getString(0), p.getString(1), p.getInt(2), cents, books)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) { f.delete(); () }
+  }
+}

@@ -290,6 +290,35 @@ object Similarity {
       .withColumn("drop_id", col("id2"))
   }
 
+  /** The semdedup plane-scaling rule, EXECUTABLE (was SURVEY prose):
+    * with p sign-bit planes a corpus of n vectors lands ~n/2^p per
+    * bucket (uniform approximation), and the within-bucket pair join
+    * is quadratic in occupancy — so a FIXED plane count makes
+    * [[semanticDedup]] quadratic in corpus size. Holding occupancy
+    * at a target instead keeps the pair volume ~linear in n:
+    * p = ⌈log2(n / targetOccupancy)⌉. Clamped to [2, 24]: fewer than
+    * 2 planes is no blocking at all; 24 planes already distinguishes
+    * 16M buckets and more would outrun any real corpus while the
+    * recall cost per plane compounds. */
+  def autoPlanes(n: Long, targetOccupancy: Double = 64.0,
+                 minPlanes: Int = 2, maxPlanes: Int = 24): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val raw = math.ceil(math.log(math.max(1L, n) / targetOccupancy)
+      / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, raw))
+  }
+
+  /** [[semanticDedup]] with the plane count derived from the corpus
+    * size by [[autoPlanes]] — ONE count() (cheap: parquet row-group
+    * metadata) plus driver arithmetic. This is the form a production
+    * run uses; the gate query keeps pinned planes so the oracle can
+    * replay them as literals. */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, minCos: Double,
+                        targetOccupancy: Double = 64.0): DataFrame =
+    semanticDedup(df, idCol, vecCol,
+      autoPlanes(df.count(), targetOccupancy), dim, minCos)
+
   /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the
     * vector splits into `m` contiguous subspaces of dim/m dims, each
@@ -393,24 +422,7 @@ object Similarity {
                   cents: Array[Array[Double]],
                   books: Array[Array[Array[Double]]],
                   maxProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    // |Q| × n_cells probe scores; the per-qid window ranks exactly
-    // n_cells rows per partition — bounded by the centroid count,
-    // never the corpus. Probe ranking uses the SAME rounded squared-L2
-    // score the cell assignment argmins (‖c‖² − 2⟨q,c⟩ asc, cell
-    // tiebreak) — a raw-inner-product ranking would probe cells that
-    // don't hold the L2-assigned true neighbors when embeddings are
-    // unnormalized, silently depressing recall.
-    val wP = Window.partitionBy("qid").orderBy(col("cscore").asc, col("cell"))
-    val probes = q.select(col("qid"), posexplode(array(cents.map { c =>
-        val c2 = c.map(x => x * x).sum
-        round(lit(c2) - lit(2.0) * dot(col("qvec"), array(c.map(lit): _*)), 6)
-      }: _*))
-        .as(Seq("cell", "cscore")))
-      .withColumn("prnk", row_number().over(wP))
-      .filter(col("prnk") <= maxProbe)
-      .select(col("qid"), col("cell").cast("long").as("cell"),
-        col("prnk").cast("long").as("pr"))
+    val probes = probeCells(queries, idCol, vecCol, cents, maxProbe)
     val codes = pqCodes(candidates, idCol, vecCol, books)
       .withColumnRenamed(idCol, "cid")
       .join(cells.select(col(idCol).as("cid"), col("cell")), "cid")
@@ -421,9 +433,46 @@ object Similarity {
       .select(col("qid"), col("cid"), col("pr"), col("approx_score"))
   }
 
+  /** The IVF probe ranking stage shared by [[ivfPqScored]] and the
+    * persisted-index search ([[AnnIndex.search]]): (qid, cell, pr) —
+    * each query's `maxProbe` nearest trained cells. |Q| × n_cells
+    * probe scores; the per-qid window ranks exactly n_cells rows per
+    * partition — bounded by the centroid count, never the corpus.
+    * Probe ranking uses the SAME rounded squared-L2 score the cell
+    * assignment argmins (‖c‖² − 2⟨q,c⟩ asc, cell tiebreak) — a
+    * raw-inner-product ranking would probe cells that don't hold the
+    * L2-assigned true neighbors when embeddings are unnormalized,
+    * silently depressing recall. */
+  private[operators] def probeCells(queries: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    cents: Array[Array[Double]],
+                                    maxProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val wP = Window.partitionBy("qid").orderBy(col("cscore").asc, col("cell"))
+    q.select(col("qid"), posexplode(array(cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        round(lit(c2) - lit(2.0) * dot(col("qvec"), array(c.map(lit): _*)), 6)
+      }: _*))
+        .as(Seq("cell", "cscore")))
+      .withColumn("prnk", row_number().over(wP))
+      .filter(col("prnk") <= maxProbe)
+      .select(col("qid"), col("cell").cast("long").as("cell"),
+        col("prnk").cast("long").as("pr"))
+  }
+
+  /** Row-local cell assignment against trained centroid LITERALS —
+    * what a delta append runs at ingest: no training, no shuffle,
+    * identical rounding/tiebreak to [[kmeansCells]] so appended rows
+    * land in exactly the cells a full rebuild would give them. */
+  def assignCellsLiteral(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+      assignExprOn(col(vecCol), cents, replayExact = true)
+        .cast("long").as("cell"))
+
   /** Broadcast per-query ADC lookup tables: lut_m[j] = ⟨q_slice_m,
     * codebook_m[j]⟩ — m·ks dot products per query, kilobytes total. */
-  private def pqQueryLut(queries: DataFrame, idCol: String, vecCol: String,
+  private[operators] def pqQueryLut(queries: DataFrame, idCol: String, vecCol: String,
                          books: Array[Array[Array[Double]]]): DataFrame = {
     val lutCols = books.zipWithIndex.map { case (b, sub) =>
       val sd = b(0).length
@@ -437,7 +486,7 @@ object Similarity {
 
   /** Approximate inner product: m LUT lookups on the candidate's
     * codes — no float-vector access on the candidate side. */
-  private def adcScore(m: Int): Column =
+  private[operators] def adcScore(m: Int): Column =
     (0 until m).map(sub =>
       element_at(col(s"lut_$sub"), (col(s"code_$sub") + lit(1)).cast("int")))
       .reduce(_ + _)
@@ -449,7 +498,7 @@ object Similarity {
     * row-identical to the logical window (total order: approx_score
     * desc, cid). Only the ≤ |Q|·shortlist survivors join back to the
     * float vectors. */
-  private def adcShortlistRerank(scored: DataFrame, queries: DataFrame,
+  private[operators] def adcShortlistRerank(scored: DataFrame, queries: DataFrame,
                                  candidates: DataFrame, idCol: String,
                                  vecCol: String, k: Int,
                                  shortlist: Int): DataFrame = {

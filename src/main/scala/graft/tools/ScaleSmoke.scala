@@ -105,6 +105,19 @@ object ScaleSmoke {
           minCos = 0.35)
         .count()
     time("semdedup_x1")(semDedup(emb1)); time(s"semdedup_x$n")(semDedup(embBig))
+    // round-12 entry: the EXECUTABLE plane-scaling rule — autoPlanes
+    // holds bucket occupancy at a target as the corpus grows, so the
+    // within-bucket pair join stays ~linear in n where the pinned-
+    // plane form above goes quadratic (the 100× campaign measured
+    // 36 s at 6 fixed planes; scaled planes should hold the wall to
+    // ~N× the 1× figure)
+    def semDedupAuto(df: DataFrame): Long =
+      graft.operators.Similarity
+        .semanticDedupAuto(df, "vec_id", "embedding", dim = 64,
+          minCos = 0.35, targetOccupancy = 64.0)
+        .count()
+    time("semdedup_auto_x1")(semDedupAuto(emb1))
+    time(s"semdedup_auto_x$n")(semDedupAuto(embBig))
     // round-8 entry: the min-label closure over the semantic pair
     // graph — at 10× the pair graph sits AT the percolation threshold
     // (deep chains, 100× pairs), the regime that exposed the one-hop

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+import graft.sources.Tables
+
+/** The persisted-ANN-index discipline: the on-disk artifact must (a)
+  * search identically to the in-session composed index, (b) prune
+  * buckets at the SCAN when probing, (c) append deltas row-locally
+  * with append == rebuild parity, and (d) re-attach in a catalog that
+  * has never seen it (the fresh-session story). */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+    .localCheckpoint(eager = true)
+
+  private lazy val trained = {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
+    (cents, books)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("persisted search == in-session ivfPqTopK, and meta round-trips exactly") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_eq")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_eq", cents, books)
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_eq")
+    // trained doubles must round-trip bit-exactly through the meta tables
+    assert(meta.cents.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(meta.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 10)
+    val fromIndex = AnnIndex.search(q, codes, meta, emb, "embedding",
+      k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
+    val cells = Similarity.assignCellsLiteral(emb, "vec_id", "embedding", cents)
+    val inSession = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      cells, cents, books, k = 3, nprobe = 4, shortlist = 64)
+      .orderBy("qid", "rnk").collect()
+    assert(fromIndex.toSeq == inSession.toSeq)
+  }
+
+  test("probe pushes a literal cell filter: bucket pruning fires at the scan") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_prune")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_prune", cents, books)
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_prune")
+    // one query, one probe → exactly one cell of 8 survives the IN
+    // filter; the codes scan must report a pruned bucket set, not a
+    // full-table read
+    val q = emb.filter(col("vec_id") === 0)
+    val df = AnnIndex.search(q, codes, meta, emb, "embedding",
+      k = 3, nprobe = 1, shortlist = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).toList
+    assert(hits.nonEmpty, s"no bucket pruning in the codes scan:\n$plan")
+    assert(hits.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"probe filter selected ALL buckets:\n${hits.map(_.matched)}")
+    assert(df.count() > 0)
+  }
+
+  test("append == rebuild: delta-coded rows and search results are identical") {
+    val (cents, books) = trained
+    // build on the even half (artifacts trained on the FULL corpus —
+    // the parity under test is the coding/writing path, not training
+    // drift), then append the odd half
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val dir = tmp("annidx_delta")
+    AnnIndex.write(base, "vec_id", "embedding", dir, "ann_delta", cents, books)
+    AnnIndex.append(delta, "embedding", dir, "ann_delta")
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_delta")
+    // row parity vs a one-shot rebuild of the full corpus
+    val rebuilt = AnnIndex.codeRows(emb, "vec_id", "embedding", cents, books)
+    assert(codes.orderBy("vec_id").collect().toSeq ==
+      rebuilt.orderBy("vec_id").collect().toSeq)
+    // and search parity
+    val q = emb.filter(col("vec_id") < 10)
+    val fromAppended = AnnIndex.search(q, codes, meta, emb, "embedding",
+      k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
+    val cells = Similarity.assignCellsLiteral(emb, "vec_id", "embedding", cents)
+    val oneShot = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      cells, cents, books, k = 3, nprobe = 4, shortlist = 64)
+      .orderBy("qid", "rnk").collect()
+    assert(fromAppended.toSeq == oneShot.toSeq)
+  }
+
+  test("load re-registers the external bucketed table after a catalog wipe") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_reattach")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_reattach", cents, books)
+    val before = spark.table("ann_reattach").count()
+    // simulate a fresh session's empty catalog: drop the table entry
+    // (the files stay — it's external), then load() must rebuild the
+    // DDL with the SAME bucket spec so pruning still fires
+    spark.sql("DROP TABLE ann_reattach")
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_reattach")
+    assert(codes.count() == before)
+    val q = emb.filter(col("vec_id") === 0)
+    val plan = AnnIndex.search(q, codes, meta, emb, "embedding",
+        k = 3, nprobe = 1, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"re-registered table lost its bucket spec:\n$plan")
+  }
+}

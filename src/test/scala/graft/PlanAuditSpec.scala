@@ -318,6 +318,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s_ivfpq_indexed: codes come from the bucketed scan, probe join broadcasts on cell") {
+    // the persisted-index gate must actually RIDE the artifact: the
+    // codes side is a bucketed file scan (bucket metadata present —
+    // strict < pruning at gate params isn't guaranteed since 10
+    // queries × nprobe=4 can legitimately cover all 8 cells; the
+    // one-probe strict-pruning case is pinned in AnnIndexSpec), the
+    // probed cells reach the scan as a pushed IN filter, and the
+    // probe set joins as a broadcast keyed on cell — a regression
+    // that recomputes codes in-session would lose the bucketed scan
+    // and fail here
+    val df = SparkEntry.queries("s_ivfpq_indexed")(spark, sf)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("SelectedBucketsCount"),
+      s"codes are not read from the bucketed table:\n$planStr")
+    assert(planStr.contains("cell IN") || planStr.contains("cell#"),
+      "probe IN filter missing from the scan")
+    val bhj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    val probeBhj = bhj.filter(j =>
+      (j.leftKeys ++ j.rightKeys).exists(_.references.exists(_.name == "cell")))
+    assert(probeBhj.nonEmpty,
+      s"probe join (on cell) is not a broadcast join:\n${bhj.mkString("\n")}")
+  }
+
   test("t_doc_chunk / d_dedup_priority: chunking plans no hash exchange, priority keeper has no rank window") {
     // chunking is a row-local explode — the only exchange the plan may
     // contain is the gate's final orderBy (range partitioning)

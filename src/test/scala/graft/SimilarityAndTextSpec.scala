@@ -129,4 +129,32 @@ class SimilarityAndTextSpec extends SparkSpec {
     assert(cov("p q r s") == 0)                    // no duplicate trigram
     assert(cov("p q") == 0)                        // shorter than the gram
   }
+
+  test("autoPlanes holds occupancy: ceil(log2(n/target)), clamped, monotone") {
+    import graft.operators.Similarity.autoPlanes
+    assert(autoPlanes(64L * 1024, 64.0) == 10)     // 2^10 buckets of 64
+    assert(autoPlanes(65L * 1024, 64.0) == 11)     // just over → one more plane
+    assert(autoPlanes(1L << 40, 64.0) == 24)       // upper clamp
+    assert(autoPlanes(10, 64.0) == 2)              // lower clamp
+    assert(autoPlanes(0, 64.0) == 2)               // degenerate corpus
+    // doubling the corpus at fixed target adds exactly one plane —
+    // halving per-bucket growth is what keeps the pair join linear
+    val p1 = autoPlanes(500000, 64.0)
+    assert(autoPlanes(1000000, 64.0) == p1 + 1)
+    intercept[IllegalArgumentException](autoPlanes(100, 0.0))
+  }
+
+  test("semanticDedupAuto == semanticDedup at the derived plane count") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val planes = Similarity.autoPlanes(n, targetOccupancy = 16.0)
+    val auto = Similarity.semanticDedupAuto(emb, "vec_id", "embedding",
+      dim = 64, minCos = 0.35, targetOccupancy = 16.0)
+      .orderBy("id1", "id2").collect()
+    val pinned = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      planes, dim = 64, minCos = 0.35)
+      .orderBy("id1", "id2").collect()
+    assert(auto.toSeq == pinned.toSeq)
+  }
 }
