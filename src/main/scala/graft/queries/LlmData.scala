@@ -1314,6 +1314,60 @@ object LlmData {
       .orderBy("qid", "rnk")
   }
 
+  // --------------------------------------------- d_stream_pqdedup
+  // The always-on twin of d_pq_semdedup (the lshNearDupStream
+  // discipline applied to the compressed-domain index): the corpus
+  // replayed file-per-trigger through pqDedupStream — row-local PQ
+  // coding in the projection, ONE long of state per occupied cell —
+  // then the batch output reconstructed from the emission log
+  // (keep_id = min emitted keeper per cell = the final keeper;
+  // n_members = distinct drops + 1). Hash-exact against the SAME
+  // pqSemDedupSql oracle as the batch query: streaming at ingest
+  // loses nothing vs the nightly batch pass.
+  private val streamPqDedup: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftSession.tune(s)
+    val books = trainPq(s, d)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_pqdedup_stream").toString
+    val staging = s"$streamDir/_staging"
+    emb.write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (part, i) =>
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
+      }
+    val stream = s.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val name = "graft_stream_pqdedup"
+    val q = graft.streaming.StreamingPipeline
+      .pqDedupStream(stream, "vec_id", "embedding", books)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(streamDir))
+    // the reconstruction self-joins the emission log — checkpoint it
+    // once (small: one row per drop decision) so the two branches
+    // don't share conflicting memory-sink attribute ids
+    val em = s.table(name).localCheckpoint(eager = true)
+    val keeps = em.groupBy("cell_key").agg(min("keep_id").as("keep_id"),
+      (count_distinct(col("drop_id")) + lit(1)).as("n_members"))
+    val codeCols = books.indices.map(i =>
+      split(col("cell_key"), "\\|").getItem(i).cast("long").as(s"code_$i"))
+    em.select(col("cell_key"), col("drop_id")).distinct()
+      .join(keeps, "cell_key")
+      .select(codeCols ++ Seq(col("n_members"), col("keep_id"),
+        col("drop_id")): _*)
+      .orderBy(books.indices.map(i => col(s"code_$i")) :+ col("drop_id"): _*)
+  }
+
   /** IVFADC replay: the PQ assignment CTEs plus the trained-centroid
     * cell assignment / probe ranking, with the candidate stream
     * restricted to probed cells before ADC scoring — mirroring
@@ -3069,6 +3123,7 @@ object LlmData {
     "s_ivfpq_recall" -> ivfPqRecall,
     "s_ivfpq_tuning" -> ivfPqTuning,
     "s_ivfpq_indexed" -> ivfPqIndexed,
+    "d_stream_pqdedup" -> streamPqDedup,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
     "t_quality" -> quality,
@@ -3140,7 +3195,10 @@ object LlmData {
     }) ++ (pqBooksStash.values.toList match {
       case b :: Nil =>
         Map("s_pq_topk" -> pqTopKSql(b), "s_pq_recall" -> pqRecallSql(b),
-          "d_pq_semdedup" -> pqSemDedupSql(b))
+          "d_pq_semdedup" -> pqSemDedupSql(b),
+          // the streaming twin reconstructs the batch output from its
+          // emission log — same replay, so same oracle
+          "d_stream_pqdedup" -> pqSemDedupSql(b))
       case _ => Map.empty[String, String]
     }) ++ ((ivfCentroids.values.toList, pqBooksStash.values.toList) match {
       // the composed-index replay needs BOTH trainings stashed

@@ -358,6 +358,109 @@ object StreamingPipeline {
     }
   }
 
+  case class CellHit(id: Long, cell_key: String)
+  case class CellKeeper(keep: Long)
+  case class PqDropDecision(cell_key: String, keep_id: Long, drop_id: Long)
+
+  /** Streaming compressed-domain semantic dedup — d_pq_semdedup's
+    * always-on twin (semantic dedup AT INGEST, the path a live crawl
+    * needs): each arriving vector is PQ-coded ROW-LOCALLY against the
+    * codebook literals (the [[graft.operators.Similarity.pqCodes]]
+    * expressions inside the projection — no training, no shuffle of
+    * floats), and vectors whose m codes all agree share a cell =
+    * a near-dup cluster at codebook resolution. State per occupied
+    * cell is ONE long (the current keeper — the minimum id seen), so
+    * the state store holds exactly the occupied-cell count regardless
+    * of corpus size — strictly tighter than [[lshNearDupStream]]'s
+    * member lists.
+    *
+    * Emission contract: a drop decision per non-keeper arrival, with
+    * `keep_id` = the keeper AT EMISSION (where a router would send
+    * the duplicate right now). When a smaller id arrives into an
+    * occupied cell the old keeper is demoted and emitted as the drop
+    * (keep = the new min) — so over any prefix of the stream the
+    * emitted drop_id set is exactly "every member of the cell except
+    * the minimum seen so far": streamed drops == the batch
+    * d_pq_semdedup drop set once the corpus has streamed (spec- and
+    * gate-pinned), and the FINAL keeper per cell always appears as
+    * the `keep_id` of at least one emission for multi-member cells,
+    * so the batch output reconstructs from the emission log alone.
+    *
+    * Bounds for unbounded streams, composable like lshNearDupStream:
+    *  - `initialCodes`: bootstrap keepers from a persisted codes
+    *    table ([[graft.operators.AnnIndex]]'s artifact — (id,
+    *    code_0..code_{m-1}) rows): min id per occupied cell seeds the
+    *    state, so a restarted stream dedups against the whole prior
+    *    corpus without replaying it; snapshot-internal drops are NOT
+    *    re-emitted (they live in the batch output — the delta
+    *    contract).
+    *  - `stateTtlMs`: idle-cell TTL — an expired cell's keeper drops
+    *    out of the horizon; dedup-against-recent, compaction back
+    *    into the codes table ([[graft.operators.AnnIndex.append]])
+    *    restores full coverage. */
+  def pqDedupStream(docs: DataFrame, idCol: String, vecCol: String,
+                    books: Array[Array[Array[Double]]],
+                    initialCodes: Option[DataFrame] = None,
+                    stateTtlMs: Option[Long] = None): Dataset[PqDropDecision] = {
+    implicit val hitEnc = Encoders.product[CellHit]
+    implicit val stEnc = Encoders.product[CellKeeper]
+    implicit val outEnc = Encoders.product[PqDropDecision]
+    implicit val keyEnc = Encoders.STRING
+
+    val keyOf = (cols: Seq[String]) => concat_ws("|", cols.map(col): _*)
+    val codeCols = books.indices.map(i => s"code_$i")
+    val hits = graft.operators.Similarity
+      .pqCodes(docs, idCol, vecCol, books)
+      .select(col(idCol).cast("long").as("id"),
+        keyOf(codeCols).as("cell_key"))
+      .as[CellHit]
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val fold = (key: String, rows: Iterator[CellHit],
+                state: GroupState[CellKeeper]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty: Iterator[PqDropDecision]
+      } else {
+        // ascending order: within a micro-batch the smallest id takes
+        // the cell first, so single-batch replays emit the batch
+        // output verbatim (keep = final min everywhere)
+        val arriving = rows.map(_.id).toSeq.distinct.sorted
+        val out = Seq.newBuilder[PqDropDecision]
+        var keeper = state.getOption.map(_.keep)
+        arriving.foreach { id =>
+          keeper match {
+            case None => keeper = Some(id)
+            case Some(k) if id == k => () // redelivery no-op
+            case Some(k) if id > k => out += PqDropDecision(key, k, id)
+            case Some(k) => // new minimum: demote the old keeper
+              out += PqDropDecision(key, id, k)
+              keeper = Some(id)
+          }
+        }
+        keeper.foreach(k => state.update(CellKeeper(k)))
+        stateTtlMs.foreach(state.setTimeoutDuration)
+        out.result().iterator
+      }
+    val grouped = hits.groupByKey(_.cell_key)
+    initialCodes match {
+      case Some(codes) =>
+        implicit val snapEnc = Encoders.product[(String, Long)]
+        val init = codes
+          .groupBy(keyOf(codeCols).as("cell_key"))
+          .agg(min(col(idCol).cast("long")).as("keep"))
+          .select(col("cell_key").as("_1"), col("keep").as("_2"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(t => CellKeeper(t._2))
+        grouped.flatMapGroupsWithState[CellKeeper, PqDropDecision](
+          OutputMode.Append(), timeoutConf, init)(fold)
+      case None =>
+        grouped.flatMapGroupsWithState[CellKeeper, PqDropDecision](
+          OutputMode.Append(), timeoutConf)(fold)
+    }
+  }
+
   /** Streaming contamination gate — d_bloom_contam's always-on twin
     * (eval-set leakage checked at INGEST, not in a nightly audit):
     * the train-fingerprint Bloom sketch builds ONCE driver-side and

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat_ws, min}
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingPipeline
 
@@ -619,6 +620,155 @@ class StreamingSpec extends SparkSpec {
     assert(dupAfterExpiry == 0L,
       "expired buckets must not pair (dedup-against-recent horizon)")
     assert(freshDup > 0L, "a dup within the TTL must still pair")
+    } finally spark.conf.set(noData, prior)
+  }
+
+  // shared trained codebooks for the pqDedupStream suite — one Lloyd
+  // run on the real corpus
+  private lazy val pqBooks = graft.operators.Similarity.pqCodebooks(
+    spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+    m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
+
+  private def batchPqDrops(emb: org.apache.spark.sql.DataFrame) = {
+    // the d_pq_semdedup batch semantics: per occupied multi-member
+    // cell, keeper = min id, everyone else drops
+    val codes = graft.operators.Similarity.pqCodes(emb, "vec_id",
+      "embedding", pqBooks)
+    val cell = pqBooks.indices.map(i => s"code_$i")
+    val keep = codes.groupBy(cell.map(col): _*)
+      .agg(min(col("vec_id")).as("keep_id"))
+    codes.join(keep, cell).filter($"vec_id" =!= $"keep_id")
+      .select(concat_ws("|", cell.map(col): _*).as("cell_key"),
+        $"keep_id", $"vec_id".as("drop_id"))
+  }
+
+  test("streaming PQ dedup emits the batch drop set — cross-micro-batch, keeper demotion included") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rows = emb.orderBy($"vec_id".desc).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // LARGE ids stream first: the true (minimum) keeper of every
+    // multi-member cell arrives in a LATER batch, so the demotion
+    // path (old keeper emitted as the drop) is actually exercised
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val query = StreamingPipeline
+      .pqDedupStream(stream, "vec_id", "embedding", pqBooks)
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    input.addData(first.toSeq)
+    query.processAllAvailable()
+    val afterFirst = spark.table("pq_stream").count()
+    input.addData(second.toSeq)
+    query.processAllAvailable()
+    query.stop()
+    assert(afterFirst < spark.table("pq_stream").count(),
+      "second micro-batch must add drops")
+
+    val em = spark.table("pq_stream")
+    val want = batchPqDrops(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // drop set parity
+    assert(em.select("cell_key", "drop_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      want.map(t => (t._1, t._3)).toSet)
+    // the final keeper reconstructs as min emitted keep_id per cell
+    val keepers = em.groupBy("cell_key").agg(min("keep_id").as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    want.foreach { case (cellKey, keep, _) =>
+      assert(keepers(cellKey) == keep,
+        s"cell $cellKey reconstructed keeper ${keepers(cellKey)} != batch $keep")
+    }
+    // at least one demotion happened (a keep_id emitted that is not
+    // that cell's final keeper) — the ordering above guarantees the
+    // corpus has one if any cell spans the halves
+    assert(em.collect().exists(r =>
+      keepers(r.getString(0)) != r.getLong(1)),
+      "expected a keeper demotion across micro-batches")
+  }
+
+  test("streaming PQ dedup bootstrapped from the AnnIndex codes table: snapshot + stream == full batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter($"vec_id" % 3 =!= 0L)
+    val fresh = emb.filter($"vec_id" % 3 === 0L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // the persisted artifact IS the bootstrap source: the bucketed
+    // codes table AnnIndex wrote for the old corpus
+    val cents = graft.operators.Similarity.kmeansCentroids(old, "vec_id",
+      "embedding", k = 8, iters = 4, trainMod = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pqboot").toString
+    graft.operators.AnnIndex.write(old, "vec_id", "embedding", dir,
+      "pq_boot_codes", cents, pqBooks)
+    val (codes, _) = graft.operators.AnnIndex.load(spark, dir, "pq_boot_codes")
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamingPipeline.pqDedupStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        pqBooks, initialCodes = Some(codes))
+      .writeStream.format("memory").queryName("pq_boot")
+      .outputMode("append").start()
+    input.addData(fresh.toSeq)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("pq_boot").select("cell_key", "drop_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val oldDrops = batchPqDrops(old).select("cell_key", "drop_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val fullDrops = batchPqDrops(emb).select("cell_key", "drop_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // snapshot-internal drops are NOT re-emitted; the union with the
+    // persisted batch output equals a full recompute (delta contract)
+    assert(streamed.nonEmpty)
+    assert((oldDrops ++ streamed) == fullDrops,
+      s"old=${oldDrops.size} streamed=${streamed.size} full=${fullDrops.size} " +
+        s"missing=${(fullDrops -- oldDrops -- streamed).take(5)} " +
+        s"extra=${((oldDrops ++ streamed) -- fullDrops).take(5)}")
+  }
+
+  test("streaming PQ dedup idle-cell TTL: one long per cell, expired cells leave the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    // all three docs share ONE vector → one PQ cell; state is exactly
+    // one row (the keeper long) while occupied
+    val vec = spark.read.parquet(s"$sf/embeddings.parquet")
+      .orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prior = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val query = StreamingPipeline.pqDedupStream(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          pqBooks, stateTtlMs = Some(3000L))
+        .writeStream.format("memory").queryName("pq_ttl")
+        .outputMode("append").start()
+      input.addData((1L, vec))
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "one occupied cell = one state row")
+      Thread.sleep(3500L)
+      // unrelated filler fires the expired timer inside a data batch
+      input.addData((50L, vec.map(v => -v)))
+      query.processAllAvailable()
+      // doc 2 lands in doc 1's cell AFTER expiry: no drop (doc 1 left
+      // the horizon — doc 2 is the new keeper) ...
+      input.addData((2L, vec))
+      query.processAllAvailable()
+      val afterExpiry = spark.table("pq_ttl").filter("drop_id = 2").count()
+      // ... while doc 3 within the TTL drops against doc 2 instantly
+      input.addData((3L, vec))
+      query.processAllAvailable()
+      val freshDrop = spark.table("pq_ttl")
+        .filter("keep_id = 2 and drop_id = 3").count()
+      query.stop()
+      assert(afterExpiry == 0L,
+        "expired cell must not drop (dedup-against-recent horizon)")
+      assert(freshDrop == 1L, "a dup within the TTL must drop instantly")
     } finally spark.conf.set(noData, prior)
   }
 }

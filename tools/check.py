@@ -13,6 +13,11 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 args = sys.argv[3:]
 skip = "--skip-verify" in args
+# --timeout=N: per-oracle DuckDB wall cap in seconds (the 100x
+# campaign's guard — one intractable oracle must not hang the sweep;
+# a timed-out oracle reports TIMEOUT, distinct from FAIL)
+timeout = next((float(a.split("=", 1)[1]) for a in args
+                if a.startswith("--timeout=")), None)
 only = [a for a in args if not a.startswith("--")]
 
 if not skip:
@@ -43,9 +48,27 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 # sf0.01, where the walk is cheap.
 CLOSURE = {"d_sem_clusters": "d_semdedup", "d_dup_clusters": "d_minhash_lsh"}
 
+class OracleTimeout(Exception):
+    pass
+
+def run_oracle(sql):
+    if timeout is None:
+        return con.execute(sql).df()
+    import threading
+    t = threading.Timer(timeout, con.interrupt)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    except Exception as e:
+        if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
+            raise OracleTimeout(f"oracle exceeded {timeout:.0f}s")
+        raise
+    finally:
+        t.cancel()
+
 def closure_want(pair_key):
     import pandas as pd
-    pairs = con.execute(oracle[pair_key]).df()
+    pairs = run_oracle(oracle[pair_key])
     parent = {}
     def find(x):
         r = x
@@ -62,7 +85,7 @@ def closure_want(pair_key):
     return pd.DataFrame({"id": nodes,
                          "cluster": [find(n) for n in nodes]}).astype("int64")
 
-fails, passes, rows_only = [], [], []
+fails, passes, rows_only, timeouts = [], [], [], []
 names = only or sorted(os.listdir(out))
 for name in names:
     pdir = f"{out}/{name}"
@@ -78,7 +101,9 @@ for name in names:
         if name in CLOSURE:
             want = closure_want(CLOSURE[name])
         else:
-            want = con.execute(oracle[name]).df()
+            want = run_oracle(oracle[name])
+    except OracleTimeout as e:
+        timeouts.append((name, str(e))); continue
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}")); continue
     gc, wc = sorted(got.columns), sorted(want.columns)
@@ -115,6 +140,8 @@ for name in names:
 print(f"PASS ({len(passes)}):", " ".join(passes))
 for n, c in rows_only:
     print(f"ROWS-ONLY: {n} rows={c}")
+for n, m in timeouts:
+    print(f"TIMEOUT: {n}: {m}")
 for n, m in fails:
     print(f"FAIL: {n}: {m}")
 sys.exit(1 if fails else 0)
