@@ -96,6 +96,31 @@ object AnnIndex {
       dir, table, meta.idCol, meta.numBuckets, SaveMode.Append)
   }
 
+  /** Re-train the coarse quantizer at the corpus's CURRENT size and
+    * rewrite the bucketed artifact — the maintenance operation for a
+    * corpus that has outgrown its index's rated occupancy band
+    * ([16, 128] mean members/cell, the regime the tuning curve's
+    * recall floor is pinned in). `targetCells` defaults to
+    * [[Similarity.autoCells]] (≈ √n: one count() + driver
+    * arithmetic, the autoPlanes discipline). The PQ codebooks are
+    * KEPT: codes quantize the raw vector independently of the
+    * coarse partition, so re-indexing changes each row's `cell` but
+    * leaves its code_* values byte-identical (spec-pinned) — the
+    * rewrite moves m-byte codes into their new buckets and the
+    * floats are touched only by the one row-local re-assignment
+    * projection. */
+  def reindex(df: DataFrame, vecCol: String, dir: String, table: String,
+              iters: Int = 5, trainMod: Int = 5,
+              targetCells: Option[Int] = None): IndexMeta = {
+    val spark = df.sparkSession
+    val old = loadMeta(spark, dir)
+    val ncells = targetCells.getOrElse(Similarity.autoCells(df.count()))
+    val cents = Similarity.kmeansCentroids(df, old.idCol, vecCol,
+      k = ncells, iters = iters, trainMod = trainMod)
+    write(df, old.idCol, vecCol, dir, table, cents, old.books,
+      old.numBuckets)
+  }
+
   /** Attach the persisted index in this session: re-register the
     * external bucketed table if the catalog doesn't have it (fresh
     * session), reload the trained artifacts. Returns (codes frame,

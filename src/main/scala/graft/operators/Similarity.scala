@@ -319,6 +319,23 @@ object Similarity {
     semanticDedup(df, idCol, vecCol,
       autoPlanes(df.count(), targetOccupancy), dim, minCos)
 
+  /** IVF cell-count rule, EXECUTABLE (the [[autoPlanes]] discipline
+    * applied to the coarse quantizer): ncells = ⌈√n⌉. A probe's cost
+    * splits into the coarse scan (∝ ncells centroid distances) and
+    * the member scan (∝ nprobe · n/ncells code rows); √n balances
+    * the two so BOTH grow as √n — a FIXED cell count instead grows
+    * the member side linearly, which is exactly how the 8-cell index
+    * leaves its rated occupancy band under replication (n/8 per
+    * cell) and its recall floor stops applying. Clamped to
+    * [8, 65536]: fewer than 8 cells is barely an index, and past 64k
+    * cells the driver-held centroid set (ncells·dim doubles) and the
+    * per-row assignment expression width say go hierarchical (a
+    * two-level coarse quantizer), not wider. */
+  def autoCells(n: Long, minCells: Int = 8, maxCells: Int = 1 << 16): Int = {
+    val raw = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt
+    math.min(maxCells, math.max(minCells, raw))
+  }
+
   /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the
     * vector splits into `m` contiguous subspaces of dim/m dims, each

@@ -1314,6 +1314,58 @@ object LlmData {
       .orderBy("qid", "rnk")
   }
 
+  // ----------------------------------------------- s_reindex_topk
+  // The index-maintenance op under gate: build the bucketed artifact
+  // at the DEPLOY-TIME 8 cells (a separate dir from s_ivfpq_indexed's
+  // — reindex rewrites in place, and the two gate queries must not
+  // see each other's artifacts), then AnnIndex.reindex at
+  // autoCells(n) — ⌈√n⌉ cells, the executable form of the tuning-
+  // curve row's "re-training is the answer" — and search the
+  // re-trained index at the standard operating point. The re-trained
+  // centroids are stashed so the oracle replays the SAME generic
+  // IVFADC SQL with the new literals: the gate proves the
+  // maintenance op loses nothing — reindex → load → search is
+  // hash-identical to an engine-independent replay of the re-trained
+  // index. (PQ codebooks survive reindex byte-identical —
+  // AnnIndexSpec pins that — so the oracle's ADC side reuses the one
+  // stashed training.)
+  private val annReindexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  graft.operators.Dedup.onClearStore(() => annReindexDirs.clear())
+
+  private val reindexCents =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  graft.operators.Dedup.onClearStore(() => reindexCents.clear())
+
+  private def annReindexDir(s: SparkSession, d: String): String = {
+    val key = mhKey(s, d).get
+    annReindexDirs.getOrElseUpdate(key, {
+      val emb = Tables.embeddings(s, d)
+      val cents8 = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+      val books = trainPq(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_annre").toString
+      val tbl = annTable(key) + "_re"
+      graft.operators.AnnIndex.write(emb, "vec_id", "embedding", dir,
+        tbl, cents8, books, numBuckets = 8)
+      val meta = graft.operators.AnnIndex.reindex(emb, "embedding", dir,
+        tbl, iters = 4, trainMod = 4)
+      reindexCents.put(key, meta.cents)
+      dir
+    })
+  }
+
+  private val reindexTopK: Q = (s, d) => {
+    val dir = annReindexDir(s, d)
+    val (codes, meta) = graft.operators.AnnIndex.load(s, dir,
+      annTable(mhKey(s, d).get) + "_re")
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.search(emb.filter(col("vec_id") < 10),
+        codes, meta, emb, "embedding", k = 3,
+        nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist)
+      .orderBy("qid", "rnk")
+  }
+
   // --------------------------------------------- d_stream_pqdedup
   // The always-on twin of d_pq_semdedup (the lshNearDupStream
   // discipline applied to the compressed-domain index): the corpus
@@ -3123,6 +3175,7 @@ object LlmData {
     "s_ivfpq_recall" -> ivfPqRecall,
     "s_ivfpq_tuning" -> ivfPqTuning,
     "s_ivfpq_indexed" -> ivfPqIndexed,
+    "s_reindex_topk" -> reindexTopK,
     "d_stream_pqdedup" -> streamPqDedup,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
@@ -3177,7 +3230,8 @@ object LlmData {
       ()
     }),
     "_store_pq" -> ((s, d) => { trainPq(s, d); () }),
-    "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }))
+    "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
+    "_store_annreindex" -> ((s, d) => { annReindexDir(s, d); () }))
 
   /** Static oracles plus the centroid-interpolated IVF replay (present
     * once the s_ivf_topk query has trained — Verify runs every query
@@ -3211,6 +3265,14 @@ object LlmData {
           // SQL — the gate proves persist → load → search loses
           // nothing vs the in-session path
           "s_ivfpq_indexed" -> ivfPqTopKSql(c, b))
+      case _ => Map.empty[String, String]
+    }) ++ ((reindexCents.values.toList, pqBooksStash.values.toList) match {
+      // the reindexed search replays the SAME generic IVFADC SQL,
+      // interpolating the RE-TRAINED centroids (autoCells(n) of
+      // them — the CTE builder is generic over ncells) with the one
+      // stashed codebook training (codes survive reindex unchanged)
+      case (rc :: Nil, b :: Nil) =>
+        Map("s_reindex_topk" -> ivfPqTopKSql(rc, b))
       case _ => Map.empty[String, String]
     })
 

@@ -264,6 +264,40 @@ object ScaleSmoke {
     }
     time("ivfpq_topk_x1")(ivfPqSmoke(emb1))
     time(s"ivfpq_topk_x$n")(ivfPqSmoke(embBig))
+    // round-12 entry: the EXECUTABLE cell-scaling rule (autoCells ≈
+    // √n — the autoPlanes discipline applied to the coarse
+    // quantizer). At N× a fixed 8-cell index runs n/8 members per
+    // cell — far out of the rated [16,128] band, where the tuning
+    // curve's recall floor stops applying; re-training at √n cells
+    // restores occupancy to ~√n, so the SAME nprobe scans a
+    // collapsing FRACTION of the corpus as n grows. Printed: recall@3
+    // vs exact brute force for fixed-8 vs reindexed at the default
+    // nprobe=4, plus the scanned-cell occupancy both ways — the
+    // measured evidence behind AnnIndex.reindex's Scaladoc claim.
+    def recallOf(df: DataFrame, cents: Array[Array[Double]],
+                 nprobe: Int): Double = {
+      val q = emb1.filter(col("vec_id") < 10)
+      val approx = graft.operators.Similarity.ivfPqTopK(q, df, "vec_id",
+        "embedding", graft.operators.Similarity.assignCellsLiteral(
+          df, "vec_id", "embedding", cents), cents, pqBooks,
+        k = 3, nprobe = nprobe, shortlist = 64)
+      val exact = graft.operators.Similarity.bruteForceTopK(q, df,
+        "vec_id", "embedding", k = 3)
+      approx.select("qid", "cid").intersect(exact.select("qid", "cid"))
+        .count().toDouble / exact.count()
+    }
+    val nBig = embBig.count()
+    val cents8 = graft.operators.Similarity.kmeansCentroids(
+      embBig, "vec_id", "embedding", k = 8, iters = 4, trainMod = 4)
+    val centsAuto = graft.operators.Similarity.kmeansCentroids(
+      embBig, "vec_id", "embedding",
+      k = graft.operators.Similarity.autoCells(nBig), iters = 4, trainMod = 4)
+    var r8 = 0.0; var rAuto = 0.0
+    time(s"ivfpq_recall_fixed8_x$n") { r8 = recallOf(embBig, cents8, 4); 1L }
+    time(s"ivfpq_recall_autocells_x$n") { rAuto = recallOf(embBig, centsAuto, 4); 1L }
+    println(f"SCALE ivfpq_reindex n=$nBig cells_fixed=8 cells_auto=${centsAuto.length} " +
+      f"recall_fixed8=$r8%.3f recall_autocells=$rAuto%.3f " +
+      f"scan_frac_fixed8=${4.0 / 8}%.3f scan_frac_auto=${4.0 / centsAuto.length}%.4f")
     spark.stop()
   }
 }

@@ -90,6 +90,72 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromAppended.toSeq == oneShot.toSeq)
   }
 
+  test("autoCells: ⌈√n⌉, clamped, monotone — both scan terms grow as √n") {
+    import Similarity.autoCells
+    assert(autoCells(10000) == 100)
+    assert(autoCells(10001) == 101)      // just over → one more cell
+    assert(autoCells(100) == 10)
+    assert(autoCells(4) == 8)            // lower clamp
+    assert(autoCells(0) == 8)            // degenerate corpus
+    assert(autoCells(1L << 40) == 65536) // upper clamp
+    assert(autoCells(8000) == 90)        // the reindex spec's corpus
+  }
+
+  test("reindex: out-of-band corpus re-trains to √n cells; codes unchanged; search and pruning intact") {
+    val (cents, books) = trained
+    // replicate the spec corpus 16× with disjoint ids and a replica-
+    // unique first-coordinate nudge (exact duplicate vectors would
+    // make every ANN metric degenerate) — 8000 vectors against a
+    // fixed-8-cell index is 1000/cell, far past the rated band
+    val big = (0 until 16).map { r =>
+      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i === 0, lit(r * 1e-3)).otherwise(lit(0.0)))
+          .as("embedding"))
+    }.reduce(_ unionAll _).localCheckpoint(eager = true)
+    val dir = tmp("annidx_reidx")
+    AnnIndex.write(big, "vec_id", "embedding", dir, "ann_reidx", cents, books)
+    val codeCols = books.indices.map(i => col(s"code_$i"))
+    val oldCodes = spark.table("ann_reidx")
+      .select(col("vec_id") +: codeCols: _*).orderBy("vec_id").collect()
+    val oldCells = spark.table("ann_reidx").select("cell").distinct().count()
+
+    val meta = AnnIndex.reindex(big, "embedding", dir, "ann_reidx",
+      iters = 4, trainMod = 4)
+    assert(meta.ncells == Similarity.autoCells(8000L)) // 90, not 8
+    // PQ codes are cell-independent: reindex must leave them
+    // byte-identical — only the bucket key moved
+    val newCodes = spark.table("ann_reidx")
+      .select(col("vec_id") +: codeCols: _*).orderBy("vec_id").collect()
+    assert(newCodes.toSeq == oldCodes.toSeq)
+    // occupancy restored: the 8-cell index concentrated 8000 rows in
+    // ≤ 8 cells; the re-trained quantizer must actually USE its width
+    val newCells = spark.table("ann_reidx").select("cell").distinct().count()
+    assert(newCells > oldCells, s"reindex did not spread cells: $newCells <= $oldCells")
+    assert(newCells >= meta.ncells / 3L,
+      s"quantizer collapsed: $newCells non-empty of ${meta.ncells}")
+    // search parity vs the in-session composed index on the SAME
+    // re-trained artifacts
+    val q = big.filter(col("vec_id") < 10)
+    val (codes, loaded) = AnnIndex.load(spark, dir, "ann_reidx")
+    val fromIndex = AnnIndex.search(q, codes, loaded, big, "embedding",
+      k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
+    val cells = Similarity.assignCellsLiteral(big, "vec_id", "embedding",
+      loaded.cents)
+    val inSession = Similarity.ivfPqTopK(q, big, "vec_id", "embedding",
+      cells, loaded.cents, books, k = 3, nprobe = 4, shortlist = 64)
+      .orderBy("qid", "rnk").collect()
+    assert(fromIndex.toSeq == inSession.toSeq)
+    // bucket pruning still fires with 90 cells hashed into 8 buckets
+    val plan = AnnIndex.search(q.limit(1), codes, loaded, big, "embedding",
+        k = 3, nprobe = 1, shortlist = 16)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    assert(sel.findAllMatchIn(plan).exists(m =>
+      m.group(1).toInt < m.group(2).toInt),
+      s"reindexed table lost scan pruning:\n$plan")
+  }
+
   test("load re-registers the external bucketed table after a catalog wipe") {
     val (cents, books) = trained
     val dir = tmp("annidx_reattach")
