@@ -37,6 +37,14 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# --alts: overlay the volume-tractable ALT oracles (array-native
+# rewrites of the embedding-pair family — semantically identical,
+# validated against the canonical output at the 1× dir) for N×-volume
+# runs where the canonical flat-join formulation is intractable. The
+# CLOSURE replays below read the overlaid map, so d_sem_clusters
+# union-finds over the ALT pair SQL automatically.
+if "--alts" in args and os.path.exists(f"{out}/oracle_alt.json"):
+    oracle.update(json.load(open(f"{out}/oracle_alt.json")))
 
 # Connected-components queries: the recursive-CTE walk oracle is
 # quadratic in the giant component (at 10x volume the semantic pair
