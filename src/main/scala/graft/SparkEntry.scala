@@ -21,4 +21,10 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Pipeline.oracle ++
       graft.queries.LlmData.oracle
+
+  /** Volume-tractable ALT oracles (array-native DuckDB rewrites,
+    * semantically identical to their [[oracleSql]] twins) for the
+    * dev-side N×-volume campaign. The driver gate ignores these. */
+  def oracleAltSql: Map[String, String] =
+    graft.queries.LlmData.oracleAlt
 }

@@ -142,4 +142,50 @@ object TextFunctions {
     size(array_distinct(flatten(
       transform(starts, p => sequence(p, p + (k - 1))))))
   }
+
+  /** Deterministic classifier weights (LCG-seeded, engine-portable
+    * literals — the hyperplanes/minhashCoeffs discipline): `d` dyadic
+    * rationals in [-1, 1], every one an exact multiple of 2⁻¹⁰. A sum
+    * of fewer than 2⁹ of them needs < 20 mantissa bits, so the hashed-
+    * feature sum below is EXACT in double at ANY summation order —
+    * Spark's sequential array fold and DuckDB's hash-agg SUM agree
+    * bit-for-bit, which is what makes the classifier hash-gateable. */
+  def classifierWeights(d: Int, seed: Long = 11L): Seq[Double] = {
+    var state = seed
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    Seq.fill(d)(((next() % 2049L) - 1024L) / 1024.0d)
+  }
+
+  /** Engine-portable token feature bucket: the same 60-bit md5-prefix
+    * hash the shingle family uses (Dedup.shingleHash), reduced mod the
+    * feature dimension. */
+  def featureBucket(tok: Column, d: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"), lit(d.toLong))
+
+  /** fastText-style linear classifier margin over hashed unigram
+    * features (the hashing trick): logit = (Σ w[h(tok) mod D]) /
+    * n_tok + bias. One row-local fold per doc — no explode, no
+    * shuffle; at 100 TB the model-based quality filter is a pure
+    * projection. The Σ term is exact (see [[classifierWeights]]), the
+    * /n_tok and +bias are two IEEE-deterministic roundings, so the
+    * margin — and hence any keep = (logit ≥ 0) decision — is
+    * bit-identical across engines. */
+  def classifierLogit(toks: Column, weights: Seq[Double], bias: Double): Column = {
+    val w = array(weights.map(lit): _*)
+    val sum = aggregate(toks, lit(0.0d), (acc, t) =>
+      acc + element_at(w, (featureBucket(t, weights.length) + 1L).cast("int")))
+    when(size(toks) > 0, sum / size(toks).cast("double") + lit(bias))
+      .otherwise(lit(bias))
+  }
+
+  /** Calibrated score in (0,1). exp() is the one libm call in the
+    * classifier — cross-engine it can differ by an ulp, which the
+    * 6-dp round absorbs (boundary-straddle odds ~2e-10 per doc);
+    * decisions should come from the exact [[classifierLogit]] sign,
+    * never from a threshold on the rounded score. */
+  def sigmoid6(logit: Column): Column =
+    round(lit(1.0d) / (lit(1.0d) + exp(-logit)), 6)
 }

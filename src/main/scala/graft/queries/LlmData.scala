@@ -645,6 +645,80 @@ object LlmData {
        | SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
        |SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------- volume ALT oracles
+  // Array-native DuckDB rewrites of the embedding-pair oracles, used
+  // ONLY by the dev-side N×-volume campaign (tools/check.py --alts).
+  // Semantically identical to the canonicals — same CAST-to-double,
+  // same 6-dp rounding, same literals and tie policy — but each
+  // vector stays ONE list value (list_inner_product) instead of
+  // exploding into 64 (i, x) rows, so the pair stage streams ~4M
+  // pairs/s instead of materializing a 64×-wider flat-join
+  // intermediate (128B rows for d_embedding_neardup at the 100×
+  // corpus). The driver gate at sf0.01 keeps the canonical oracles;
+  // check.py --alts at the 1× dir validates ALT == canonical output
+  // against the same Spark dump before any N× run trusts them.
+  private val embAltCtes =
+    """WITH v AS (SELECT vec_id, label,
+      |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |          FROM embeddings),
+      |n AS (SELECT vec_id, label, e,
+      |        sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  private val embNearDupAltSql =
+    s"""$embAltCtes
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) AS cos_sim
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) >= 0.35
+       |ORDER BY id1, id2""".stripMargin
+
+  /** ALT twin of semDedupCtes: identical bucket assignment (sign of
+    * the plane projection, same LCG plane literals) and identical
+    * within-bucket cosine, list-native. */
+  private val semAltCtes = {
+    val planeRows = Similarity.hyperplanes(6, 64).zipWithIndex.map {
+      case (p, j) => s"($j, [${p.mkString(",")}])"
+    }.mkString(",\n       |    ").stripMargin
+    s"""$embAltCtes,
+       |planes AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(j, pl)),
+       |buckets AS (SELECT n.vec_id,
+       |    CAST(SUM(CASE WHEN list_inner_product(n.e, p.pl) > 0
+       |             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes p GROUP BY n.vec_id),
+       |w AS (SELECT n.vec_id, n.e, n.nrm, b.bucket
+       |      FROM n JOIN buckets b USING (vec_id)),
+       |sempairs AS (SELECT a.bucket, a.vec_id AS id1, b.vec_id AS id2,
+       |    ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) AS cos_sim
+       |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) >= 0.35)""".stripMargin
+  }
+
+  private val semDedupAltSql =
+    s"""$semAltCtes
+       |SELECT bucket, id1, id2, cos_sim, id2 AS drop_id FROM sempairs
+       |ORDER BY id1, id2""".stripMargin
+
+  private val knnDegreeAltSql =
+    s"""$semAltCtes,
+       |ends AS (SELECT id1 AS id FROM sempairs
+       |         UNION ALL SELECT id2 FROM sempairs),
+       |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM ends GROUP BY id)
+       |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** Volume-tractable ALT oracles (see the embAltCtes note). Keyed
+    * like [[oracle]]; consumers overlay these over the canonical map
+    * only for N×-volume dev runs — the driver gate never sees them.
+    * d_sem_clusters needs no entry: check.py's CLOSURE replay
+    * union-finds over the d_semdedup pair oracle, which the overlay
+    * already swaps. */
+  def oracleAlt: Map[String, String] = Map(
+    "d_embedding_neardup" -> embNearDupAltSql,
+    "d_semdedup" -> semDedupAltSql,
+    "s_knn_degree" -> knnDegreeAltSql)
+
   // ------------------------------------------------------ s_knn_degree
   // Degree profile of the semantic k-NN graph — the structure every
   // embedding-dedup / clustering pipeline builds first; its histogram
@@ -1794,6 +1868,55 @@ object LlmData {
       |  FROM documents)
       |SELECT doc_id, norm_text, CAST(LENGTH(norm_text) AS BIGINT) AS n_chars
       |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- t_classifier_score
+  // Model-based quality filtering (the DCLM / FineWeb-Edu stage that
+  // runs AFTER the cheap t_quality heuristics): a fastText-shaped
+  // logistic regression over HASHED unigram features — the hashing
+  // trick at D=128, engine-portable 60-bit md5-prefix bucket, weights
+  // deterministic dyadic-rational LITERALS (classifierWeights) so the
+  // margin is bit-exact across engines and the keep decision rides
+  // the exact logit sign, not the rounded probability. Row-local fold
+  // per doc — no explode, no shuffle: at 100 TB the classifier is a
+  // projection over the corpus scan, exactly like t_quality. A real
+  // deployment swaps the LCG literals for trained weights — the
+  // plumbing (hash, fold, margin, calibration) is identical.
+  private val classifierD = 128
+  private val classifierBias = 0.05d
+  private val classifier: Q = (s, d) => {
+    val toks = split(T.normalize(col("text")), " ")
+    val logit = T.classifierLogit(toks,
+      T.classifierWeights(classifierD), classifierBias)
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+        logit.as("lg"))
+      .select(col("doc_id"), col("source"),
+        round(col("lg"), 6).as("margin"),
+        T.sigmoid6(col("lg")).as("score"),
+        when(col("lg") >= 0.0d, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val classifierSql = {
+    val ws = graft.functions.TextFunctions.classifierWeights(classifierD)
+    s"""WITH n AS (SELECT doc_id, source,
+       |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+       |           ' +', ' ', 'g')) AS t FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+       |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
+       |        unnest([${ws.mkString(",")}]) AS w),
+       |feat AS (SELECT toks.doc_id, SUM(wt.w) AS sw,
+       |          CAST(COUNT(*) AS DOUBLE) AS ntok
+       |         FROM toks JOIN wt
+       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |               % $classifierD) = wt.b
+       |         GROUP BY toks.doc_id),
+       |lg AS (SELECT n.doc_id, n.source, feat.sw / feat.ntok + $classifierBias AS logit
+       |       FROM n JOIN feat ON n.doc_id = feat.doc_id)
+       |SELECT doc_id, source, ROUND(logit, 6) AS margin,
+       |  ROUND(1.0/(1.0 + exp(-logit)), 6) AS score,
+       |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM lg ORDER BY doc_id""".stripMargin
+  }
 
   // --------------------------------------------------------- t_tokens
   private val tokens: Q = (s, d) => {
@@ -3182,6 +3305,7 @@ object LlmData {
     "t_quality" -> quality,
     "t_tokens" -> tokens,
     "t_normalize" -> normalizeQ,
+    "t_classifier_score" -> classifier,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
@@ -3312,6 +3436,7 @@ object LlmData {
     "t_quality" -> qualitySql,
     "t_tokens" -> tokensSql,
     "t_normalize" -> normalizeSql,
+    "t_classifier_score" -> classifierSql,
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,

@@ -157,4 +157,38 @@ class SimilarityAndTextSpec extends SparkSpec {
       .orderBy("id1", "id2").collect()
     assert(auto.toSeq == pinned.toSeq)
   }
+
+  test("classifierWeights are dyadic in [-1,1]; logit is order-exact") {
+    val ws = T.classifierWeights(128)
+    assert(ws.length == 128)
+    assert(ws.forall(w => w >= -1.0 && w <= 1.0))
+    // exact multiples of 2^-10: scaling by 1024 yields integers
+    assert(ws.forall(w => (w * 1024.0) == (w * 1024.0).round.toDouble))
+  }
+
+  test("classifierLogit/sigmoid6: bounded, deterministic, sign-consistent") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+      (2L, "lorem ipsum dolor sit amet consectetur"),
+      (3L, "")).toDF("doc_id", "text")
+    val toks = split(T.normalize(col("text")), " ")
+    val ws = T.classifierWeights(128)
+    val out = docs.select(col("doc_id"),
+        T.classifierLogit(toks, ws, bias = 0.05).as("lg"))
+      .withColumn("score", T.sigmoid6(col("lg")))
+      .orderBy("doc_id").collect()
+    // identical text => identical margin AND score, bit-for-bit
+    assert(out(0).getDouble(1) == out(1).getDouble(1))
+    assert(out(0).getDouble(2) == out(1).getDouble(2))
+    // sigmoid is bounded and monotone in the margin
+    assert(out.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0))
+    // empty doc: the fold sees the single "" token; margin is finite
+    assert(!out(3).getDouble(1).isNaN)
+    // sign consistency: score >= 0.5 iff margin >= 0 (sigmoid(0)=0.5;
+    // the 6-dp round cannot cross the midpoint for |margin| > 1e-5)
+    out.filter(r => math.abs(r.getDouble(1)) > 1e-5).foreach { r =>
+      assert((r.getDouble(2) >= 0.5) == (r.getDouble(1) >= 0.0))
+    }
+  }
 }
