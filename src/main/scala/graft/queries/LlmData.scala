@@ -1890,7 +1890,13 @@ object LlmData {
     Tables.documents(s, d).select(col("doc_id"), col("source"),
         logit.as("lg"))
       .select(col("doc_id"), col("source"),
-        round(col("lg"), 6).as("margin"),
+        // UNROUNDED: the margin is bit-exact across engines (exact
+        // dyadic Σw, one IEEE division, one addition), and rounding
+        // would BREAK that — its dyadic/n_tok structure lands on
+        // exact 6-dp decimal ties where Spark's HALF_UP-on-shortest-
+        // repr and DuckDB's binary-value rounding disagree (found by
+        // the 100× gate: one tie in 500k docs)
+        col("lg").as("margin"),
         T.sigmoid6(col("lg")).as("score"),
         when(col("lg") >= 0.0d, 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
@@ -1912,7 +1918,7 @@ object LlmData {
        |         GROUP BY toks.doc_id),
        |lg AS (SELECT n.doc_id, n.source, feat.sw / feat.ntok + $classifierBias AS logit
        |       FROM n JOIN feat ON n.doc_id = feat.doc_id)
-       |SELECT doc_id, source, ROUND(logit, 6) AS margin,
+       |SELECT doc_id, source, logit AS margin,
        |  ROUND(1.0/(1.0 + exp(-logit)), 6) AS score,
        |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM lg ORDER BY doc_id""".stripMargin
