@@ -1924,6 +1924,67 @@ object LlmData {
        |FROM lg ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- t_classifier_calib
+  // The classifier's THRESHOLD-SWEEP table (the d_lsh_calibration
+  // discipline applied to the model-based filter): per (source,
+  // margin-decile-bucket) doc counts, each source's share in that
+  // bucket, and the keep rate a cut at this bucket's lower edge
+  // would give — the table a curation run reads to pick the margin
+  // threshold per source before committing a keep decision to the
+  // corpus. Buckets come from floor(margin·10) on the BIT-EXACT
+  // margin, and every ratio is an UNROUNDED exact-integer division
+  // (identical bits on both engines) — the t_classifier_score tie
+  // lesson applied from the start: round() is the portability
+  // hazard, not the cure. Output ≤ |sources|·|buckets| rows at any
+  // corpus size; cost is the same row-local fold + one partial agg.
+  private val classifierCalib: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(T.normalize(col("text")), " ")
+    val logit = T.classifierLogit(toks,
+      T.classifierWeights(classifierD), classifierBias)
+    val b = Tables.documents(s, d)
+      .select(col("source"), floor(logit * 10.0d).cast("long").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+    val bySrc = Window.partitionBy("source")
+    val cutW = Window.partitionBy("source").orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("total", sum("n_docs").over(bySrc))
+      .withColumn("cum", sum("n_docs").over(cutW))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).as("frac"),
+        (col("cum").cast("double") / col("total")).as("cut_keep_rate"))
+      .orderBy("source", "bucket")
+  }
+
+  private val classifierCalibSql = {
+    val ws = graft.functions.TextFunctions.classifierWeights(classifierD)
+    s"""WITH n AS (SELECT doc_id, source,
+       |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+       |           ' +', ' ', 'g')) AS t FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+       |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
+       |        unnest([${ws.mkString(",")}]) AS w),
+       |feat AS (SELECT toks.doc_id, SUM(wt.w) AS sw,
+       |          CAST(COUNT(*) AS DOUBLE) AS ntok
+       |         FROM toks JOIN wt
+       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |               % $classifierD) = wt.b
+       |         GROUP BY toks.doc_id),
+       |lg AS (SELECT n.source, feat.sw / feat.ntok + $classifierBias AS logit
+       |       FROM n JOIN feat ON n.doc_id = feat.doc_id),
+       |bk AS (SELECT source, CAST(FLOOR(logit * 10) AS BIGINT) AS bucket,
+       |        CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM lg GROUP BY source, bucket),
+       |t AS (SELECT *, SUM(n_docs) OVER (PARTITION BY source) AS total,
+       |       SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM bk)
+       |SELECT source, bucket, n_docs,
+       |  CAST(n_docs AS DOUBLE) / total AS frac,
+       |  CAST(cum AS DOUBLE) / total AS cut_keep_rate
+       |FROM t ORDER BY source, bucket""".stripMargin
+  }
+
   // --------------------------------------------------------- t_tokens
   private val tokens: Q = (s, d) => {
     val t = col("text")
@@ -3312,6 +3373,7 @@ object LlmData {
     "t_tokens" -> tokens,
     "t_normalize" -> normalizeQ,
     "t_classifier_score" -> classifier,
+    "t_classifier_calib" -> classifierCalib,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
@@ -3443,6 +3505,7 @@ object LlmData {
     "t_tokens" -> tokensSql,
     "t_normalize" -> normalizeSql,
     "t_classifier_score" -> classifierSql,
+    "t_classifier_calib" -> classifierCalibSql,
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,

@@ -191,4 +191,21 @@ class SimilarityAndTextSpec extends SparkSpec {
       assert((r.getDouble(2) >= 0.5) == (r.getDouble(1) >= 0.0))
     }
   }
+
+  test("classifier calibration: fracs sum to 1 per source, cut rate monotone") {
+    val cal = graft.queries.LlmData.queries("t_classifier_calib")(spark, sf)
+      .collect()
+    val bySrc = cal.groupBy(_.getString(0))
+    bySrc.foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+      // cut_keep_rate decreases as the threshold bucket rises
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo.getDouble(4) >= hi.getDouble(4))
+        case _ =>
+      }
+      // the lowest cut keeps everything
+      assert(sorted.head.getDouble(4) == 1.0)
+    }
+  }
 }
