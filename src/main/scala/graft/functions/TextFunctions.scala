@@ -174,11 +174,28 @@ object TextFunctions {
     * margin — and hence any keep = (logit ≥ 0) decision — is
     * bit-identical across engines. */
   def classifierLogit(toks: Column, weights: Seq[Double], bias: Double): Column = {
-    val w = array(weights.map(lit): _*)
-    val sum = aggregate(toks, lit(0.0d), (acc, t) =>
-      acc + element_at(w, (featureBucket(t, weights.length) + 1L).cast("int")))
-    when(size(toks) > 0, sum / size(toks).cast("double") + lit(bias))
-      .otherwise(lit(bias))
+    // Shape chosen by measurement (ClassifierProbe, 500k docs):
+    // 1. the weight lookup rides a unary transform() — element_at
+    //    (literal) inside the BINARY aggregate lambda evaluates ~25×
+    //    slower (76 s vs 3 s over the corpus; the md5 bucket itself
+    //    is noise);
+    // 2. `toks` is referenced exactly ONCE — HOFs are interpreted
+    //    (no codegen subexpression elimination), so every extra
+    //    reference re-runs the normalize+split pipeline (~37 s per
+    //    reference over the corpus); the token count comes from a
+    //    struct accumulator in the same fold, and the division moves
+    //    into the finish lambda.
+    // Same algebra, same exact dyadic sum — the oracle is unchanged.
+    val w = typedlit(weights)
+    val contribs = transform(toks, t =>
+      element_at(w, (featureBucket(t, weights.length) + 1L).cast("int")))
+    aggregate(contribs,
+      struct(lit(0.0d).as("s"), lit(0L).as("n")),
+      (acc, x) => struct((acc.getField("s") + x).as("s"),
+        (acc.getField("n") + 1L).as("n")),
+      acc => when(acc.getField("n") > 0L,
+        acc.getField("s") / acc.getField("n").cast("double") + lit(bias))
+        .otherwise(lit(bias)))
   }
 
   /** Calibrated score in (0,1). exp() is the one libm call in the

@@ -1887,8 +1887,17 @@ object LlmData {
     val toks = split(T.normalize(col("text")), " ")
     val logit = T.classifierLogit(toks,
       T.classifierWeights(classifierD), classifierBias)
+    // the repartition is a COLLAPSE BARRIER, not a distribution
+    // choice: margin/score/keep all reference the logit, and
+    // CollapseProject would otherwise inline the whole normalize+
+    // split+fold pipeline into each of the three output expressions
+    // (ClassifierProbe measured the recompute at ~2× the single-pass
+    // wall); the exchange carries only (doc_id, source, lg) — the
+    // text column is already dropped — so the barrier costs ~12 MB
+    // of shuffle for 500k docs against ~80 s of recompute
     Tables.documents(s, d).select(col("doc_id"), col("source"),
         logit.as("lg"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
         // UNROUNDED: the margin is bit-exact across engines (exact
         // dyadic Σw, one IEEE division, one addition), and rounding
