@@ -38,13 +38,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A SUBSET run (non-empty `only`) must not clobber a full dump's
+    // oracle JSONs: the trained-family SQL (IVF/PQ/classifier)
+    // interpolates THIS JVM's trainings, which need not match the
+    // existing full dump's. Subset runs write *.partial.json instead
+    // — check.py reads only the canonical names, so the documented
+    // backup-and-merge footgun is structurally impossible.
+    val suffix = if (only.isEmpty) ".json" else ".partial.json"
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql$suffix"), json)
     // volume-campaign ALT oracles (check.py --alts); driver ignores
     val altJson = SparkEntry.oracleAltSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_alt.json"), altJson)
+    Files.writeString(Paths.get(s"$outDir/oracle_alt$suffix"), altJson)
     spark.stop()
   }
 }

@@ -145,9 +145,11 @@ object TextFunctions {
 
   /** Deterministic classifier weights (LCG-seeded, engine-portable
     * literals — the hyperplanes/minhashCoeffs discipline): `d` dyadic
-    * rationals in [-1, 1], every one an exact multiple of 2⁻¹⁰. A sum
-    * of fewer than 2⁹ of them needs < 20 mantissa bits, so the hashed-
-    * feature sum below is EXACT in double at ANY summation order —
+    * rationals in [-1, 1], every one an exact multiple of 2⁻¹⁰. Every
+    * partial sum of n of them is a multiple of 2⁻¹⁰ with magnitude
+    * ≤ n, representable exactly while n·2¹⁰ < 2⁵³ — i.e. for any
+    * document under ~8×10¹² tokens — so the hashed-feature sum below
+    * is EXACT in double at ANY summation order —
     * Spark's sequential array fold and DuckDB's hash-agg SUM agree
     * bit-for-bit, which is what makes the classifier hash-gateable. */
   def classifierWeights(d: Int, seed: Long = 11L): Seq[Double] = {

@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
   *    parquet, so a search from a re-loaded index is bit-identical to
   *    one from the in-session training run (spec-pinned).
   *
+  * Codes are RESIDUAL-encoded (Jégou'11 §IV): code_* quantizes
+  * x − q1(x) against residual-trained codebooks
+  * ([[Similarity.pqResidualCodebooks]]), via the offset identity in
+  * [[Similarity.residualOffsets]] — per-row work stays raw-slice
+  * dots, and the same m bytes quantize the much-smaller residual,
+  * so recall at a fixed operating point beats raw-vector PQ.
+  *
   * Delta append ([[append]]): new vectors are coded ROW-LOCALLY
-  * against the persisted literals (cell via
-  * [[Similarity.assignCellsLiteral]], codes via [[Similarity.pqCodes]]
-  * — identical rounding/tiebreak to the build path), then written
+  * against the persisted literals ([[Similarity.pqCodesResidual]] —
+  * identical rounding/tiebreak to the build path), then written
   * into the same bucketed table. Float vectors never re-shuffle; the
-  * only movement is the m-byte code rows into their buckets.
+  * only exchange is the narrow (id, cell, dot-table) barrier before
+  * the code argmin, then code rows moving into their buckets.
   * append == rebuild parity is spec-pinned (AnnIndexSpec): building
   * on a base corpus and appending a delta yields byte-identical codes
   * — and therefore identical search results — to coding the full
@@ -53,16 +60,16 @@ object AnnIndex {
   }
 
   /** The codes frame for `df` under trained artifacts — shared by
-    * build (full corpus) and append (delta): row-local projections
-    * only, no shuffle until the bucketed write. */
+    * build (full corpus) and append (delta): RESIDUAL-encoded
+    * (Jégou'11 §IV — codes quantize x − q1(x), so `books` must be
+    * [[Similarity.pqResidualCodebooks]] trainings). Row-local per-row
+    * work; the floats are read once and never shuffle — the only
+    * exchange is the (id, cell, dot-table) barrier inside
+    * [[Similarity.pqCodesResidual]]. */
   def codeRows(df: DataFrame, idCol: String, vecCol: String,
                cents: Array[Array[Double]],
                books: Array[Array[Array[Double]]]): DataFrame =
-    Similarity.pqCodes(df, idCol, vecCol, books)
-      .join(Similarity.assignCellsLiteral(df, idCol, vecCol, cents),
-        idCol)
-      .select(col(idCol) +: col("cell") +:
-        books.indices.map(i => col(s"code_$i")): _*)
+    Similarity.pqCodesResidual(df, idCol, vecCol, cents, books)
 
   /** Train (or take pre-trained artifacts) and write the full index.
     * Passing `cents`/`books` trained elsewhere (e.g. the session
@@ -103,12 +110,15 @@ object AnnIndex {
     * recall floor is pinned in). `targetCells` defaults to
     * [[Similarity.autoCells]] (≈ √n: one count() + driver
     * arithmetic, the autoPlanes discipline). The PQ codebooks are
-    * KEPT: codes quantize the raw vector independently of the
-    * coarse partition, so re-indexing changes each row's `cell` but
-    * leaves its code_* values byte-identical (spec-pinned) — the
-    * rewrite moves m-byte codes into their new buckets and the
-    * floats are touched only by the one row-local re-assignment
-    * projection. */
+    * KEPT but every row is RE-CODED: residual codes depend on the
+    * assigned centroid (x − q1(x)), so when the coarse quantizer
+    * moves, each row's code_* re-quantizes against its new cell's
+    * residual — reindexed codes must equal a fresh
+    * [[codeRows]] pass under (new cents, old books), which
+    * AnnIndexSpec pins as re-code parity. Keeping the books (trained
+    * on the ORIGINAL residual distribution) is the standard
+    * maintenance approximation; scheduling a full PQ re-train is a
+    * separate, rarer op ([[write]] with fresh trainings). */
   def reindex(df: DataFrame, vecCol: String, dir: String, table: String,
               iters: Int = 5, trainMod: Int = 5,
               targetCells: Option[Int] = None): IndexMeta = {
@@ -154,7 +164,11 @@ object AnnIndex {
       .join(broadcast(probes.drop("pr")), "cell")
       .join(Similarity.pqQueryLut(queries, idCol, vecCol, meta.books), "qid")
       .filter(col("qid") =!= col("cid"))
-      .withColumn("approx_score", round(Similarity.adcScore(meta.m), 6))
+      // residual ADC: ⟨q, x̂⟩ = ⟨q, c_cell⟩ (the probe frame's qcdot)
+      // + Σₘ lut_m[code_m] — same rounding/tiebreak discipline as the
+      // in-session path
+      .withColumn("approx_score",
+        round(col("qcdot") + Similarity.adcScore(meta.m), 6))
       .select(col("qid"), col("cid"), col("approx_score"))
     Similarity.adcShortlistRerank(scored, queries, exact, idCol, vecCol,
       k, shortlist)

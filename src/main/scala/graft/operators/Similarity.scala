@@ -403,6 +403,153 @@ object Similarity {
       k, shortlist)
   }
 
+  // ------------------------------------------------------------------
+  // Residual encoding (Jégou'11 §IV — the ACTUAL IVFADC method):
+  // PQ codes the residual x − q1(x) instead of the raw vector. The
+  // residual's variance is a fraction of the raw vector's (the coarse
+  // quantizer has already explained the cell mean), so the same m
+  // bytes quantize far more finely — this is where the composed
+  // index's recall stops being capped at the un-pruned raw-PQ
+  // baseline. Everything stays engine-replayable via one identity:
+  //
+  //   ‖res_slice − b‖² = (‖b‖² + 2⟨c_slice, b⟩) − 2⟨x_slice, b⟩
+  //
+  // The parenthesized term depends only on (cell, subspace, code) —
+  // a driver-computed LITERAL table ([[residualOffsets]]) — so
+  // residual assignment runs on the SAME raw-slice dots as raw PQ
+  // (the residual never materializes per row), and both engines
+  // compute the identical expression. Likewise ADC scoring:
+  //   ⟨q, x̂⟩ = ⟨q, c_cell⟩ + Σₘ lut_m[code_m]
+  // — the raw-slice query LUTs are unchanged; the per-(query, cell)
+  // ⟨q, c⟩ term rides the probe frame ([[probeCells]]' qcdot).
+
+  /** Residual frame (id, vecCol = x − c_cell as array<double>):
+    * TRAINING-path helper — the codebook trainer needs actual
+    * residual vectors; the per-row coding/search paths never
+    * materialize them (see [[residualOffsets]]). Row-local: assign
+    * against centroid literals, subtract the looked-up centroid. */
+  def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]]): DataFrame = {
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    df.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("_vd"),
+        assignExprOn(col(vecCol), cents, replayExact = true)
+          .cast("int").as("_cell"))
+      .select(col(idCol),
+        zip_with(col("_vd"), element_at(centArr, col("_cell") + 1),
+          (a, b) => a - b).as(vecCol))
+  }
+
+  /** PQ codebooks trained on coarse residuals — the same
+    * deterministic Lloyd trainer, fed x − q1(x). The memo key is
+    * suffixed so residual books never collide with raw-vector books
+    * trained in the same session. */
+  def pqResidualCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[Array[Double]],
+                          m: Int, ks: Int, dim: Int, iters: Int = 4,
+                          trainMod: Int = 4,
+                          cacheKey: Option[String] = None): Array[Array[Array[Double]]] =
+    pqCodebooks(residualFrame(df, idCol, vecCol, cents), idCol, vecCol,
+      m, ks, dim, iters, trainMod, cacheKey.map(ck => s"$ck|res"))
+
+  /** offsets(cell)(m)(j) = ‖b_mj‖² + 2⟨slice_m(c_cell), b_mj⟩ — the
+    * cell-dependent constant that turns residual assignment into
+    * raw-slice dots (see the identity above). ncells·m·ks doubles,
+    * computed driver-side with a fixed fold order and interpolated
+    * into BOTH engines as literals, so the two sides' assignment
+    * scores are built from identical terms. */
+  def residualOffsets(cents: Array[Array[Double]],
+                      books: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    cents.map { c =>
+      books.zipWithIndex.map { case (b, sub) =>
+        val sd = b(0).length
+        b.map { bj =>
+          var b2 = 0.0; var cb = 0.0
+          var i = 0
+          while (i < sd) {
+            b2 += bj(i) * bj(i)
+            cb += c(sub * sd + i) * bj(i)
+            i += 1
+          }
+          b2 + 2.0 * cb
+        }
+      }
+    }
+
+  /** Residual PQ coding: (id, cell, code_0..code_{m-1}) in ONE pass —
+    * the row-local ingest/build projection of the residual index.
+    * Stage 1 computes everything that touches the floats exactly once
+    * (cell argmin + all m·ks raw-slice dots); the repartition is a
+    * COLLAPSE BARRIER (the t_classifier_score lesson) carrying only
+    * (id, cell, m·ks doubles) — floats never shuffle — so stage 2's
+    * m·ks references to `cell` resolve to a plain attribute instead
+    * of re-running the ncells-way argmin per reference. */
+  def pqCodesResidual(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Double]],
+                      books: Array[Array[Array[Double]]]): DataFrame = {
+    val offs = residualOffsets(cents, books)
+    val dcCols = books.zipWithIndex.flatMap { case (b, sub) =>
+      val sd = b(0).length
+      val v = slice(col(vecCol), sub * sd + 1, sd)
+      b.zipWithIndex.map { case (bj, j) =>
+        dot(v, array(bj.map(lit): _*)).as(s"_dc_${sub}_$j")
+      }
+    }
+    val stage1 = df.select(col(idCol) +:
+        assignExprOn(col(vecCol), cents, replayExact = true)
+          .cast("long").as("cell") +: dcCols.toSeq: _*)
+      .repartition(col(idCol))
+    val codeCols = books.zipWithIndex.map { case (b, sub) =>
+      val scored = b.indices.map { j =>
+        val offByCell = array(offs.map(oc => lit(oc(sub)(j))): _*)
+        val raw = element_at(offByCell, (col("cell") + 1).cast("int")) -
+          lit(2.0) * col(s"_dc_${sub}_$j")
+        struct(round(raw, 6).as("s"), lit(j).as("j"))
+      }
+      array_min(array(scored: _*)).getField("j").cast("long").as(s"code_$sub")
+    }
+    stage1.select(col(idCol) +: col("cell") +: codeCols.toSeq: _*)
+  }
+
+  /** Residual-ADC scored stream with probe rank carried: (qid, cid,
+    * pr, approx_score) where approx_score = round(⟨q, c_cell⟩ +
+    * Σₘ lut_m[code_m], 6) ≈ ⟨q, x̂⟩. The composed-search shape is
+    * identical to [[ivfPqScored]] — probe prune before any code is
+    * scored, broadcast probe/LUT frames, m-byte codes streaming —
+    * the only change is WHAT the codes reconstruct. */
+  def ivfPqResidualScored(queries: DataFrame, candidates: DataFrame,
+                          idCol: String, vecCol: String,
+                          cents: Array[Array[Double]],
+                          books: Array[Array[Array[Double]]],
+                          maxProbe: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, cents, maxProbe)
+    val codes = pqCodesResidual(candidates, idCol, vecCol, cents, books)
+      .withColumnRenamed(idCol, "cid")
+    codes.join(broadcast(probes), "cell")
+      .join(pqQueryLut(queries, idCol, vecCol, books), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score",
+        round(col("qcdot") + adcScore(books.length), 6))
+      .select(col("qid"), col("cid"), col("pr"), col("approx_score"))
+  }
+
+  /** True IVFADC top-k (residual-encoded): probe prune → residual ADC
+    * → sharded shortlist → exact rerank. Same oracle-replay
+    * discipline as [[ivfPqTopK]]; recall at the same (nprobe,
+    * shortlist) operating point is strictly better because the codes
+    * now quantize the residual, not the raw vector. */
+  def ivfPqResidualTopK(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String,
+                        cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]],
+                        k: Int, nprobe: Int = 3, shortlist: Int = 32): DataFrame = {
+    val scored = ivfPqResidualScored(queries, candidates, idCol, vecCol,
+        cents, books, maxProbe = nprobe)
+      .select(col("qid"), col("cid"), col("approx_score"))
+    adcShortlistRerank(scored, queries, candidates, idCol, vecCol,
+      k, shortlist)
+  }
+
   /** IVF-pruned PQ search (IVFADC — Jégou'11 §IV): the coarse
     * quantizer restricts each query to its `nprobe` nearest trained
     * cells BEFORE any code is scored, so the ADC stream reads the
@@ -451,15 +598,17 @@ object Similarity {
   }
 
   /** The IVF probe ranking stage shared by [[ivfPqScored]] and the
-    * persisted-index search ([[AnnIndex.search]]): (qid, cell, pr) —
-    * each query's `maxProbe` nearest trained cells. |Q| × n_cells
-    * probe scores; the per-qid window ranks exactly n_cells rows per
-    * partition — bounded by the centroid count, never the corpus.
-    * Probe ranking uses the SAME rounded squared-L2 score the cell
-    * assignment argmins (‖c‖² − 2⟨q,c⟩ asc, cell tiebreak) — a
+    * persisted-index search ([[AnnIndex.search]]): (qid, cell, pr,
+    * qcdot) — each query's `maxProbe` nearest trained cells. |Q| ×
+    * n_cells probe scores; the per-qid window ranks exactly n_cells
+    * rows per partition — bounded by the centroid count, never the
+    * corpus. Probe ranking uses the SAME rounded squared-L2 score the
+    * cell assignment argmins (‖c‖² − 2⟨q,c⟩ asc, cell tiebreak) — a
     * raw-inner-product ranking would probe cells that don't hold the
     * L2-assigned true neighbors when embeddings are unnormalized,
-    * silently depressing recall. */
+    * silently depressing recall. `qcdot` = the UNROUNDED ⟨q, c_cell⟩
+    * — the per-(query, cell) term residual ADC adds to its LUT sum
+    * (raw-PQ consumers just drop the column). */
   private[operators] def probeCells(queries: DataFrame, idCol: String,
                                     vecCol: String,
                                     cents: Array[Array[Double]],
@@ -468,13 +617,16 @@ object Similarity {
     val wP = Window.partitionBy("qid").orderBy(col("cscore").asc, col("cell"))
     q.select(col("qid"), posexplode(array(cents.map { c =>
         val c2 = c.map(x => x * x).sum
-        round(lit(c2) - lit(2.0) * dot(col("qvec"), array(c.map(lit): _*)), 6)
+        val d = dot(col("qvec"), array(c.map(lit): _*))
+        struct(round(lit(c2) - lit(2.0) * d, 6).as("cs"), d.as("qd"))
       }: _*))
-        .as(Seq("cell", "cscore")))
+        .as(Seq("cell", "ps")))
+      .select(col("qid"), col("cell"), col("ps.cs").as("cscore"),
+        col("ps.qd").as("qcdot"))
       .withColumn("prnk", row_number().over(wP))
       .filter(col("prnk") <= maxProbe)
       .select(col("qid"), col("cell").cast("long").as("cell"),
-        col("prnk").cast("long").as("pr"))
+        col("prnk").cast("long").as("pr"), col("qcdot"))
   }
 
   /** Row-local cell assignment against trained centroid LITERALS —

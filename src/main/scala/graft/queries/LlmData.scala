@@ -827,8 +827,7 @@ object LlmData {
   private val lshRecall: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
-      .select(col("qid"), col("cid"))
+    val exact = exactTop3(s, d).select(col("qid"), col("cid"))
     val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3,
         numPlanes = 4, dim = 64)
       .select(col("qid"), col("cid"))
@@ -947,8 +946,7 @@ object LlmData {
       k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
     val quantized = emb.join(cells, "vec_id")
     val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
-      .select(col("qid"), col("cid"))
+    val exact = exactTop3(s, d).select(col("qid"), col("cid"))
     val approx = Similarity.ivfTopK(quantized.filter(col("vec_id") < 10),
         quantized, "vec_id", "embedding", cellCol = "cell", k = 3, nprobe = 3)
       .select(col("qid"), col("cid"))
@@ -1099,6 +1097,52 @@ object LlmData {
     books
   }
 
+  // The composed-index family trains a SECOND codebook set on coarse
+  // RESIDUALS (x − q1(x), Jégou'11 §IV) — stashed separately so the
+  // raw-PQ oracles (s_pq_*, d_pq_semdedup) and the residual-IVFADC
+  // oracles each interpolate their own training.
+  private val residBooksStash =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  graft.operators.Dedup.onClearStore(() => residBooksStash.clear())
+
+  /** Train (or fetch) the composed index's artifacts: the 8-cell
+    * Lloyd coarse quantizer plus residual PQ codebooks. Both ride the
+    * session memo stores; both stash for oracle interpolation. */
+  private def trainIvfPqResidual(s: SparkSession,
+                                 d: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
+    val books = Similarity.pqResidualCodebooks(emb, "vec_id", "embedding",
+      cents, m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4,
+      cacheKey = mhKey(s, d))
+    mhKey(s, d).foreach(k => residBooksStash.put(k, books))
+    (cents, books)
+  }
+
+  // The exact |Q|=10 brute-force top-3 is the shared ground truth of
+  // every recall gate (s_lsh/ivf/pq/ivfpq_recall) AND the tuning
+  // curve — memoized per (session, corpus) so the five consumers pay
+  // the full corpus scan once (the signature-store pattern; Bench
+  // times the build as _store_exacttopk so each reports marginal
+  // cost).
+  private val exactTopStash =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  graft.operators.Dedup.onClearStore(() => exactTopStash.clear())
+
+  private def exactTop3(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def build = {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 3).localCheckpoint(eager = true)
+    }
+    mhKey(s, d) match {
+      case Some(k) => exactTopStash.getOrElseUpdate(s"$k|exacttop3", build)
+      case None => build
+    }
+  }
+
   private val pqTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
@@ -1113,8 +1157,7 @@ object LlmData {
   private val pqRecall: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
-      .select(col("qid"), col("cid"))
+    val exact = exactTop3(s, d).select(col("qid"), col("cid"))
     val approx = Similarity.pqTopK(q, emb, "vec_id", "embedding",
         trainPq(s, d), k = 3, shortlist = 64)
       .select(col("qid"), col("cid"))
@@ -1179,24 +1222,25 @@ object LlmData {
   }
 
   // ------------------------------------------------- s_ivfpq_topk
-  // IVFADC (Jégou'11 §IV) — the COMPOSED index: the IVF coarse
-  // quantizer prunes each query to its 3 nearest trained cells
-  // before a single code is scored, then ADC + sharded shortlist +
-  // exact rerank run on the probed members only. The 100-TB shape:
-  // cell-bucketed codes tables let the probe join prune partitions
-  // at the scan; everything downstream of the probe carries m-byte
-  // codes. Both trainings (Lloyd cells, PQ codebooks) ride the
-  // memoized session stores; both interpolate into the oracle as
-  // literals, so the full composition hash-replays.
+  // IVFADC (Jégou'11 §IV) — the COMPOSED index, RESIDUAL-encoded:
+  // the IVF coarse quantizer prunes each query to its nprobe nearest
+  // trained cells before a single code is scored, and the PQ codes
+  // quantize the RESIDUAL x − q1(x) (not the raw vector), so the
+  // same m bytes carry far finer resolution — recall at the default
+  // operating point beats the un-pruned raw-PQ baseline instead of
+  // being capped by it. ADC + sharded shortlist + exact rerank run
+  // on the probed members only. The 100-TB shape: cell-bucketed
+  // codes tables let the probe join prune partitions at the scan;
+  // everything downstream of the probe carries m-byte codes. Both
+  // trainings (Lloyd cells, residual PQ codebooks) ride the memoized
+  // session stores; both interpolate into the oracle as literals
+  // (residual assignment via the residualOffsets identity — see
+  // Similarity.scala), so the full composition hash-replays.
   private val ivfPqTopKQ: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
-    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
-        "embedding", cells, cents, trainPq(s, d), k = 3,
+    val (cents, books) = trainIvfPqResidual(s, d)
+    Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", cents, books, k = 3,
         nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist)
       .orderBy("qid", "rnk")
   }
@@ -1207,16 +1251,11 @@ object LlmData {
   // what nprobe-of-8 pruning PLUS 64× compression together cost.
   private val ivfPqRecall: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
-    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    val (cents, books) = trainIvfPqResidual(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
-      .select(col("qid"), col("cid"))
-    val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-        cells, cents, trainPq(s, d), k = 3,
+    val exact = exactTop3(s, d).select(col("qid"), col("cid"))
+    val approx = Similarity.ivfPqResidualTopK(q, emb, "vec_id", "embedding",
+        cents, books, k = 3,
         nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist)
       .select(col("qid"), col("cid"))
     val hits = exact.join(approx, Seq("qid", "cid"))
@@ -1246,15 +1285,19 @@ object LlmData {
   // stays a sample-sized job while the search path keeps its pruned
   // single-config plan.
   /** The operating point the tuning curve picks: at shortlist=64,
-    * probing 4 of 8 cells already matches the un-pruned PQ baseline's
-    * recall (0.533 at gate scale) — the coarse prune is free there,
-    * and halving the scanned cells is exactly what IVF buys. The
-    * floor is 0.3, NOT the measured 0.533: ANN recall has no
-    * distribution-free bound (unlike the q30/q32 sketches), and a
-    * fresh draw of the synthetic corpus moves the default's recall
-    * (0.533 on one 500-vector draw, 0.367 on another) — the floor
-    * separates a working index from a collapsed one (~0.05) while
-    * surviving re-generation.
+    * probing 4 of 8 cells now BEATS the un-pruned raw-PQ baseline —
+    * 0.667 vs 0.533 at gate scale — because the codes are
+    * RESIDUAL-encoded (Jégou'11 §IV): the same m bytes quantize
+    * x − q1(x), whose variance the coarse quantizer has already
+    * shrunk, so IVF contributes accuracy, not just pruning (raw-
+    * vector codes capped composed recall at exactly the un-pruned
+    * baseline — the r12 gap this closed). The floor is 0.45, NOT
+    * the measured 0.667: ANN recall has no distribution-free bound
+    * (unlike the q30/q32 sketches), and a fresh draw of the
+    * synthetic corpus moves the default's recall (raw-PQ drew
+    * 0.533/0.367 on two draws; the residual gain ≈ +0.13 is
+    * structural) — the floor separates a working residual index
+    * from a collapsed-or-raw one while surviving re-generation.
     *
     * The floor is a RATED-REGIME claim: a fixed 8-cell coarse
     * quantizer is only rated for corpora whose mean cell occupancy
@@ -1270,7 +1313,7 @@ object LlmData {
   private[queries] object IvfPqDefaults {
     val nprobe = 4
     val shortlist = 64
-    val recallFloor = 0.3
+    val recallFloor = 0.45
     val nCells = 8
     val minOccupancy = 16.0
     val maxOccupancy = 128.0
@@ -1279,14 +1322,10 @@ object LlmData {
   private val ivfPqTuning: Q = (s, d) => {
     import graft.functions.VectorFunctions.{dot, norm, cosineWithNorms}
     val emb = Tables.embeddings(s, d)
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-    mhKey(s, d).foreach(k => ivfCentroids.put(k, cents))
-    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
-      k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
+    val (cents, books) = trainIvfPqResidual(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val scored = Similarity.ivfPqScored(q, emb, "vec_id", "embedding",
-      cells, cents, trainPq(s, d), maxProbe = 8)
+    val scored = Similarity.ivfPqResidualScored(q, emb, "vec_id",
+      "embedding", cents, books, maxProbe = 8)
     val grid = {
       import s.implicits._
       broadcast(s.range(1, 9).toDF("nprobe")
@@ -1314,8 +1353,7 @@ object LlmData {
       .withColumn("rnk", row_number().over(wR))
       .filter(col("rnk") <= 3)
       .select("nprobe", "shortlist", "qid", "cid")
-    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
-      .select(col("qid"), col("cid"))
+    val exact = exactTop3(s, d).select(col("qid"), col("cid"))
     val hits = approxTop.join(exact, Seq("qid", "cid"))
       .groupBy("nprobe", "shortlist").agg(count(lit(1)).as("n_hits"))
     val nex = exact.agg(count(lit(1)).as("n_exact"))
@@ -1366,10 +1404,7 @@ object LlmData {
     val key = mhKey(s, d).get
     annIndexDirs.getOrElseUpdate(key, {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-        k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-      mhKey(s, d).foreach(k2 => ivfCentroids.put(k2, cents))
-      val books = trainPq(s, d)
+      val (cents, books) = trainIvfPqResidual(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
       graft.operators.AnnIndex.write(emb, "vec_id", "embedding", dir,
         annTable(key), cents, books, numBuckets = 8)
@@ -1415,9 +1450,7 @@ object LlmData {
     val key = mhKey(s, d).get
     annReindexDirs.getOrElseUpdate(key, {
       val emb = Tables.embeddings(s, d)
-      val cents8 = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-        k = 8, iters = 4, trainMod = 4, cacheKey = mhKey(s, d))
-      val books = trainPq(s, d)
+      val (cents8, books) = trainIvfPqResidual(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_annre").toString
       val tbl = annTable(key) + "_re"
       graft.operators.AnnIndex.write(emb, "vec_id", "embedding", dir,
@@ -1494,11 +1527,12 @@ object LlmData {
       .orderBy(books.indices.map(i => col(s"code_$i")) :+ col("drop_id"): _*)
   }
 
-  /** IVFADC replay: the PQ assignment CTEs plus the trained-centroid
-    * cell assignment / probe ranking, with the candidate stream
-    * restricted to probed cells before ADC scoring — mirroring
-    * Similarity.ivfPqTopK stage by stage. CTE names are disjoint
-    * from pqAssignCtes' (cellc/cellsq/celld/cellassign). */
+  /** Residual-IVFADC replay: raw-slice dot CTEs + trained-centroid
+    * cell assignment / probe ranking + the residual code assignment
+    * ([[resAssignCtes]]), with the candidate stream restricted to
+    * probed cells before ADC scoring and the per-(query, cell)
+    * ⟨q, c⟩ term (celld's dc) added to the LUT sum — mirroring
+    * Similarity.ivfPqResidualTopK stage by stage. */
   /** The trained-centroid cell CTEs shared by the IVFADC replay and
     * its tuning curve: centroid literals → per-vector L2 components →
     * assignment argmin and per-query probe ranking (prnk retained so
@@ -1529,19 +1563,21 @@ object LlmData {
                         books: Array[Array[Array[Double]]],
                         sd: Int, nprobe: Int = 3,
                         shortlist: Int = 32): String = {
-    s"""${pqAssignCtes(books)},
+    s"""${pqDotCtes(books)},
        |${ivfCellCtes(cents)},
+       |${resAssignCtes(cents, books)},
        |probes AS (SELECT qid, cell FROM proberanks WHERE prnk <= $nprobe),
        |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
        |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
        |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
-       |scored AS (SELECT l.qid, a.vec_id AS cid, SUM(l.ip) AS aip
-       |           FROM assign a
+       |scored AS (SELECT l.qid, a.vec_id AS cid, qd.dc + SUM(l.ip) AS aip
+       |           FROM rassign a
        |           JOIN cellassign ca ON ca.vec_id = a.vec_id
        |           JOIN probes p ON p.cell = ca.cell
        |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
+       |           JOIN celld qd ON qd.vec_id = l.qid AND qd.cell = ca.cell
        |           WHERE a.vec_id <> l.qid
-       |           GROUP BY l.qid, a.vec_id),
+       |           GROUP BY l.qid, a.vec_id, qd.dc),
        |short AS (SELECT qid, cid FROM (
        |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY ROUND(aip, 6) DESC, cid) AS srnk
@@ -1599,18 +1635,21 @@ object LlmData {
   private def ivfPqTuningSql(cents: Array[Array[Double]],
                              books: Array[Array[Array[Double]]]): String = {
     val sd = books(0)(0).length
-    s"""WITH ${pqAssignCtes(books)},
+    s"""WITH ${pqDotCtes(books)},
        |${ivfCellCtes(cents)},
+       |${resAssignCtes(cents, books)},
        |lut AS (SELECT f.vec_id AS qid, b.m, b.j, SUM(f.x * b.c) AS ip
        |        FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
        |        WHERE f.vec_id < 10 GROUP BY f.vec_id, b.m, b.j),
-       |scored AS (SELECT l.qid, a.vec_id AS cid, p.prnk AS pr, SUM(l.ip) AS aip
-       |           FROM assign a
+       |scored AS (SELECT l.qid, a.vec_id AS cid, p.prnk AS pr,
+       |             qd.dc + SUM(l.ip) AS aip
+       |           FROM rassign a
        |           JOIN cellassign ca ON ca.vec_id = a.vec_id
        |           JOIN proberanks p ON p.cell = ca.cell AND p.prnk <= 8
        |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
+       |           JOIN celld qd ON qd.vec_id = l.qid AND qd.cell = ca.cell
        |           WHERE a.vec_id <> l.qid
-       |           GROUP BY l.qid, a.vec_id, p.prnk),
+       |           GROUP BY l.qid, a.vec_id, p.prnk, qd.dc),
        |grid AS (SELECT np.nprobe, sl.shortlist
        |         FROM (SELECT unnest(generate_series(1, 8)) AS nprobe) np
        |         CROSS JOIN (SELECT unnest([16, 32, 64]) AS shortlist) sl),
@@ -1665,10 +1704,11 @@ object LlmData {
     * Similarity.pqCodes/pqTopK stage by stage. Subspace m covers
     * global dims m·sd+1 … (m+1)·sd, so `flat` joins books on
     * f.i = b.m*sd + b.i. */
-  /** The assignment half of the PQ replay (flat → books → per-subspace
-    * squared-L2 argmin): shared by the ADC queries and the compressed-
-    * domain dedup, which needs codes but no query LUTs. */
-  private def pqAssignCtes(books: Array[Array[Array[Double]]]): String = {
+  /** The raw-slice dot half of the PQ replay (flat → codebook
+    * literals → per-(vector, subspace, code) dots): shared by raw
+    * assignment, residual assignment (which only swaps the constant
+    * term — see [[resAssignCtes]]), and the query LUTs. */
+  private def pqDotCtes(books: Array[Array[Array[Double]]]): String = {
     val sd = books(0)(0).length
     val bookCtes = (for {
       (b, m) <- books.zipWithIndex
@@ -1683,12 +1723,48 @@ object LlmData {
        |bsq AS (SELECT m, j, SUM(c*c) AS c2 FROM books GROUP BY m, j),
        |cdots AS (SELECT f.vec_id, b.m, b.j, SUM(f.x * b.c) AS dc
        |          FROM flat f JOIN books b ON f.i = b.m * $sd + b.i
-       |          GROUP BY f.vec_id, b.m, b.j),
+       |          GROUP BY f.vec_id, b.m, b.j)""".stripMargin
+  }
+
+  /** The assignment half of the PQ replay (raw-vector codes): shared
+    * by the ADC queries and the compressed-domain dedup, which needs
+    * codes but no query LUTs. */
+  private def pqAssignCtes(books: Array[Array[Array[Double]]]): String =
+    s"""${pqDotCtes(books)},
        |assign AS (SELECT vec_id, m, j AS code FROM (
        |            SELECT d.vec_id, d.m, d.j,
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
        |                ORDER BY ROUND(q.c2 - 2*d.dc, 6) ASC, d.j ASC) AS r
        |            FROM cdots d JOIN bsq q ON q.m = d.m AND q.j = d.j)
+       |           WHERE r = 1)""".stripMargin
+
+  /** Residual assignment (Jégou'11 §IV): code_m = argmin_j over
+    * ROUND(off(cell,m,j) − 2·dc, 6) where off = ‖b‖² + 2⟨c_slice, b⟩
+    * is the interpolated [[Similarity.residualOffsets]] literal table
+    * — the SAME raw-slice dots as raw PQ, only the constant term is
+    * cell-dependent, mirroring Similarity.pqCodesResidual exactly.
+    * Requires [[pqDotCtes]] (cdots) and ivfCellCtes (cellassign) in
+    * scope. */
+  private def resAssignCtes(cents: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]]): String = {
+    val offs = Similarity.residualOffsets(cents, books)
+    val ks = books(0).length
+    val offArms = (for {
+      (oc, cell) <- offs.zipWithIndex
+      (om, m) <- oc.zipWithIndex
+    } yield s"SELECT $cell AS cell, $m AS m, " +
+      s"unnest(generate_series(0, ${ks - 1})) AS j, " +
+      s"unnest([${om.map(x => f"$x%.17e").mkString(",")}]) AS off")
+      .mkString("\nUNION ALL ")
+    s"""resoff AS ($offArms),
+       |rassign AS (SELECT vec_id, m, j AS code FROM (
+       |            SELECT d.vec_id, d.m, d.j,
+       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+       |                ORDER BY ROUND(ro.off - 2*d.dc, 6) ASC, d.j ASC) AS r
+       |            FROM cdots d
+       |            JOIN cellassign ca ON ca.vec_id = d.vec_id
+       |            JOIN resoff ro ON ro.cell = ca.cell AND ro.m = d.m
+       |                          AND ro.j = d.j)
        |           WHERE r = 1)""".stripMargin
   }
 
@@ -3431,6 +3507,8 @@ object LlmData {
       ()
     }),
     "_store_pq" -> ((s, d) => { trainPq(s, d); () }),
+    "_store_pqres" -> ((s, d) => { trainIvfPqResidual(s, d); () }),
+    "_store_exacttopk" -> ((s, d) => { exactTop3(s, d); () }),
     "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
     "_store_annreindex" -> ((s, d) => { annReindexDir(s, d); () }))
 
@@ -3455,9 +3533,10 @@ object LlmData {
           // emission log — same replay, so same oracle
           "d_stream_pqdedup" -> pqSemDedupSql(b))
       case _ => Map.empty[String, String]
-    }) ++ ((ivfCentroids.values.toList, pqBooksStash.values.toList) match {
+    }) ++ ((ivfCentroids.values.toList, residBooksStash.values.toList) match {
       // the composed-index replay needs BOTH trainings stashed
-      // unambiguously (one (session, sfDir) in this JVM)
+      // unambiguously (one (session, sfDir) in this JVM) — the
+      // RESIDUAL codebooks, not the raw-PQ family's
       case (c :: Nil, b :: Nil) =>
         Map("s_ivfpq_topk" -> ivfPqTopKSql(c, b),
           "s_ivfpq_recall" -> ivfPqRecallSql(c, b),
@@ -3467,11 +3546,13 @@ object LlmData {
           // nothing vs the in-session path
           "s_ivfpq_indexed" -> ivfPqTopKSql(c, b))
       case _ => Map.empty[String, String]
-    }) ++ ((reindexCents.values.toList, pqBooksStash.values.toList) match {
+    }) ++ ((reindexCents.values.toList, residBooksStash.values.toList) match {
       // the reindexed search replays the SAME generic IVFADC SQL,
       // interpolating the RE-TRAINED centroids (autoCells(n) of
-      // them — the CTE builder is generic over ncells) with the one
-      // stashed codebook training (codes survive reindex unchanged)
+      // them — the CTE builder is generic over ncells, and the
+      // residual offsets re-derive from them) with the one stashed
+      // residual codebook training (books survive reindex; CODES
+      // re-quantize, which the replay reproduces)
       case (rc :: Nil, b :: Nil) =>
         Map("s_reindex_topk" -> ivfPqTopKSql(rc, b))
       case _ => Map.empty[String, String]

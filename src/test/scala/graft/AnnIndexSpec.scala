@@ -17,8 +17,9 @@ class AnnIndexSpec extends SparkSpec {
   private lazy val trained = {
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 4, trainMod = 4)
-    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-      m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
+    // RESIDUAL codebooks (Jégou'11 §IV) — the index codes x − q1(x)
+    val books = Similarity.pqResidualCodebooks(emb, "vec_id", "embedding",
+      cents, m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
     (cents, books)
   }
 
@@ -37,9 +38,8 @@ class AnnIndexSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 10)
     val fromIndex = AnnIndex.search(q, codes, meta, emb, "embedding",
       k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
-    val cells = Similarity.assignCellsLiteral(emb, "vec_id", "embedding", cents)
-    val inSession = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-      cells, cents, books, k = 3, nprobe = 4, shortlist = 64)
+    val inSession = Similarity.ivfPqResidualTopK(q, emb, "vec_id", "embedding",
+      cents, books, k = 3, nprobe = 4, shortlist = 64)
       .orderBy("qid", "rnk").collect()
     assert(fromIndex.toSeq == inSession.toSeq)
   }
@@ -83,9 +83,8 @@ class AnnIndexSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 10)
     val fromAppended = AnnIndex.search(q, codes, meta, emb, "embedding",
       k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
-    val cells = Similarity.assignCellsLiteral(emb, "vec_id", "embedding", cents)
-    val oneShot = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-      cells, cents, books, k = 3, nprobe = 4, shortlist = 64)
+    val oneShot = Similarity.ivfPqResidualTopK(q, emb, "vec_id", "embedding",
+      cents, books, k = 3, nprobe = 4, shortlist = 64)
       .orderBy("qid", "rnk").collect()
     assert(fromAppended.toSeq == oneShot.toSeq)
   }
@@ -101,7 +100,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(autoCells(8000) == 90)        // the reindex spec's corpus
   }
 
-  test("reindex: out-of-band corpus re-trains to √n cells; codes unchanged; search and pruning intact") {
+  test("reindex: out-of-band corpus re-trains to √n cells; rows re-code; search and pruning intact") {
     val (cents, books) = trained
     // replicate the spec corpus 16× with disjoint ids and a replica-
     // unique first-coordinate nudge (exact duplicate vectors would
@@ -123,11 +122,19 @@ class AnnIndexSpec extends SparkSpec {
     val meta = AnnIndex.reindex(big, "embedding", dir, "ann_reidx",
       iters = 4, trainMod = 4)
     assert(meta.ncells == Similarity.autoCells(8000L)) // 90, not 8
-    // PQ codes are cell-independent: reindex must leave them
-    // byte-identical — only the bucket key moved
+    // RE-CODE parity: residual codes depend on the assigned centroid,
+    // so reindex must re-quantize every row — the persisted codes
+    // must equal a fresh coding pass under (new cents, old books),
+    // and must NOT all equal the old 8-cell codes (the re-code
+    // actually happened)
     val newCodes = spark.table("ann_reidx")
       .select(col("vec_id") +: codeCols: _*).orderBy("vec_id").collect()
-    assert(newCodes.toSeq == oldCodes.toSeq)
+    val recoded = AnnIndex.codeRows(big, "vec_id", "embedding",
+        meta.cents, books)
+      .select(col("vec_id") +: codeCols: _*).orderBy("vec_id").collect()
+    assert(newCodes.toSeq == recoded.toSeq)
+    assert(newCodes.toSeq != oldCodes.toSeq,
+      "reindex left every residual code unchanged — re-coding did not run")
     // occupancy restored: the 8-cell index concentrated 8000 rows in
     // ≤ 8 cells; the re-trained quantizer must actually USE its width
     val newCells = spark.table("ann_reidx").select("cell").distinct().count()
@@ -140,10 +147,8 @@ class AnnIndexSpec extends SparkSpec {
     val (codes, loaded) = AnnIndex.load(spark, dir, "ann_reidx")
     val fromIndex = AnnIndex.search(q, codes, loaded, big, "embedding",
       k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
-    val cells = Similarity.assignCellsLiteral(big, "vec_id", "embedding",
-      loaded.cents)
-    val inSession = Similarity.ivfPqTopK(q, big, "vec_id", "embedding",
-      cells, loaded.cents, books, k = 3, nprobe = 4, shortlist = 64)
+    val inSession = Similarity.ivfPqResidualTopK(q, big, "vec_id", "embedding",
+      loaded.cents, books, k = 3, nprobe = 4, shortlist = 64)
       .orderBy("qid", "rnk").collect()
     assert(fromIndex.toSeq == inSession.toSeq)
     // bucket pruning still fires with 90 cells hashed into 8 buckets

@@ -14,14 +14,21 @@ LOG=${3:-/tmp/sweep_nx_results.log}
 cd "$(dirname "$0")/.."
 HEAVY="d_embedding_neardup d_semdedup d_sem_clusters s_knn_degree s_reindex_topk d_neardup_venn d_lsh_calibration d_substr_dup t_bigram_nll"
 KEYS=$(ls "$DUMP" | grep -v '\.json$')
+# heavy keys run LAST, but only those actually present in the dump —
+# appending the full HEAVY list would re-order (and double-log) keys
+# a subset dump doesn't contain
+HEAVY_PRESENT=$(grep -wF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS" || true)
 { grep -vwF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS";
-  tr ' ' '\n' <<< "$HEAVY"; } > /tmp/sweep_nx_order.txt
+  [ -n "$HEAVY_PRESENT" ] && echo "$HEAVY_PRESENT"; } > /tmp/sweep_nx_order.txt
 : > "$LOG"
 while read -r key; do
   [ -z "$key" ] && continue
   out=$(timeout 1000 python3 tools/check.py "$SFDIR" "$DUMP" \
     --skip-verify --alts --timeout=900 "$key" 2>&1 |
     grep -E "^PASS|^FAIL|^ROWS-ONLY|^TIMEOUT")
+  # a crashed check.py (or a key absent from its output) yields an
+  # empty grep — log it as ERROR so it can't read as a silent pass
+  [ -z "$out" ] && out="ERROR (check.py produced no verdict line)"
   echo "$key :: $out" >> "$LOG"
 done < /tmp/sweep_nx_order.txt
 echo SWEEP_DONE >> "$LOG"
