@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** In-engine training for the model-based quality filter
+  * (TextFunctions.classifierLogit): a logistic head over hashed
+  * unigram features, fit with full-batch gradient descent where every
+  * epoch is two distributed partial-agg passes — the DCLM/fastText
+  * seed-classifier recipe expressed as Spark aggregations instead of
+  * an external trainer.
+  *
+  * Scale shape (100 TB): the feature frame is built ONCE — (doc,
+  * bucket, count) rows, ≤ D per doc after the in-doc pre-aggregation
+  * — hash-partitioned by doc and checkpointed; each epoch then runs
+  *  (1) a margin pass: per-doc Σ cnt·w[b] with the current weights as
+  *      a broadcast literal array — the groupBy(doc) reuses the
+  *      checkpointed partitioning, so no epoch re-shuffles the frame;
+  *  (2) a gradient pass: residuals (a 2-double-per-doc frame) join
+  *      back broadcast, then one partial agg onto D buckets.
+  * Driver state is D+1 doubles. Training on a hash-selected sample
+  * (`trainMod`, the kmeans discipline) bounds epoch cost at any
+  * corpus size; scoring stays the row-local fold it always was.
+  *
+  * Determinism (the trained-literal oracle discipline): after every
+  * update the weights SNAP to the dyadic grid 2⁻²⁰ (multiples of
+  * 2⁻²⁰, clamped to [-8, 8]). Two consequences:
+  *  - run-to-run reproducibility: the distributed gradient sums can
+  *    differ by accumulation order at the few-ulp level; the 2⁻²⁰
+  *    grid absorbs that, so refitting yields bit-identical weights
+  *    (spec-pinned);
+  *  - the scored margin stays EXACT cross-engine: every partial sum
+  *    of cnt·w products is a multiple of 2⁻²⁰ with magnitude ≤ 8·n,
+  *    representable while n·2²³ < 2⁵³ — any real document — so the
+  *    trained weights interpolate into a DuckDB replay exactly like
+  *    the LCG literals they replace (the classifierWeights exactness
+  *    story, preserved under training).
+  */
+object Classifier {
+
+  /** Trained artifacts + the per-epoch mean logloss trace (epoch 0 =
+    * before any update — the convergence spec pins trace decrease). */
+  case class Fit(weights: Array[Double], bias: Double,
+                 losses: Array[Double]) {
+    def weightSeq: Seq[Double] = weights.toSeq
+  }
+
+  private val Grid = 1048576.0 // 2^20
+  private def snap(x: Double): Double = {
+    val s = math.rint(x * Grid) / Grid
+    math.max(-8.0, math.min(8.0, s))
+  }
+
+  /** Fit the D-bucket logistic head on `docs`. `labelCol` must be a
+    * 0/1 integer column (the deterministic in-corpus seed label —
+    * e.g. "stored lang agrees with the n-gram detector"). Text is
+    * normalized and tokenized exactly as the scoring path
+    * (TextFunctions.classifierLogit), so trained weights drop
+    * straight into it. */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+          labelCol: String, d: Int = 128, epochs: Int = 8,
+          lr: Double = 4.0, trainMod: Int = 1): Fit = {
+    val sample =
+      if (trainMod <= 1) docs
+      else docs.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    val toks = split(TextFunctions.normalize(col(textCol)), " ")
+    // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
+    // token repeats before anything shuffles; inv_ntok folds the
+    // feature normalization into one per-doc constant
+    val feat = sample
+      .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"),
+        explode(toks).as("_tok"))
+      .groupBy(col("_id"), col("_y"),
+        TextFunctions.featureBucket(col("_tok"), d).as("_b"))
+      .agg(count(lit(1)).cast("double").as("_cnt"))
+      .withColumn("_ntok", sum(col("_cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id")))
+      .repartition(col("_id"))
+      .localCheckpoint(eager = true)
+    val n = feat.select(count_distinct(col("_id"))).head().getLong(0)
+    require(n > 0, "Classifier.fit: empty training frame")
+
+    var w = Array.fill(d)(0.0)
+    var bias = 0.0
+    val losses = Array.newBuilder[Double]
+
+    for (_ <- 0 to epochs) {
+      val wLit = typedlit(w.toSeq)
+      val margins = feat.groupBy("_id")
+        .agg((sum(col("_cnt") * element_at(wLit, (col("_b") + 1).cast("int")))
+            / first(col("_ntok")) + lit(bias)).as("_m"),
+          first(col("_y")).as("_y"),
+          first(col("_ntok")).as("_ntok"))
+      // residual r = σ(m) − y; r/ntok is the per-doc factor every
+      // bucket gradient multiplies by its count
+      val resid = margins.select(col("_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("_m"))) - col("_y")).as("_r"),
+          (lit(1.0) / col("_ntok")).as("_inv"),
+          // logloss via the stable form ln(1+e^{-|m|}) + max(0, ∓m)
+          (log(lit(1.0) + exp(-abs(col("_m")))) +
+            when(col("_y") > 0.5, greatest(lit(0.0), -col("_m")))
+              .otherwise(greatest(lit(0.0), col("_m")))).as("_ll"))
+        .localCheckpoint(eager = true)
+      val stats = resid.agg(sum(col("_ll")).as("ll"), sum(col("_r")).as("rb"))
+        .head()
+      losses += stats.getDouble(0) / n
+      val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
+        .groupBy("_b")
+        .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      w = w.indices.map(b =>
+        snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
+      bias = snap(bias - lr * (stats.getDouble(1) / n))
+    }
+    // the last iteration's update is never evaluated — the trace has
+    // epochs+1 entries (init..final-update's pre-loss); weights are
+    // the last snapped update
+    Fit(w, bias, losses.result())
+  }
+
+  /** The deterministic in-corpus seed label the gate's trained
+    * classifier uses: 1 when the stored language tag agrees with the
+    * n-gram detector (mislabeled or off-language scrapes train as
+    * negatives — the metadata-agreement recipe). */
+  def langAgreeLabel(textCol: Column, langCol: Column): Column =
+    when(TextFunctions.langId(textCol) === langCol, lit(1L)).otherwise(lit(0L))
+}

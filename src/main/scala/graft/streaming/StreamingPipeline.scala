@@ -388,12 +388,13 @@ object StreamingPipeline {
     *
     * Bounds for unbounded streams, composable like lshNearDupStream:
     *  - `initialCodes`: bootstrap keepers from a persisted codes
-    *    table ([[graft.operators.AnnIndex]]'s artifact — (id,
-    *    code_0..code_{m-1}) rows): min id per occupied cell seeds the
-    *    state, so a restarted stream dedups against the whole prior
-    *    corpus without replaying it; snapshot-internal drops are NOT
-    *    re-emitted (they live in the batch output — the delta
-    *    contract).
+    *    table ([[graft.operators.AnnIndex]]'s artifact — (id, cell,
+    *    code_0..code_{m-1}) rows, used with `cents` so stream coding
+    *    matches the artifact's residual domain): min id per occupied
+    *    cell seeds the state, so a restarted stream dedups against
+    *    the whole prior corpus without replaying it;
+    *    snapshot-internal drops are NOT re-emitted (they live in the
+    *    batch output — the delta contract).
     *  - `stateTtlMs`: idle-cell TTL — an expired cell's keeper drops
     *    out of the horizon; dedup-against-recent, compaction back
     *    into the codes table ([[graft.operators.AnnIndex.append]])
@@ -401,18 +402,33 @@ object StreamingPipeline {
   def pqDedupStream(docs: DataFrame, idCol: String, vecCol: String,
                     books: Array[Array[Array[Double]]],
                     initialCodes: Option[DataFrame] = None,
-                    stateTtlMs: Option[Long] = None): Dataset[PqDropDecision] = {
+                    stateTtlMs: Option[Long] = None,
+                    cents: Option[Array[Array[Double]]] = None): Dataset[PqDropDecision] = {
     implicit val hitEnc = Encoders.product[CellHit]
     implicit val stEnc = Encoders.product[CellKeeper]
     implicit val outEnc = Encoders.product[PqDropDecision]
     implicit val keyEnc = Encoders.STRING
 
+    // With `cents` the stream codes RESIDUALS against the composed
+    // index's artifacts (Similarity.pqCodesResidual — books must be
+    // residual-trained), and the dedup key includes the coarse cell:
+    // residual codes only identify a reconstruction together with
+    // their centroid. This is the mode that bootstraps from (and
+    // compacts back into) an AnnIndex artifact, whose (id, cell,
+    // code_*) rows carry exactly these key columns. Without `cents`
+    // the stream codes raw vectors (standalone-PQ dedup, the
+    // d_stream_pqdedup gate path).
     val keyOf = (cols: Seq[String]) => concat_ws("|", cols.map(col): _*)
     val codeCols = books.indices.map(i => s"code_$i")
-    val hits = graft.operators.Similarity
-      .pqCodes(docs, idCol, vecCol, books)
+    val keyCols = cents.map(_ => "cell" +: codeCols).getOrElse(codeCols)
+    val hits = (cents match {
+      case Some(c) => graft.operators.Similarity
+        .pqCodesResidual(docs, idCol, vecCol, c, books)
+      case None => graft.operators.Similarity
+        .pqCodes(docs, idCol, vecCol, books)
+    })
       .select(col(idCol).cast("long").as("id"),
-        keyOf(codeCols).as("cell_key"))
+        keyOf(keyCols).as("cell_key"))
       .as[CellHit]
     val timeoutConf =
       if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
@@ -448,7 +464,7 @@ object StreamingPipeline {
       case Some(codes) =>
         implicit val snapEnc = Encoders.product[(String, Long)]
         val init = codes
-          .groupBy(keyOf(codeCols).as("cell_key"))
+          .groupBy(keyOf(keyCols).as("cell_key"))
           .agg(min(col(idCol).cast("long")).as("keep"))
           .select(col("cell_key").as("_1"), col("keep").as("_2"))
           .as[(String, Long)]

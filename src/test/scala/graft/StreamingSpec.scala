@@ -629,12 +629,16 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
     m = 4, ks = 8, dim = 64, iters = 4, trainMod = 4)
 
-  private def batchPqDrops(emb: org.apache.spark.sql.DataFrame) = {
-    // the d_pq_semdedup batch semantics: per occupied multi-member
-    // cell, keeper = min id, everyone else drops
-    val codes = graft.operators.Similarity.pqCodes(emb, "vec_id",
-      "embedding", pqBooks)
-    val cell = pqBooks.indices.map(i => s"code_$i")
+  private def batchPqDrops(emb: org.apache.spark.sql.DataFrame) =
+    batchDropsFrom(graft.operators.Similarity.pqCodes(emb, "vec_id",
+      "embedding", pqBooks), pqBooks.indices.map(i => s"code_$i"))
+
+  /** the d_pq_semdedup batch semantics over an arbitrary codes frame:
+    * per occupied multi-member key, keeper = min id, everyone else
+    * drops. Key columns parameterized so the residual-index variant
+    * (cell + codes) shares the logic. */
+  private def batchDropsFrom(codes: org.apache.spark.sql.DataFrame,
+                             cell: Seq[String]) = {
     val keep = codes.groupBy(cell.map(col): _*)
       .agg(min(col("vec_id")).as("keep_id"))
     codes.join(keep, cell).filter($"vec_id" =!= $"keep_id")
@@ -698,29 +702,39 @@ class StreamingSpec extends SparkSpec {
     val fresh = emb.filter($"vec_id" % 3 === 0L).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     // the persisted artifact IS the bootstrap source: the bucketed
-    // codes table AnnIndex wrote for the old corpus
+    // codes table AnnIndex wrote for the old corpus — RESIDUAL codes
+    // under (cents, residual books), so the stream must code in the
+    // same domain (the `cents` parameter) and the batch comparator
+    // keys on (cell, codes)
     val cents = graft.operators.Similarity.kmeansCentroids(old, "vec_id",
       "embedding", k = 8, iters = 4, trainMod = 4)
+    val resBooks = graft.operators.Similarity.pqResidualCodebooks(old,
+      "vec_id", "embedding", cents, m = 4, ks = 8, dim = 64,
+      iters = 4, trainMod = 4)
     val dir = java.nio.file.Files.createTempDirectory("pqboot").toString
     graft.operators.AnnIndex.write(old, "vec_id", "embedding", dir,
-      "pq_boot_codes", cents, pqBooks)
+      "pq_boot_codes", cents, resBooks)
     val (codes, _) = graft.operators.AnnIndex.load(spark, dir, "pq_boot_codes")
 
     val input = MemoryStream[(Long, Seq[Float])]
     val query = StreamingPipeline.pqDedupStream(
         input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        pqBooks, initialCodes = Some(codes))
+        resBooks, initialCodes = Some(codes), cents = Some(cents))
       .writeStream.format("memory").queryName("pq_boot")
       .outputMode("append").start()
     input.addData(fresh.toSeq)
     query.processAllAvailable()
     query.stop()
 
+    def residDrops(df: org.apache.spark.sql.DataFrame) =
+      batchDropsFrom(graft.operators.Similarity.pqCodesResidual(df,
+        "vec_id", "embedding", cents, resBooks),
+        "cell" +: resBooks.indices.map(i => s"code_$i"))
     val streamed = spark.table("pq_boot").select("cell_key", "drop_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val oldDrops = batchPqDrops(old).select("cell_key", "drop_id")
+    val oldDrops = residDrops(old).select("cell_key", "drop_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val fullDrops = batchPqDrops(emb).select("cell_key", "drop_id")
+    val fullDrops = residDrops(emb).select("cell_key", "drop_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // snapshot-internal drops are NOT re-emitted; the union with the
     // persisted batch output equals a full recompute (delta contract)
