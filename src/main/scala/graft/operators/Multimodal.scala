@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2.C): media as opaque
   * `binary` columns + typed metadata, with partition-batched decode.
   *
-  * The decode itself is STUBBED (no image/audio libs in this
-  * container): `decodeStub` is a deterministic fake that reads real
-  * bytes and emits real features, so the Spark-side contract —
-  * schema, encoders, mapPartitions batching (one "codec init" per
-  * partition, like a Pandas-UDF batch), partition sizing — is real
-  * and tested; swapping in an actual codec changes only the body of
-  * `decodeOne`.
+  * Two codec paths share the seam:
+  *  - the deterministic STUB ([[decode]]/[[resize]] — reads real
+  *    bytes, emits fake-but-deterministic features) keeps the gate
+  *    replayable over the synthetic corpus;
+  *  - the REAL image path ([[decodeImage]]/[[resizeImage]] —
+  *    javax.imageio, in-JDK: PNG/BMP/GIF/JPEG) decodes actual
+  *    pixels, spec-driven on a generated PNG (MultimodalCodecSpec).
+  * Both run the same Spark-side contract — schema, encoders,
+  * mapPartitions batching (one codec init per partition, like a
+  * Pandas-UDF batch), partition sizing — so swapping stub → real
+  * changes no plumbing. Audio/video demux remains stub-only (no
+  * in-JDK codec exists for those).
   */
 object Multimodal {
 
@@ -60,6 +65,77 @@ object Multimodal {
     val ds = attachPayload(documents).as[MediaRecord](Encoders.product[MediaRecord])
     decode(ds).toDF()
   }
+
+  // --- the REAL codec path (javax.imageio — in-JDK, no external
+  // dependency: PNG/BMP/GIF/JPEG readers ship with the JRE). Same
+  // seam, same schemas, same mapPartitions batch shape as the stub;
+  // the body decodes actual pixels. The gate keeps the deterministic
+  // stub (a synthetic corpus has no real images and the oracle must
+  // replay); a deployment whose payload column holds real image
+  // bytes swaps decode → decodeImage / resize → resizeImage and
+  // nothing upstream or downstream changes (spec-pinned on a
+  // generated PNG in MultimodalCodecSpec). ------------------------
+
+  /** Decode real image bytes: dimensions from the decoded frame
+    * (metadata width/height are advisory at ingest — the pixels are
+    * the truth), mean_byte = mean luminance over all pixels, rounded
+    * with the same engine-portable half-up the stub uses. */
+  def decodeImage(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    media.mapPartitions { it =>
+      // per-partition codec init: one cache-mode set per partition
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        MediaFeatures(r.doc_id, r.payload.length,
+          math.floor(mean * 100 + 0.5) / 100,
+          img.getWidth, img.getHeight,
+          math.floor(img.getWidth.toDouble / img.getHeight * 1000 + 0.5) / 1000)
+      }
+    }(Encoders.product[MediaFeatures])
+
+  /** Real resize: decode, scale into the (maxW, maxH) bounding box
+    * preserving aspect (identical geometry math to the stub), bilinear
+    * resample via Graphics2D, re-encode PNG. One codec init per
+    * partition; rows stream through. */
+  def resizeImage(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[ResizedMedia] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+        val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+        val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        ResizedMedia(r.doc_id, buf.toByteArray, w, h,
+          math.floor(scale * 1000 + 0.5) / 1000)
+      }
+    }(Encoders.product[ResizedMedia])
 
   case class ResizedMedia(doc_id: Long, payload: Array[Byte],
                           width: Int, height: Int, scale_q: Double)
