@@ -717,7 +717,8 @@ object LlmData {
   def oracleAlt: Map[String, String] = Map(
     "d_embedding_neardup" -> embNearDupAltSql,
     "d_semdedup" -> semDedupAltSql,
-    "s_knn_degree" -> knnDegreeAltSql)
+    "s_knn_degree" -> knnDegreeAltSql,
+    "d_substr_long" -> substrLongAltSql)
 
   // ------------------------------------------------------ s_knn_degree
   // Degree profile of the semantic k-NN graph — the structure every
@@ -2749,21 +2750,49 @@ object LlmData {
         k = 5, minDocs = 2)
       .orderBy("doc_id")
 
-  private val substrDupSql =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
-      |gr AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g, i
-      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM toks)),
-      |freq AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY g)
-      |         WHERE df >= 2),
-      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
-      |        FROM (SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i+4)) AS pos
-      |              FROM gr JOIN freq USING (g))
-      |        GROUP BY doc_id)
-      |SELECT b.doc_id, b.n_tokens, COALESCE(cov.nc, 0) AS n_covered,
-      | ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / b.n_tokens, 6) AS covered_frac
-      |FROM base b LEFT JOIN cov USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+  /** The span-coverage replay, generic over window length k and an
+    * optional gram-compression wrapper (the volume ALT replaces the
+    * raw window string with its md5 so the df-count/join stages carry
+    * 32 bytes instead of k tokens — exact, not a sketch). */
+  private def spanCoverageSql(k: Int, gramExpr: String => String = identity): String = {
+    val g = gramExpr(s"array_to_string(t[i:i+${k - 1}], ' ')")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+       |gr AS (SELECT doc_id, $g AS g, i
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-${k - 1})) AS i FROM toks)),
+       |freq AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+       |         WHERE df >= 2),
+       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
+       |        FROM (SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i+${k - 1})) AS pos
+       |              FROM gr JOIN freq USING (g))
+       |        GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens, COALESCE(cov.nc, 0) AS n_covered,
+       | ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / b.n_tokens, 6) AS covered_frac
+       |FROM base b LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val substrDupSql = spanCoverageSql(5)
+
+  // -------------------------------------------------- d_substr_long
+  // ExactSubstr at the PAPER's span semantics (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better" —
+  // remove shared substrings of ≥ 50 tokens, not 5-gram confetti):
+  // a pair of docs shares a ≥50-token span iff they share a 50-token
+  // WINDOW, so per-doc coverage = the interval union of
+  // cross-doc-shared 50-grams — the same one-shuffle gram machinery
+  // as d_substr_dup at k = 50 (window strings reduce to an 8-byte
+  // xxhash before the document-frequency count; only start positions
+  // shuffle back). Docs under 50 tokens cover 0 by definition. The
+  // volume ALT carries md5(window) instead of the ~50-token string
+  // through the df/join stages — exact, 10× narrower.
+  private val substrLong: Q = (s, d) =>
+    Dedup.crossDocSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+        k = 50, minDocs = 2)
+      .orderBy("doc_id")
+
+  private val substrLongSql = spanCoverageSql(50)
+  private val substrLongAltSql = spanCoverageSql(50, g => s"md5($g)")
 
   // -------------------------------------------------- t_filter_chain
   // The composed curation funnel: length floor -> language keep ->
@@ -3495,6 +3524,7 @@ object LlmData {
     "t_bigram_nll" -> bigramNll,
     "t_repetition" -> repetition,
     "d_substr_dup" -> substrDup,
+    "d_substr_long" -> substrLong,
     "t_filter_chain" -> filterChain,
     "d_ngram_contam" -> ngramContam,
     "t_tfidf_top" -> tfidfTop,
@@ -3644,6 +3674,7 @@ object LlmData {
     "t_bigram_nll" -> bigramNllSql,
     "t_repetition" -> repetitionSql,
     "d_substr_dup" -> substrDupSql,
+    "d_substr_long" -> substrLongSql,
     "t_filter_chain" -> filterChainSql,
     "d_ngram_contam" -> ngramContamSql,
     "t_tfidf_top" -> tfidfTopSql,

@@ -12,7 +12,7 @@ SFDIR=${1:?nx sf dir}
 DUMP=${2:?nx verify dump}
 LOG=${3:-/tmp/sweep_nx_results.log}
 cd "$(dirname "$0")/.."
-HEAVY="d_embedding_neardup d_semdedup d_sem_clusters s_knn_degree s_reindex_topk d_neardup_venn d_lsh_calibration d_substr_dup t_bigram_nll"
+HEAVY="d_substr_long d_embedding_neardup d_semdedup d_sem_clusters s_knn_degree s_reindex_topk d_neardup_venn d_lsh_calibration d_substr_dup t_bigram_nll"
 KEYS=$(ls "$DUMP" | grep -v '\.json$')
 # heavy keys run LAST, but only those actually present in the dump —
 # appending the full HEAVY list would re-order (and double-log) keys
