@@ -77,13 +77,26 @@ object Bench {
     // time went to phantom regressions that were one-off scheduler /
     // GC hiccups on the shared driver machine — min-of-2 keeps the
     // number attributable to the plan, not the machine.
+    // Partition-less Window tally: a window with an empty partition
+    // spec sorts its whole input on ONE task — the classic silent
+    // scale-killer. Counted from the OPTIMIZED logical plan (stable
+    // pre-AQE) per distinct query and reported as n_window_nopart in
+    // the JSON line, so the audit survives stdout-tail truncation
+    // (the r12 verdict's adjudicability note). q33's bounded
+    // daily-agg window is the one documented deliberate case.
+    var windowNoPart = 0
     val results = stores ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
       .map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
+      def once(audit: Boolean): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+          val df = fn(spark, sfDir)
+          if (audit) windowNoPart += df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }.size
+          df.write.format("noop").mode("overwrite").save(); true
         } catch {
           case t: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
@@ -91,9 +104,9 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (t1, ok1) = once()
+      val (t1, ok1) = once(audit = true)
       if (!ok1) (name, t1, false)
-      else { val (t2, _) = once(); (name, math.min(t1, t2), true) }
+      else { val (t2, _) = once(audit = false); (name, math.min(t1, t2), true) }
     }
     // The driver captures only the LAST 2000 chars of stdout (round-1's
     // full-precision 2.7k-char line was cut mid-line → parsed:null), and
@@ -110,7 +123,7 @@ object Bench {
       val (big, fast) = times.partition(_._2 >= cutoff)
       val qs = big.map { case (k, v) => "\"" + k + "\":" + s2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"n_window_nopart":$windowNoPart,"sf":"$sfDir"}"""
     }
     // Adaptive cutoff: raise the per-query reporting threshold until
     // the line fits the driver's 2000-char stdout tail with headroom
