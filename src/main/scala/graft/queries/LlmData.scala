@@ -1541,12 +1541,25 @@ object LlmData {
   /** The trained-centroid cell CTEs shared by the IVFADC replay and
     * its tuning curve: centroid literals → per-vector L2 components →
     * assignment argmin and per-query probe ranking (prnk retained so
-    * the tuning grid can filter on it). */
+    * the tuning grid can filter on it). `qcdots` is the QUERY-side
+    * ⟨q, c⟩ frame residual ADC adds to its LUT sums, pre-filtered to
+    * |Q|·ncells rows — joining the corpus-wide celld there instead
+    * made DuckDB degrade the two-key hash join to cell-only + filter
+    * at 100× volume (an 8·10¹¹-row intermediate, found by the r13
+    * sweep); the bounded frame cannot explode at any corpus size. */
   private def ivfCellCtes(cents: Array[Array[Double]]): String = {
-    val centCtes = cents.zipWithIndex.map { case (c, j) =>
-      s"SELECT $j AS cell, unnest([${c.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
-        s"unnest(generate_series(1, ${c.length})) AS i"
-    }.mkString("\nUNION ALL ")
+    // One flat list-of-structs literal, NOT an ncells-way UNION ALL:
+    // DuckDB's parser depth grows with a set-op chain and the 1000
+    // limit trips at the ⌈√n⌉-cell reindex oracle (708 cells at 100×,
+    // found by the r13 sweep); a flat list parses at constant depth
+    // for any cell count.
+    val centList = cents.zipWithIndex.map { case (c, j) =>
+      s"{'cell': $j, 'v': [${c.map(x => f"$x%.17e").mkString(",")}]}"
+    }.mkString(",\n")
+    val centCtes =
+      s"""SELECT s.cell AS cell, unnest(s.v) AS c,
+         |        unnest(generate_series(1, ${cents(0).length})) AS i
+         |        FROM (SELECT unnest([$centList]) AS s)""".stripMargin
     s"""cellc AS ($centCtes),
        |cellsq AS (SELECT cell, SUM(c*c) AS c2 FROM cellc GROUP BY cell),
        |celld AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
@@ -1561,7 +1574,9 @@ object LlmData {
        |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS prnk
        |            FROM celld d JOIN cellsq cq USING (cell)
-       |            WHERE d.vec_id < 10)""".stripMargin
+       |            WHERE d.vec_id < 10),
+       |qcdots AS (SELECT vec_id AS qid, cell, dc FROM celld
+       |           WHERE vec_id < 10)""".stripMargin
   }
 
   private def ivfPqCtes(cents: Array[Array[Double]],
@@ -1580,7 +1595,7 @@ object LlmData {
        |           JOIN cellassign ca ON ca.vec_id = a.vec_id
        |           JOIN probes p ON p.cell = ca.cell
        |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
-       |           JOIN celld qd ON qd.vec_id = l.qid AND qd.cell = ca.cell
+       |           JOIN qcdots qd ON qd.qid = l.qid AND qd.cell = ca.cell
        |           WHERE a.vec_id <> l.qid
        |           GROUP BY l.qid, a.vec_id, qd.dc),
        |short AS (SELECT qid, cid FROM (
@@ -1652,7 +1667,7 @@ object LlmData {
        |           JOIN cellassign ca ON ca.vec_id = a.vec_id
        |           JOIN proberanks p ON p.cell = ca.cell AND p.prnk <= 8
        |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
-       |           JOIN celld qd ON qd.vec_id = l.qid AND qd.cell = ca.cell
+       |           JOIN qcdots qd ON qd.qid = l.qid AND qd.cell = ca.cell
        |           WHERE a.vec_id <> l.qid
        |           GROUP BY l.qid, a.vec_id, p.prnk, qd.dc),
        |grid AS (SELECT np.nprobe, sl.shortlist
@@ -1715,12 +1730,17 @@ object LlmData {
     * term — see [[resAssignCtes]]), and the query LUTs. */
   private def pqDotCtes(books: Array[Array[Array[Double]]]): String = {
     val sd = books(0)(0).length
-    val bookCtes = (for {
+    // Flat struct-list (same parser-depth discipline as ivfCellCtes;
+    // m·k arms are small today but the shape is depth-constant).
+    val bookList = (for {
       (b, m) <- books.zipWithIndex
       (cj, j) <- b.zipWithIndex
-    } yield s"SELECT $m AS m, $j AS j, " +
-      s"unnest([${cj.map(x => f"$x%.17e").mkString(",")}]) AS c, " +
-      s"unnest(generate_series(1, ${cj.length})) AS i").mkString("\nUNION ALL ")
+    } yield s"{'m': $m, 'j': $j, 'v': [${cj.map(x => f"$x%.17e").mkString(",")}]}")
+      .mkString(",\n")
+    val bookCtes =
+      s"""SELECT s.m AS m, s.j AS j, unnest(s.v) AS c,
+         |        unnest(generate_series(1, $sd)) AS i
+         |        FROM (SELECT unnest([$bookList]) AS s)""".stripMargin
     s"""flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |          unnest(generate_series(1, len(embedding))) AS i
        |         FROM embeddings),
@@ -1754,13 +1774,19 @@ object LlmData {
                             books: Array[Array[Array[Double]]]): String = {
     val offs = Similarity.residualOffsets(cents, books)
     val ks = books(0).length
-    val offArms = (for {
+    // Flat struct-list for the same parser-depth reason as
+    // [[ivfCellCtes]] — ncells·m arms exceed the depth limit as a
+    // UNION ALL chain at reindex scale.
+    val offList = (for {
       (oc, cell) <- offs.zipWithIndex
       (om, m) <- oc.zipWithIndex
-    } yield s"SELECT $cell AS cell, $m AS m, " +
-      s"unnest(generate_series(0, ${ks - 1})) AS j, " +
-      s"unnest([${om.map(x => f"$x%.17e").mkString(",")}]) AS off")
-      .mkString("\nUNION ALL ")
+    } yield s"{'cell': $cell, 'm': $m, 'o': [${om.map(x => f"$x%.17e").mkString(",")}]}")
+      .mkString(",\n")
+    val offArms =
+      s"""SELECT s.cell AS cell, s.m AS m,
+         |        unnest(generate_series(0, ${ks - 1})) AS j,
+         |        unnest(s.o) AS off
+         |        FROM (SELECT unnest([$offList]) AS s)""".stripMargin
     s"""resoff AS ($offArms),
        |rassign AS (SELECT vec_id, m, j AS code FROM (
        |            SELECT d.vec_id, d.m, d.j,
