@@ -23,9 +23,16 @@ HEAVY_PRESENT=$(grep -wF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS" || true)
 : > "$LOG"
 while read -r key; do
   [ -z "$key" ] && continue
+  # Collapse the verdict to ONE line per key: on failure check.py
+  # prints BOTH an empty "PASS (0):" summary and a FAIL detail line,
+  # and logging them raw double-counts the key in a `grep -c PASS`
+  # tally (the r13 accounting trap). FAIL/TIMEOUT lines win; the
+  # PASS summary is kept only when it actually lists the key.
   out=$(timeout 1000 python3 tools/check.py "$SFDIR" "$DUMP" \
     --skip-verify --alts --timeout=900 "$key" 2>&1 |
     grep -E "^PASS|^FAIL|^ROWS-ONLY|^TIMEOUT")
+  bad=$(grep -E "^FAIL|^TIMEOUT" <<< "$out" | paste -sd' | ' -)
+  [ -n "$bad" ] && out="$bad" || out=$(paste -sd' | ' - <<< "$out")
   # a crashed check.py (or a key absent from its output) yields an
   # empty grep — log it as ERROR so it can't read as a silent pass
   [ -z "$out" ] && out="ERROR (check.py produced no verdict line)"
