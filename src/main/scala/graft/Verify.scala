@@ -16,6 +16,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A SUBSET run re-trains this JVM's trained-family artifacts
+    // (IVF/PQ/classifier), which need not bit-match the trainings an
+    // EXISTING full dump's oracle JSON interpolates — overwriting its
+    // per-query parquet would desync parquet from oracle and produce
+    // false FAILs. Refuse outright: subset runs take a fresh outDir.
+    if (only.nonEmpty && Files.exists(Paths.get(s"$outDir/oracle_sql.json"))) {
+      System.err.println(s"[verify] refusing subset run into $outDir: " +
+        "it already holds a full dump (oracle_sql.json present); " +
+        "point subset runs at a fresh outDir")
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

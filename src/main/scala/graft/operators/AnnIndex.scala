@@ -197,13 +197,20 @@ object AnnIndex {
            |LOCATION '$dir/codes'""".stripMargin)
     }
 
+  /** The coding scheme this implementation writes and scores with.
+    * Persisted in meta_params so an artifact written under a
+    * DIFFERENT scheme (e.g. a pre-residual raw-codes index) fails
+    * LOUDLY at load instead of silently scoring raw codes with
+    * residual ADC arithmetic. */
+  val CodesEncoding = "residual"
+
   /** Trained artifacts as tiny parquet tables — doubles round-trip
     * exactly, and no JSON codec dependency. */
   private def writeMeta(spark: SparkSession, dir: String,
                         meta: IndexMeta): Unit = {
     import spark.implicits._
-    Seq((meta.idCol, meta.idType, meta.numBuckets))
-      .toDF("id_col", "id_type", "num_buckets")
+    Seq((meta.idCol, meta.idType, meta.numBuckets, CodesEncoding))
+      .toDF("id_col", "id_type", "num_buckets", "codes_encoding")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/meta_params")
     meta.cents.zipWithIndex.flatMap { case (c, cell) =>
@@ -221,7 +228,19 @@ object AnnIndex {
   }
 
   def loadMeta(spark: SparkSession, dir: String): IndexMeta = {
-    val p = spark.read.parquet(s"$dir/meta_params").head()
+    val params = spark.read.parquet(s"$dir/meta_params")
+    // encoding gate: an artifact with no marker predates residual
+    // coding (raw codes) — applying residual ADC to it would return
+    // silently wrong scores, so refuse both absent and mismatched
+    require(params.columns.contains("codes_encoding"),
+      s"AnnIndex at $dir carries no codes_encoding marker — it was " +
+        s"written by a pre-residual build (raw codes); rebuild with " +
+        s"AnnIndex.write before searching with this version")
+    val enc = params.select("codes_encoding").head().getString(0)
+    require(enc == CodesEncoding,
+      s"AnnIndex at $dir is '$enc'-encoded but this build scores " +
+        s"'$CodesEncoding' codes — rebuild the index or match versions")
+    val p = params.select("id_col", "id_type", "num_buckets").head()
     val cents = spark.read.parquet(s"$dir/meta_cents")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)

@@ -85,7 +85,10 @@ object Classifier {
     var bias = 0.0
     val losses = Array.newBuilder[Double]
 
-    for (_ <- 0 to epochs) {
+    // epochs+1 margin passes bracket exactly `epochs` updates:
+    // losses(e) is the mean logloss after e updates, so losses.last
+    // evaluates the FINAL weights (no silently-unmeasured update)
+    for (e <- 0 to epochs) {
       val wLit = typedlit(w.toSeq)
       val margins = feat.groupBy("_id")
         .agg((sum(col("_cnt") * element_at(wLit, (col("_b") + 1).cast("int")))
@@ -105,17 +108,16 @@ object Classifier {
       val stats = resid.agg(sum(col("_ll")).as("ll"), sum(col("_r")).as("rb"))
         .head()
       losses += stats.getDouble(0) / n
-      val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
-        .groupBy("_b")
-        .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-      w = w.indices.map(b =>
-        snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
-      bias = snap(bias - lr * (stats.getDouble(1) / n))
+      if (e < epochs) {
+        val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
+          .groupBy("_b")
+          .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = w.indices.map(b =>
+          snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
+        bias = snap(bias - lr * (stats.getDouble(1) / n))
+      }
     }
-    // the last iteration's update is never evaluated — the trace has
-    // epochs+1 entries (init..final-update's pre-loss); weights are
-    // the last snapped update
     Fit(w, bias, losses.result())
   }
 

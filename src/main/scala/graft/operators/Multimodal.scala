@@ -88,19 +88,22 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        // channel sums accumulate UNDIVIDED (a per-pixel (r+g+b)/3 in
+        // int arithmetic truncates up to 2/3 per pixel and biases the
+        // mean low); one exact division by 3n at the end
         var sum = 0L
         var y = 0
         while (y < img.getHeight) {
           var x = 0
           while (x < img.getWidth) {
             val rgb = img.getRGB(x, y)
-            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }
           y += 1
         }
         val n = img.getWidth.toLong * img.getHeight
-        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        val mean = if (n == 0) 0.0 else sum.toDouble / (3.0 * n)
         MediaFeatures(r.doc_id, r.payload.length,
           math.floor(mean * 100 + 0.5) / 100,
           img.getWidth, img.getHeight,

@@ -409,6 +409,18 @@ object StreamingPipeline {
     implicit val outEnc = Encoders.product[PqDropDecision]
     implicit val keyEnc = Encoders.STRING
 
+    // fail-fast mode check: a residual AnnIndex artifact carries a
+    // `cell` column and its codes are only meaningful WITH `cents`
+    // (the snapshot key must be cell-qualified); a raw-PQ snapshot
+    // has no cell. Mixing them would merge distinct (cell, codes)
+    // groups or compare residual keys against raw stream keys —
+    // silent wrong dedup, so refuse at construction.
+    initialCodes.foreach { c =>
+      require(c.columns.contains("cell") == cents.isDefined,
+        s"pqDedupStream: initialCodes schema [${c.columns.mkString(", ")}] " +
+          s"does not match the coding mode (cents ${if (cents.isDefined) "given — expected a residual artifact with a `cell` column" else "absent — expected a raw-PQ snapshot without a `cell` column"})")
+    }
+
     // With `cents` the stream codes RESIDUALS against the composed
     // index's artifacts (Similarity.pqCodesResidual — books must be
     // residual-trained), and the dedup key includes the coarse cell:

@@ -50,6 +50,21 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(1L).byte_len > 0)
   }
 
+  test("decodeImage luminance is unbiased on non-gray pixels (no per-pixel integer truncation)") {
+    // pixels (1,1,2) and (0,0,0): true mean luminance = 4/6 = 0.666…
+    // → 0.67 half-up at 2dp; a per-pixel (r+g+b)/3 int division would
+    // truncate to (1+0)/2 = 0.5
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (1 << 16) | (1 << 8) | 2)
+    img.setRGB(1, 0, 0)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(7L, buf.toByteArray, 2, 1)))(Encoders.product[MediaRecord])
+    val f = Multimodal.decodeImage(ds).collect().head
+    assert(f.mean_byte == 0.67, s"biased mean: ${f.mean_byte}")
+  }
+
   test("resizeImage: bounding-box geometry on real pixels, re-encoded payload decodes at the new dims") {
     val out = Multimodal.resizeImage(media, maxW = 20, maxH = 20).collect()
       .map(r => r.doc_id -> r).toMap
