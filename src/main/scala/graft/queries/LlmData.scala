@@ -1532,6 +1532,94 @@ object LlmData {
       .orderBy(books.indices.map(i => col(s"code_$i")) :+ col("drop_id"): _*)
   }
 
+  // ----------------------------------------- d_stream_pqdedup_res
+  // The RESIDUAL/cell-qualified mode of the streaming PQ dedup under
+  // gate — the PRODUCTION path (the mode that bootstraps from and
+  // compacts back into the AnnIndex artifact, closed end-to-end by
+  // CompactionLoopSpec): stream coding via pqCodesResidual against
+  // the composed index's trainings, dedup key = (cell, code_*) —
+  // residual codes only identify a reconstruction together with
+  // their centroid. Hash-exact against a centroid+codebook-literal
+  // DuckDB replay of the equivalent BATCH residual dedup (the
+  // pqSemDedupSql machinery generalized with ivfCellCtes +
+  // resAssignCtes — the same literal interpolation s_ivfpq_topk
+  // does), so the gate now covers BOTH coding modes, not just the
+  // raw-PQ row.
+  private val streamPqDedupRes: Q = (s, d) => {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.GraftSession.tune(s)
+    val (cents, books) = trainIvfPqResidual(s, d)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_pqdedup_res_stream").toString
+    val staging = s"$streamDir/_staging"
+    emb.write.parquet(staging)
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (part, i) =>
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
+      }
+    val stream = s.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val name = "graft_stream_pqdedup_res"
+    val q = graft.streaming.StreamingPipeline
+      .pqDedupStream(stream, "vec_id", "embedding", books,
+        cents = Some(cents))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(streamDir))
+    // reconstruction from the emission log (the raw-mode discipline):
+    // keep = min emitted keeper per key, members = distinct drops + 1;
+    // the key's leading segment is the coarse cell
+    val em = s.table(name).localCheckpoint(eager = true)
+    val keeps = em.groupBy("cell_key").agg(min("keep_id").as("keep_id"),
+      (count_distinct(col("drop_id")) + lit(1)).as("n_members"))
+    val keyCols =
+      split(col("cell_key"), "\\|").getItem(0).cast("long").as("cell") +:
+        books.indices.map(i =>
+          split(col("cell_key"), "\\|").getItem(i + 1).cast("long").as(s"code_$i"))
+    val ord = col("cell") +: books.indices.map(i => col(s"code_$i"))
+    em.select(col("cell_key"), col("drop_id")).distinct()
+      .join(keeps, "cell_key")
+      .select(keyCols ++ Seq(col("n_members"), col("keep_id"),
+        col("drop_id")): _*)
+      .orderBy(ord :+ col("drop_id"): _*)
+  }
+
+  /** The residual-mode dedup replay: cell assignment (ivfCellCtes) +
+    * residual code assignment (resAssignCtes) pivoted into one
+    * (cell, code_*) key per vector, then the keep-the-minimum policy
+    * — pqSemDedupSql generalized to the composed index's coding. */
+  private def pqResSemDedupSql(cents: Array[Array[Double]],
+                               books: Array[Array[Array[Double]]]): String = {
+    val cols = books.indices.map(i => s"code_$i")
+    val pivot = books.indices.map(i =>
+      s"  CAST(MAX(CASE WHEN m = $i THEN code END) AS BIGINT) AS code_$i").mkString(",\n")
+    val keyList = ("cell" +: cols).mkString(", ")
+    val cKeyList = ("cell" +: cols).map(c => s"c.$c").mkString(", ")
+    s"""WITH ${pqDotCtes(books)},
+       |${ivfCellCtes(cents)},
+       |${resAssignCtes(cents, books)},
+       |cells AS (SELECT r.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+       |$pivot
+       | FROM rassign r JOIN cellassign ca ON ca.vec_id = r.vec_id
+       | GROUP BY r.vec_id, ca.cell),
+       |keep AS (SELECT $keyList,
+       |  MIN(vec_id) AS keep_id, COUNT(*) AS n_members
+       | FROM cells GROUP BY $keyList)
+       |SELECT $cKeyList, k.n_members, k.keep_id, c.vec_id AS drop_id
+       |FROM cells c JOIN keep k USING ($keyList)
+       |WHERE c.vec_id <> k.keep_id
+       |ORDER BY $cKeyList, drop_id""".stripMargin
+  }
+
   /** Residual-IVFADC replay: raw-slice dot CTEs + trained-centroid
     * cell assignment / probe ranking + the residual code assignment
     * ([[resAssignCtes]]), with the candidate stream restricted to
@@ -2120,6 +2208,154 @@ object LlmData {
        |  CAST(n_docs AS DOUBLE) / total AS frac,
        |  CAST(cum AS DOUBLE) / total AS cut_keep_rate
        |FROM t ORDER BY source, bucket""".stripMargin
+
+  // ---------------------------------------------- t_classifier_val
+  // HELD-OUT validation of the in-engine trainer (the r13 gap: fit
+  // reported training logloss only): a deterministic content-hash
+  // 80/20 split (the d_split_assign discipline — md5-derived, so
+  // DuckDB replays it exactly), fit on TRAIN only, then per-source
+  // and overall ('__all__') val-side metrics against the
+  // lang-agreement seed label:
+  //  - accuracy of the sign-of-margin keep decision, beside the
+  //    majority-class base_rate (self-interpreting — the 0 threshold
+  //    is mis-centered on this corpus, and the table shows it
+  //    honestly instead of hiding it);
+  //  - AUC, the THRESHOLD-FREE ranking metric (Mann-Whitney
+  //    rank-sum over the margin-frequency frame — exact half-integer
+  //    arithmetic, no rank ties to adjudicate since the frame has
+  //    one row per distinct margin), with the floor verdict on
+  //    AUC ≥ 0.5: "the trained model ranks its seed task better
+  //    than chance on unseen docs" as a gated claim, not prose.
+  // Every ratio is an UNROUNDED exact-integer(±half) division and
+  // the floor compares in integer-and-half space (contrib vs
+  // 0.5·np·nn), so the whole row hash-replays. Cost shape at
+  // 100 TB: one row-local scoring projection over the val partition,
+  // one partial agg onto (source, margin), and the global cumulative
+  // runs through ShardedWindow (range-sharded prefix sum — no
+  // single-task global sort).
+  private val classifierValFloor = 0.5 // dyadic: exact cross-engine
+
+  private def valBucket = // content-hash 5-bucket; bucket 0 = val
+    graft.operators.Dedup.shingleHash(concat(lit("cvsplit:"), col("text"))) % 5
+
+  private val classifierValStash =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Classifier.Fit]
+  graft.operators.Dedup.onClearStore(() => classifierValStash.clear())
+
+  private def trainClassifierVal(s: SparkSession, d: String): graft.operators.Classifier.Fit = {
+    def build = {
+      val docs = Tables.documents(s, d).withColumn("_lbl",
+        graft.operators.Classifier.langAgreeLabel(col("text"), col("lang")))
+      graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
+        "doc_id", "text", "_lbl", d = classifierD, epochs = 6, lr = 3.0,
+        trainMod = 1)
+    }
+    mhKey(s, d) match {
+      case Some(k) => classifierValStash.getOrElseUpdate(k, build)
+      case None => build
+    }
+  }
+
+  private val classifierVal: Q = (s, d) => {
+    val fit = trainClassifierVal(s, d)
+    val toks = split(T.normalize(col("text")), " ")
+    val logit = T.classifierLogit(toks, fit.weightSeq, fit.bias)
+    val label = graft.operators.Classifier.langAgreeLabel(col("text"), col("lang"))
+    val v = Tables.documents(s, d)
+      .filter(valBucket === 0)
+      .select(col("source"), logit.as("lg"), label.as("lbl"))
+      .localCheckpoint(eager = true) // scored once; two consumers below
+    // per-source rows + the '__all__' roll-up the floor verdict
+    // anchors on (per-source slices are sparse at spec scale)
+    val v2 = v.unionAll(v.select(lit("__all__").as("source"),
+      col("lg"), col("lbl")))
+    val acc = v2.groupBy("source")
+      .agg(count(lit(1)).as("n_val"),
+        sum(when((col("lg") >= 0.0d) === (col("lbl") === 1L), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(col("lbl")).as("n_pos"))
+    // AUC via rank-sum on the margin-frequency frame: one row per
+    // (source, distinct margin) with positive/negative counts, the
+    // negative-count prefix sum range-sharded by a monotone function
+    // of the margin (ShardedWindow — no single-task global sort),
+    // then AUC·np·nn = Σ_m np_m·(negs strictly below + ½·negs at m).
+    val mf = v2.groupBy(col("source"), col("lg").as("m"))
+      .agg(sum(col("lbl")).as("np"),
+        (count(lit(1)) - sum(col("lbl"))).as("nn"))
+    val cum = graft.operators.ShardedWindow.runningSum(mf, "source",
+      shard = floor(col("m") * 1024.0d), order = Seq(col("m")),
+      value = col("nn"), out = "cumnn")
+    val auc = cum.groupBy("source")
+      .agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"),
+        sum(col("np").cast("double")
+          * (col("cumnn").cast("double") - lit(0.5d) * col("nn").cast("double")))
+          .as("contrib"))
+    acc.join(auc, "source")
+      .select(col("source"), col("n_val"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_val").cast("double"))
+          .as("accuracy"),
+        (greatest(col("n_pos"), col("n_val") - col("n_pos")).cast("double")
+          / col("n_val").cast("double")).as("base_rate"),
+        when(col("tp") * col("tn") > 0L,
+          col("contrib") / (col("tp").cast("double") * col("tn").cast("double")))
+          .as("auc"),
+        // floor in integer-and-half space: contrib ≥ ½·np·nn — exact
+        when(col("tp") * col("tn") > 0L &&
+            col("contrib") >= lit(classifierValFloor)
+              * col("tp").cast("double") * col("tn").cast("double"), 1L)
+          .otherwise(0L).as("meets_floor"))
+      .orderBy("source")
+  }
+
+  private def classifierValSql(fit: graft.operators.Classifier.Fit): String =
+    s"""WITH ${classifierCtes(fit)},
+       |lbl AS (SELECT doc_id,
+       |         CASE WHEN (CASE
+       |          WHEN len(regexp_extract_all(text, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b'))
+       |           AND len(regexp_extract_all(text, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all(text, '\\b(el|la|los|de|que)\\b'))
+       |           AND len(regexp_extract_all(text, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all(text, '\\b(le|la|les|et|des)\\b'))
+       |          THEN 'en'
+       |          WHEN len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) >= len(regexp_extract_all(text, '\\b(el|la|los|de|que)\\b'))
+       |           AND len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) >= len(regexp_extract_all(text, '\\b(le|la|les|et|des)\\b'))
+       |          THEN 'de'
+       |          WHEN len(regexp_extract_all(text, '\\b(el|la|los|de|que)\\b')) >= len(regexp_extract_all(text, '\\b(le|la|les|et|des)\\b'))
+       |          THEN 'es'
+       |          ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS y,
+       |         TRY_CAST('0x' || substr(md5('cvsplit:' || text), 1, 15)
+       |           AS BIGINT) % 5 AS vb
+       |        FROM documents),
+       |v AS (SELECT lg.source, lg.logit, lbl.y
+       |      FROM lg JOIN lbl ON lg.doc_id = lbl.doc_id WHERE lbl.vb = 0),
+       |v2 AS (SELECT source, logit, y FROM v
+       |       UNION ALL SELECT '__all__', logit, y FROM v),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_val,
+       |         CAST(SUM(CASE WHEN (logit >= 0) = (y = 1)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |         CAST(SUM(y) AS BIGINT) AS n_pos
+       |        FROM v2 GROUP BY source),
+       |mf AS (SELECT source, logit AS m, CAST(SUM(y) AS BIGINT) AS np,
+       |        CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+       |       FROM v2 GROUP BY source, logit),
+       |cum AS (SELECT *, SUM(nn) OVER (PARTITION BY source ORDER BY m
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumnn
+       |        FROM mf),
+       |aucs AS (SELECT source, CAST(SUM(np) AS BIGINT) AS tp,
+       |          CAST(SUM(nn) AS BIGINT) AS tn,
+       |          SUM(CAST(np AS DOUBLE)
+       |            * (CAST(cumnn AS DOUBLE) - 0.5 * CAST(nn AS DOUBLE))) AS contrib
+       |         FROM cum GROUP BY source)
+       |SELECT a.source, a.n_val, a.n_correct,
+       |  CAST(a.n_correct AS DOUBLE) / CAST(a.n_val AS DOUBLE) AS accuracy,
+       |  CAST(GREATEST(a.n_pos, a.n_val - a.n_pos) AS DOUBLE)
+       |    / CAST(a.n_val AS DOUBLE) AS base_rate,
+       |  CASE WHEN u.tp * u.tn > 0
+       |    THEN u.contrib / (CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE))
+       |    END AS auc,
+       |  CAST(CASE WHEN u.tp * u.tn > 0
+       |    AND u.contrib >= $classifierValFloor
+       |      * CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+       |FROM agg a JOIN aucs u USING (source) ORDER BY a.source""".stripMargin
 
   // --------------------------------------------------------- t_tokens
   private val tokens: Q = (s, d) => {
@@ -3531,6 +3767,7 @@ object LlmData {
     "s_ivfpq_indexed" -> ivfPqIndexed,
     "s_reindex_topk" -> reindexTopK,
     "d_stream_pqdedup" -> streamPqDedup,
+    "d_stream_pqdedup_res" -> streamPqDedupRes,
     "t_langid" -> langid,
     "t_lang_mix" -> langMix,
     "t_quality" -> quality,
@@ -3538,6 +3775,7 @@ object LlmData {
     "t_normalize" -> normalizeQ,
     "t_classifier_score" -> classifier,
     "t_classifier_calib" -> classifierCalib,
+    "t_classifier_val" -> classifierVal,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
@@ -3589,6 +3827,7 @@ object LlmData {
     "_store_pq" -> ((s, d) => { trainPq(s, d); () }),
     "_store_pqres" -> ((s, d) => { trainIvfPqResidual(s, d); () }),
     "_store_classifier" -> ((s, d) => { trainClassifier(s, d); () }),
+    "_store_classifierval" -> ((s, d) => { trainClassifierVal(s, d); () }),
     "_store_exacttopk" -> ((s, d) => { exactTop3(s, d); () }),
     "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
     "_store_annreindex" -> ((s, d) => { annReindexDir(s, d); () }))
@@ -3625,7 +3864,12 @@ object LlmData {
           // persisted-index search replays the SAME composed-index
           // SQL — the gate proves persist → load → search loses
           // nothing vs the in-session path
-          "s_ivfpq_indexed" -> ivfPqTopKSql(c, b))
+          "s_ivfpq_indexed" -> ivfPqTopKSql(c, b),
+          // the residual streaming dedup reconstructs the BATCH
+          // residual dedup from its emission log — the replay is the
+          // batch query's (streaming at ingest loses nothing, in the
+          // production coding mode this time)
+          "d_stream_pqdedup_res" -> pqResSemDedupSql(c, b))
       case _ => Map.empty[String, String]
     }) ++ ((reindexCents.values.toList, residBooksStash.values.toList) match {
       // the reindexed search replays the SAME generic IVFADC SQL,
@@ -3643,6 +3887,12 @@ object LlmData {
       case f :: Nil =>
         Map("t_classifier_score" -> classifierSql(f),
           "t_classifier_calib" -> classifierCalibSql(f))
+      case _ => Map.empty[String, String]
+    }) ++ (classifierValStash.values.toList match {
+      // the held-out-validation replay interpolates the TRAIN-split
+      // fit (a different training set than trainClassifier's, so a
+      // separate stash with the same unambiguity guard)
+      case f :: Nil => Map("t_classifier_val" -> classifierValSql(f))
       case _ => Map.empty[String, String]
     })
 
