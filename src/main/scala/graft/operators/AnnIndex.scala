@@ -118,7 +118,11 @@ object AnnIndex {
     * AnnIndexSpec pins as re-code parity. Keeping the books (trained
     * on the ORIGINAL residual distribution) is the standard
     * maintenance approximation; scheduling a full PQ re-train is a
-    * separate, rarer op ([[write]] with fresh trainings). */
+    * separate, rarer op ([[write]] with fresh trainings). The
+    * approximation is MEASURABLE: run [[bookDrift]] after a reindex —
+    * a ratio ≥ Similarity.BookDriftThreshold means the kept books no
+    * longer fit the current residual distribution and the next
+    * maintenance window should re-train. */
   def reindex(df: DataFrame, vecCol: String, dir: String, table: String,
               iters: Int = 5, trainMod: Int = 5,
               targetCells: Option[Int] = None): IndexMeta = {
@@ -129,6 +133,20 @@ object AnnIndex {
       k = ncells, iters = iters, trainMod = trainMod)
     write(df, old.idCol, vecCol, dir, table, cents, old.books,
       old.numBuckets)
+  }
+
+  /** PQ-book staleness of the persisted index against the corpus it
+    * now serves ([[Similarity.bookDrift]] on the artifact's trained
+    * centroids + kept books): ≈1 → the reindex approximation holds;
+    * ≥ Similarity.BookDriftThreshold → schedule a full re-train
+    * ([[write]] with fresh trainings). Maintenance diagnostic —
+    * sampled Lloyd run + two sampled error aggs, never a query-path
+    * cost. */
+  def bookDrift(df: DataFrame, vecCol: String, dir: String,
+                iters: Int = 4, trainMod: Int = 4): Double = {
+    val meta = loadMeta(df.sparkSession, dir)
+    Similarity.bookDrift(df, meta.idCol, vecCol, meta.cents, meta.books,
+      iters, trainMod)
   }
 
   /** Attach the persisted index in this session: re-register the
@@ -148,7 +166,13 @@ object AnnIndex {
     * bucket pruning fires. The probe set's DISTINCT cells are bounded
     * by ncells (the driver already holds ncells·dim centroid doubles),
     * so the collect is safe at any corpus size or |Q|. `exact` is the
-    * float-vector store only the ≤ |Q|·shortlist rerank rows touch. */
+    * float-vector store only the ≤ |Q|·shortlist rerank rows touch.
+    *
+    * `nprobe`/`shortlist` are the index's OPERATING POINT: pick them
+    * with [[Similarity.autoOperatingPoint]] over a measured tuning
+    * frame (cheapest config meeting the recall floor) rather than
+    * hand-tuning; a `None` from the rule means no config reaches the
+    * floor and the answer is [[reindex]], not probing harder. */
   def search(queries: DataFrame, codes: DataFrame, meta: IndexMeta,
              exact: DataFrame, vecCol: String, k: Int,
              nprobe: Int, shortlist: Int): DataFrame = {

@@ -336,6 +336,39 @@ object Similarity {
     math.min(maxCells, math.max(minCells, raw))
   }
 
+  /** IVFADC operating-point rule, EXECUTABLE (the [[autoPlanes]]/
+    * [[autoCells]] discipline applied to the (nprobe, shortlist)
+    * knobs): given a measured tuning frame with (nprobe, shortlist,
+    * recall_at_3) rows — the s_ivfpq_tuning output shape, a ≤|grid|
+    * row table — return the CHEAPEST config whose recall meets
+    * `floor`, where cost orders lexicographically by nprobe (probed
+    * member-scan volume, ∝ nprobe·n/ncells code rows, dominates)
+    * then shortlist (exact-rerank rows, ≤ |Q|·shortlist float
+    * fetches). Returns None when NO config meets the floor — the
+    * caller's signal that the index is out of its rated occupancy
+    * regime and the answer is [[autoCells]]-sized re-training
+    * (AnnIndex.reindex), not probing harder.
+    *
+    * Regime note: recall is structurally non-decreasing in shortlist
+    * at fixed nprobe (a larger shortlist is a superset fed to the
+    * exact rerank — spec-pinned), but NOT in nprobe at fixed
+    * shortlist (extra probed candidates can crowd true positives out
+    * of a small ADC shortlist), so the rule reads the measured frame
+    * instead of assuming a monotone frontier. Callers should check
+    * mean cell occupancy is inside the rated band before trusting
+    * the measured recalls (the s_ivfpq_tuning in-regime guard).
+    * Driver-side cost: one collect of the tuning grid (≤ dozens of
+    * rows at any corpus size). */
+  def autoOperatingPoint(tuning: DataFrame, floor: Double): Option[(Int, Int)] =
+    tuning.select(col("nprobe").cast("long"), col("shortlist").cast("long"),
+        col("recall_at_3").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      .filter(_._3 >= floor)
+      .sortBy(t => (t._1, t._2))
+      .headOption
+      .map(t => (t._1, t._2))
+
   /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the
     * vector splits into `m` contiguous subspaces of dim/m dims, each
@@ -510,6 +543,70 @@ object Similarity {
     }
     stage1.select(col(idCol) +: col("cell") +: codeCols.toSeq: _*)
   }
+
+  /** Mean residual quantization error of `books` under `cents` on a
+    * hash sample: avg over rows of Σₘ min_j ‖res_m − b_mj‖², where
+    * res = x − q1(x). The per-row work is row-local (residuals
+    * materialize only on the bounded sample, the training-path
+    * allowance) and the result is one partial avg — a maintenance
+    * DIAGNOSTIC, not a query path. */
+  def residualQuantError(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]],
+                         trainMod: Int = 4): Double = {
+    val sample =
+      if (trainMod <= 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    val res = residualFrame(sample, idCol, vecCol, cents)
+    val errCols = books.zipWithIndex.map { case (b, sub) =>
+      val sd = b(0).length
+      val v = slice(col(vecCol), sub * sd + 1, sd)
+      // ‖v − b‖² = ‖v‖² + (‖b‖² − 2⟨v, b⟩): ‖v‖² computed once per
+      // subspace, the j-dependent part a least() over ks arms
+      val best = least(b.map { bj =>
+        val b2 = bj.map(x => x * x).sum
+        lit(b2) - lit(2.0) * dot(v, array(bj.map(lit): _*))
+      }: _*)
+      (dot(v, v) + best).as(s"_e_$sub")
+    }
+    res.select(errCols: _*)
+      .select(books.indices.map(i => col(s"_e_$i"))
+        .reduce(_ + _).as("_e"))
+      .agg(avg(col("_e"))).head().getDouble(0)
+  }
+
+  /** PQ-book STALENESS ratio (the reindex maintenance approximation
+    * made measurable): mean residual quantization error of the KEPT
+    * books under the new coarse quantizer, over the error of books
+    * FRESH-trained on the same (corpus, cents, sample). ≈1 means the
+    * kept books still quantize the current residual distribution
+    * about as well as a re-train would — the standard approximation
+    * holds; a ratio ≥ [[BookDriftThreshold]] recommends a full
+    * re-train (AnnIndex.write with fresh trainings) instead of
+    * another code-only reindex. Cost: one extra Lloyd run + two
+    * sampled error aggs — maintenance-window work, bounded by
+    * trainMod at any corpus size. */
+  def bookDrift(df: DataFrame, idCol: String, vecCol: String,
+                newCents: Array[Array[Double]],
+                keptBooks: Array[Array[Array[Double]]],
+                iters: Int = 4, trainMod: Int = 4): Double = {
+    val m = keptBooks.length
+    val ks = keptBooks(0).length
+    val dim = keptBooks(0)(0).length * m
+    val fresh = pqResidualCodebooks(df, idCol, vecCol, newCents,
+      m, ks, dim, iters, trainMod)
+    val keptErr = residualQuantError(df, idCol, vecCol, newCents,
+      keptBooks, trainMod)
+    val freshErr = residualQuantError(df, idCol, vecCol, newCents,
+      fresh, trainMod)
+    keptErr / freshErr
+  }
+
+  /** The drift ratio past which [[bookDrift]] recommends a full PQ
+    * re-train: kept books quantizing ≥ 1.5× worse than a fresh
+    * training is distribution shift, not sampling noise (replicated
+    * same-distribution corpora measure ≈ 1 — spec-pinned). */
+  val BookDriftThreshold = 1.5
 
   /** Residual-ADC scored stream with probe rank carried: (qid, cid,
     * pr, approx_score) where approx_score = round(⟨q, c_cell⟩ +

@@ -298,6 +298,48 @@ object ScaleSmoke {
     println(f"SCALE ivfpq_reindex n=$nBig cells_fixed=8 cells_auto=${centsAuto.length} " +
       f"recall_fixed8=$r8%.3f recall_autocells=$rAuto%.3f " +
       f"scan_frac_fixed8=${4.0 / 8}%.3f scan_frac_auto=${4.0 / centsAuto.length}%.4f")
+    // round-14 entry: PQ-book staleness at reindex — the kept-books
+    // approximation made MEASURABLE (Similarity.bookDrift: mean
+    // residual quantization error of the 1×-trained books under the
+    // N× re-trained quantizer vs a fresh training on the same
+    // sample). Replicated growth is the SAME distribution, so the
+    // rule must stay quiet (ratio ≈ 1); a corpus that has collapsed
+    // onto a few modes (the near-dup regime — residuals become
+    // highly quantizable structure only a fresh training captures)
+    // must fire it (ratio ≥ threshold) — the signal
+    // AnnIndex.reindex previously had no way to surface.
+    val cents8_1 = graft.operators.Similarity.kmeansCentroids(
+      emb1, "vec_id", "embedding", k = 8, iters = 4, trainMod = 4)
+    val resBooks = graft.operators.Similarity.pqResidualCodebooks(
+      emb1, "vec_id", "embedding", cents8_1, m = 4, ks = 8, dim = 64,
+      iters = 4, trainMod = 4)
+    var driftRep = 0.0; var driftShift = 0.0
+    time(s"ivfpq_bookdrift_replicated_x$n") {
+      driftRep = graft.operators.Similarity.bookDrift(embBig, "vec_id",
+        "embedding", centsAuto, resBooks); 1L
+    }
+    val modeVecs = emb1.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("mode_id"), col("embedding").as("mvec"))
+    val embShift = embBig
+      .select(col("vec_id"), pmod(col("vec_id"), lit(64L)).as("mode_id"))
+      .join(broadcast(modeVecs), "mode_id")
+      .select(col("vec_id"), transform(col("mvec"), (x, i) =>
+          (x + when(i === 0,
+            pmod(col("vec_id"), lit(1000L)).cast("float") * lit(1e-5f))
+            .otherwise(lit(0.0f))).cast("float"))
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val centsShift = graft.operators.Similarity.kmeansCentroids(
+      embShift, "vec_id", "embedding",
+      k = graft.operators.Similarity.autoCells(nBig), iters = 4, trainMod = 4)
+    time(s"ivfpq_bookdrift_shifted_x$n") {
+      driftShift = graft.operators.Similarity.bookDrift(embShift, "vec_id",
+        "embedding", centsShift, resBooks); 1L
+    }
+    val thr = graft.operators.Similarity.BookDriftThreshold
+    println(f"SCALE ivfpq_bookdrift replicated=$driftRep%.3f " +
+      f"shifted=$driftShift%.3f threshold=$thr%.1f " +
+      f"fires_replicated=${driftRep >= thr} fires_shifted=${driftShift >= thr}")
     spark.stop()
   }
 }

@@ -161,6 +161,60 @@ class AnnIndexSpec extends SparkSpec {
       s"reindexed table lost scan pruning:\n$plan")
   }
 
+  test("bookDrift: quiet on a same-distribution corpus, fires on a shifted one") {
+    val (_, books) = trained
+    // same-distribution growth (the reindex test's construction):
+    // kept books must fit the new residual distribution about as well
+    // as a fresh training — the rule stays QUIET
+    val big = (0 until 4).map { r =>
+      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i === 0, lit(r * 1e-3)).otherwise(lit(0.0)))
+          .as("embedding"))
+    }.reduce(_ unionAll _).localCheckpoint(eager = true)
+    val n = big.count()
+    val centsBig = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+      k = Similarity.autoCells(n), iters = 4, trainMod = 4)
+    val quiet = Similarity.bookDrift(big, "vec_id", "embedding",
+      centsBig, books)
+    assert(quiet < Similarity.BookDriftThreshold,
+      s"false staleness alarm on a replicated corpus: drift=$quiet")
+    // DELIBERATE distribution shift: the corpus collapses onto 32
+    // modes (the near-dup/cluster regime) — residuals become highly
+    // quantizable structure a FRESH training captures and the kept
+    // diffuse-regime books cannot, so the rule FIRES exactly when a
+    // re-train would actually buy quantization quality. (A uniform
+    // scale does NOT fire it — both books explain the same variance
+    // fraction — which is the metric being right, not insensitive.)
+    val modes = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("mode_id"), col("embedding").as("mvec"))
+    val shifted = big
+      .select(col("vec_id"), pmod(col("vec_id"), lit(32L)).as("mode_id"))
+      .join(broadcast(modes), "mode_id")
+      .select(col("vec_id"), transform(col("mvec"), (x, i) =>
+          (x + when(i === 0,
+            pmod(col("vec_id"), lit(1000L)).cast("float") * lit(1e-5f))
+            .otherwise(lit(0.0f))).cast("float"))
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val centsSh = Similarity.kmeansCentroids(shifted, "vec_id", "embedding",
+      k = Similarity.autoCells(n), iters = 4, trainMod = 4)
+    val fired = Similarity.bookDrift(shifted, "vec_id", "embedding",
+      centsSh, books)
+    assert(fired >= Similarity.BookDriftThreshold,
+      s"staleness rule silent on a mode-collapsed corpus: drift=$fired")
+    // and the AnnIndex-level convenience reads the artifact's own
+    // trainings: a just-written (fresh-books) index measures ≈ 1
+    val dir = tmp("annidx_drift")
+    val centsQ = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 4, trainMod = 4)
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_drift",
+      centsQ, books)
+    val self = AnnIndex.bookDrift(emb, "embedding", dir)
+    assert(self < Similarity.BookDriftThreshold,
+      s"fresh index reads stale against itself: drift=$self")
+  }
+
   test("load re-registers the external bucketed table after a catalog wipe") {
     val (cents, books) = trained
     val dir = tmp("annidx_reattach")

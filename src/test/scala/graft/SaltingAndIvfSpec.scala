@@ -159,6 +159,25 @@ class SaltingAndIvfSpec extends SparkSpec {
       s"full-probe residual recall ${recall((8L, 64L))} < raw PQ $pqRecall")
   }
 
+  test("autoOperatingPoint: cheapest floor-meeting config, re-train signal when none meets it") {
+    val tuning = SparkEntry.queries("s_ivfpq_tuning")(spark, sf)
+    val rows = tuning.collect().map(r =>
+      (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))
+    val floor = 0.35
+    val pick = Similarity.autoOperatingPoint(tuning, floor)
+    assert(pick.isDefined, "in-regime corpus must have a floor-meeting config")
+    val (np, sl) = pick.get
+    val recall = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(recall((np, sl)) >= floor, s"picked ($np,$sl) below floor")
+    // minimality: nothing lexicographically cheaper meets the floor
+    assert(!rows.exists(t => t._3 >= floor &&
+      (t._1 < np || (t._1 == np && t._2 < sl))),
+      s"($np,$sl) is not the cheapest floor-meeting config")
+    // an unreachable floor returns None — the caller's reindex/
+    // re-train signal — never a garbage config
+    assert(Similarity.autoOperatingPoint(tuning, 1.01).isEmpty)
+  }
+
   test("CatalogReader round-trips csv and json") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
