@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   *    replayable over the synthetic corpus;
   *  - the REAL image path ([[decodeImage]]/[[resizeImage]] —
   *    javax.imageio, in-JDK: PNG/BMP/GIF/JPEG) decodes actual
-  *    pixels, spec-driven on a generated PNG (MultimodalCodecSpec).
-  * Both run the same Spark-side contract — schema, encoders,
+  *    pixels, spec-driven on a generated PNG (MultimodalCodecSpec),
+  *    and the REAL audio path ([[decodeAudio]]/[[audioChunksReal]] —
+  *    javax.sound.sampled, in-JDK: WAV/AIFF/AU PCM) demuxes actual
+  *    samples, spec-driven on generated WAVs.
+  * All run the same Spark-side contract — schema, encoders,
   * mapPartitions batching (one codec init per partition, like a
   * Pandas-UDF batch), partition sizing — so swapping stub → real
-  * changes no plumbing. Audio/video demux remains stub-only (no
-  * in-JDK codec exists for those).
+  * changes no plumbing. Video demux remains stub-only (no in-JDK
+  * video codec exists).
   */
 object Multimodal {
 
@@ -181,6 +184,112 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
+
+  // --- the REAL audio codec path (javax.sound.sampled — in-JDK, no
+  // external dependency: WAV/AIFF/AU PCM readers ship with the JRE).
+  // The audio twin of decodeImage/resizeImage: same seam, same
+  // mapPartitions batch shape as the stubbed audioChunks; the body
+  // demuxes actual WAV bytes. The gate keeps the deterministic stub
+  // (the synthetic corpus has no real audio and the oracle must
+  // replay); a deployment whose payload column holds real WAV bytes
+  // swaps audioChunks → audioChunksReal and nothing upstream or
+  // downstream changes (spec-pinned on generated PCM WAVs in
+  // MultimodalCodecSpec). -------------------------------------------
+
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                       n_frames: Long, duration_ms: Long)
+  case class AudioChunk(doc_id: Long, duration_ms: Long, chunk_idx: Long,
+                        start_ms: Long, end_ms: Long, mean_amp: Double)
+
+  private def openPcm(docId: Long,
+                      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"undecodable audio payload for doc $docId", e)
+    }
+    require(in.getFormat.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        in.getFormat.getSampleSizeInBits == 16,
+      s"doc $docId: only 16-bit signed PCM supported, " +
+        s"got ${in.getFormat}")
+    in
+  }
+
+  /** Decode real audio headers: sample rate / channel count / frame
+    * count from the DECODED stream (metadata is advisory — the
+    * container is the truth, the decodeImage discipline);
+    * duration_ms = ⌊frames·1000/rate⌋. One codec init per partition;
+    * rows stream through. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioMeta] =
+    media.mapPartitions { it =>
+      // per-partition codec init would run here, once
+      it.map { r =>
+        val in = openPcm(r.doc_id, r.payload)
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val rate = math.round(fmt.getSampleRate)
+        in.close()
+        AudioMeta(r.doc_id, rate, fmt.getChannels, frames,
+          frames * 1000L / rate)
+      }
+    }(Encoders.product[AudioMeta])
+
+  /** Real audio chunking — [[audioChunks]]' geometry (fixed
+    * `chunkMs` windows, last chunk truncated at the clip end) over
+    * DECODED samples, plus the per-chunk feature real pipelines
+    * extract: mean absolute amplitude, normalized to [0, 1] by the
+    * 16-bit full scale and rounded with the engine-portable half-up
+    * at 6 dp (the stub's rounding discipline). Frames assign to
+    * chunks in exact integer time math (frame f → chunk
+    * ⌊f·1000 / (rate·chunkMs)⌋); channels average into the frame
+    * amplitude. Row-local one-to-many explode like the stub: no
+    * shuffle, embarrassingly parallel at any corpus size. */
+  def audioChunksReal(media: Dataset[MediaRecord],
+                      chunkMs: Int): Dataset[AudioChunk] =
+    media.mapPartitions { it =>
+      // per-partition codec init would run here, once
+      it.flatMap { r =>
+        val in = openPcm(r.doc_id, r.payload)
+        val fmt = in.getFormat
+        val rate = math.round(fmt.getSampleRate).toLong
+        val ch = fmt.getChannels
+        val big = fmt.isBigEndian
+        val bytes = in.readAllBytes()
+        in.close()
+        val frameBytes = 2 * ch
+        val nFrames = bytes.length / frameBytes
+        val durationMs = nFrames * 1000L / rate
+        // per-chunk |amplitude| sums — single pass over the samples
+        val sums = scala.collection.mutable.LongMap.empty[Long]
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        var f = 0
+        while (f < nFrames) {
+          val chunk = f * 1000L / (rate * chunkMs)
+          var c = 0
+          var amp = 0L
+          while (c < ch) {
+            val o = f * frameBytes + 2 * c
+            val s =
+              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+            amp += math.abs(s.toLong)
+            c += 1
+          }
+          sums.put(chunk, sums.getOrElse(chunk, 0L) + amp)
+          counts.put(chunk, counts.getOrElse(chunk, 0L) + ch)
+          f += 1
+        }
+        sums.keys.toSeq.sorted.map { chunk =>
+          val mean = sums(chunk).toDouble / (32768.0 * counts(chunk))
+          AudioChunk(r.doc_id, durationMs, chunk, chunk * chunkMs,
+            math.min(chunk * chunkMs + chunkMs, durationMs),
+            math.floor(mean * 1e6 + 0.5) / 1e6)
+        }
+      }
+    }(Encoders.product[AudioChunk])
 
   /** Audio chunking (stubbed demux) — frameSample's audio twin: an
     * "audio" doc yields one row per fixed-duration chunk (the window

@@ -86,6 +86,73 @@ class MultimodalCodecSpec extends SparkSpec {
     assert((gray1.getRGB(5, 5) & 0xff) == 100, "flat gray not preserved")
   }
 
+  /** PCM 16-bit WAV bytes from explicit per-frame samples (one Short
+    * per frame per channel, little-endian via the JDK's own WAV
+    * writer) — header truth and chunk means are checkable to the
+    * digit. */
+  private def wav(rateHz: Int, channels: Int,
+                  frames: Array[Array[Short]]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames.length * 2 * channels)
+    for ((fr, f) <- frames.zipWithIndex; c <- 0 until channels) {
+      val s = fr(c)
+      pcm(f * 2 * channels + 2 * c) = (s & 0xff).toByte
+      pcm(f * 2 * channels + 2 * c + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.length.toLong)
+    val buf = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("decodeAudio reads real headers: rate/channels/frames from the container, not metadata") {
+    // 5000 frames @ 8 kHz mono = 625 ms; metadata deliberately wrong
+    val mono = wav(8000, 1, Array.fill(5000)(Array[Short](1000)))
+    val stereo = wav(16000, 2, Array.fill(1600)(Array[Short](1, -1)))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, mono, 999, 999),
+      MediaRecord(2L, stereo, 999, 999)))(Encoders.product[MediaRecord])
+    val out = Multimodal.decodeAudio(ds).collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).sample_rate == 8000 && out(1L).channels == 1)
+    assert(out(1L).n_frames == 5000 && out(1L).duration_ms == 625)
+    assert(out(2L).sample_rate == 16000 && out(2L).channels == 2)
+    assert(out(2L).n_frames == 1600 && out(2L).duration_ms == 100)
+  }
+
+  test("audioChunksReal: exact chunk geometry + per-chunk mean amplitude on real samples") {
+    // three amplitude plateaus @ 8 kHz, 250 ms chunks = 2000 frames:
+    // chunk 0 → 8192/32768 = .25, chunk 1 → .5, chunk 2 (truncated,
+    // 1000 frames) → .125; alternating sign proves |amplitude|
+    val frames = (Array.fill(2000)(8192) ++ Array.fill(2000)(-16384) ++
+      Array.fill(1000)(4096)).map(s => Array(s.toShort))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(5L, wav(8000, 1, frames), 0, 0)))(Encoders.product[MediaRecord])
+    val out = Multimodal.audioChunksReal(ds, chunkMs = 250)
+      .collect().sortBy(_.chunk_idx)
+    assert(out.length == 3)
+    assert(out.forall(_.duration_ms == 625))
+    assert(out.map(c => (c.chunk_idx, c.start_ms, c.end_ms)).toSeq ==
+      Seq((0L, 0L, 250L), (1L, 250L, 500L), (2L, 500L, 625L)))
+    assert(out.map(_.mean_amp).toSeq == Seq(0.25, 0.5, 0.125))
+    // stereo channels average into the frame amplitude: (.25+.75)/2
+    val st = spark.createDataset(Seq(MediaRecord(6L,
+      wav(8000, 2, Array.fill(2000)(Array[Short](8192, -24576))), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val sOut = Multimodal.audioChunksReal(st, chunkMs = 250).collect()
+    assert(sOut.length == 1 && sOut.head.mean_amp == 0.5)
+  }
+
+  test("an undecodable audio payload fails fast with the doc id") {
+    val bad = spark.createDataset(Seq(
+      MediaRecord(9L, Array[Byte](9, 9, 9), 4, 4)))(Encoders.product[MediaRecord])
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(bad).collect()
+    }
+    assert(e.getCause != null)
+  }
+
   test("an undecodable payload fails fast with the doc id, not a null row") {
     val bad = spark.createDataset(Seq(
       MediaRecord(9L, Array[Byte](1, 2, 3), 4, 4)))(Encoders.product[MediaRecord])
