@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Assemble a BENCH_100x_r{N}.json from a graft.Bench log at an N×
+volume dir, and diff its per-key seconds against the prior campaign
+file so scale-wall regressions get the same round-over-round
+discipline as the sf0.1 bench.
+
+Usage: tools/bench_nx_assemble.py <bench-log> <prior-campaign.json> \
+       <out.json> <campaign-note>
+The bench log's LAST '{"metric":...}' line is the JSON; BENCH_local
+is not used (the log survives nohup, the cwd file may be clobbered by
+later 1x runs).
+"""
+import json, sys
+
+log, prior_p, out_p, note = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+line = None
+for l in open(log, errors="replace"):
+    if '"metric":"total"' in l:
+        line = l[l.index('{'):].strip()
+bench = json.loads(line)
+prior = json.load(open(prior_p))
+pq = prior.get("bench", prior).get("queries", {})
+nq = bench["queries"]
+# regression rule: the sf0.1 bench discipline (1.5x AND +0.5s)
+regr = {k: (pq[k], nq[k]) for k in nq
+        if k in pq and nq[k] > 1.5 * pq[k] and nq[k] > pq[k] + 0.5}
+impr = {k: (pq[k], nq[k]) for k in nq
+        if k in pq and pq[k] > 1.5 * nq[k] and pq[k] > nq[k] + 0.5}
+new = sorted(set(nq) - set(pq))
+doc = {
+    "campaign": note,
+    "data": "tools/Replicate 100 x sf0.1: 60M lineitem / 10M events / 500k docs / 200k vectors (~1.6GB parquet)",
+    "method": "graft.Bench (min-of-2, noop sink forcing all output columns, family stores cleared+timed cold as _store_* keys, marginal queries warm-store) on idle local[32] / 64g heap",
+    "diff_vs_prior": {
+        "prior_file": prior_p.split("/")[-1],
+        "regressions_1p5x_plus_half_s": {k: {"prior_s": a, "now_s": b}
+                                         for k, (a, b) in sorted(regr.items())},
+        "improvements_1p5x_plus_half_s": {k: {"prior_s": a, "now_s": b}
+                                          for k, (a, b) in sorted(impr.items())},
+        "new_keys": new,
+    },
+    "bench": bench,
+}
+json.dump(doc, open(out_p, "w"), indent=1)
+print("regressions:", json.dumps(regr, indent=1) if regr else "none")
+print("improvements:", sorted(impr))
+print("new keys:", new)
+print("wrote", out_p)
