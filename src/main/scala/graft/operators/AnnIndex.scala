@@ -40,8 +40,9 @@ import org.apache.spark.sql.functions._
   * against the persisted literals ([[Similarity.pqCodesResidual]] —
   * identical rounding/tiebreak to the build path), then written
   * into the same bucketed table. Float vectors never re-shuffle; the
-  * only exchange is the narrow (id, cell, dot-table) barrier before
-  * the code argmin, then code rows moving into their buckets.
+  * coding pass is fully partition-local (its collapse barrier is an
+  * object fence, not an exchange) and the only shuffle is code rows
+  * moving into their buckets at the write.
   * append == rebuild parity is spec-pinned (AnnIndexSpec): building
   * on a base corpus and appending a delta yields byte-identical codes
   * — and therefore identical search results — to coding the full
@@ -63,9 +64,10 @@ object AnnIndex {
     * build (full corpus) and append (delta): RESIDUAL-encoded
     * (Jégou'11 §IV — codes quantize x − q1(x), so `books` must be
     * [[Similarity.pqResidualCodebooks]] trainings). Row-local per-row
-    * work; the floats are read once and never shuffle — the only
-    * exchange is the (id, cell, dot-table) barrier inside
-    * [[Similarity.pqCodesResidual]]. */
+    * work; the floats are read once and never shuffle — the coding
+    * pass inside [[Similarity.pqCodesResidual]] is partition-local
+    * end to end (its collapse barrier is an object fence, not an
+    * exchange). */
   def codeRows(df: DataFrame, idCol: String, vecCol: String,
                cents: Array[Array[Double]],
                books: Array[Array[Array[Double]]]): DataFrame =

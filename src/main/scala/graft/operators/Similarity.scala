@@ -512,11 +512,16 @@ object Similarity {
   /** Residual PQ coding: (id, cell, code_0..code_{m-1}) in ONE pass —
     * the row-local ingest/build projection of the residual index.
     * Stage 1 computes everything that touches the floats exactly once
-    * (cell argmin + all m·ks raw-slice dots); the repartition is a
-    * COLLAPSE BARRIER (the t_classifier_score lesson) carrying only
-    * (id, cell, m·ks doubles) — floats never shuffle — so stage 2's
-    * m·ks references to `cell` resolve to a plain attribute instead
-    * of re-running the ncells-way argmin per reference. */
+    * (cell argmin + all m·ks raw-slice dots); the identity
+    * mapPartitions is a COLLAPSE BARRIER (the t_classifier_score
+    * lesson), NOT an exchange: the object boundary it inserts is one
+    * CollapseProject cannot cross, so stage 2's m·ks references to
+    * `cell` read a computed attribute instead of re-running the
+    * ncells-way argmin per reference — and rows stream through
+    * partition-locally instead of shuffling (id, cell, m·ks doubles)
+    * corpus-wide (the earlier repartition barrier cost the 100×
+    * in-session search 10.6 → 26.7 s; nothing here needs a
+    * distribution change, only a codegen fence). */
   def pqCodesResidual(df: DataFrame, idCol: String, vecCol: String,
                       cents: Array[Array[Double]],
                       books: Array[Array[Array[Double]]]): DataFrame = {
@@ -528,10 +533,11 @@ object Similarity {
         dot(v, array(bj.map(lit): _*)).as(s"_dc_${sub}_$j")
       }
     }
-    val stage1 = df.select(col(idCol) +:
+    val stage1Raw = df.select(col(idCol) +:
         assignExprOn(col(vecCol), cents, replayExact = true)
           .cast("long").as("cell") +: dcCols.toSeq: _*)
-      .repartition(col(idCol))
+    val stage1 = stage1Raw.mapPartitions(it => it)(
+      org.apache.spark.sql.Encoders.row(stage1Raw.schema))
     val codeCols = books.zipWithIndex.map { case (b, sub) =>
       val scored = b.indices.map { j =>
         val offByCell = array(offs.map(oc => lit(oc(sub)(j))): _*)
