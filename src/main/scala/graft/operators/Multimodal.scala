@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   *  - the REAL image path ([[decodeImage]]/[[resizeImage]] —
   *    javax.imageio, in-JDK: PNG/BMP/GIF/JPEG) decodes actual
   *    pixels, spec-driven on a generated PNG (MultimodalCodecSpec),
-  *    and the REAL audio path ([[decodeAudio]]/[[audioChunksReal]] —
+  *    the REAL audio path ([[decodeAudio]]/[[audioChunksReal]] —
   *    javax.sound.sampled, in-JDK: WAV/AIFF/AU PCM) demuxes actual
-  *    samples, spec-driven on generated WAVs.
+  *    samples, spec-driven on generated WAVs, and the REAL video
+  *    path ([[decodeVideo]]/[[frameSampleReal]] — pure-JVM RIFF/AVI
+  *    chunk walk + javax.imageio MJPEG frame decode) demuxes actual
+  *    containers, spec-driven on generated AVIs.
   * All run the same Spark-side contract — schema, encoders,
   * mapPartitions batching (one codec init per partition, like a
   * Pandas-UDF batch), partition sizing — so swapping stub → real
-  * changes no plumbing. Video demux remains stub-only (no in-JDK
-  * video codec exists).
+  * changes no plumbing.
   */
 object Multimodal {
 
@@ -290,6 +292,139 @@ object Multimodal {
         }
       }
     }(Encoders.product[AudioChunk])
+
+  // --- the REAL video path (pure-JVM RIFF/AVI demux + javax.imageio
+  // MJPEG frame decode — both in-JDK, no external dependency). The
+  // video twin of decodeImage/decodeAudio: AVI is a plain RIFF chunk
+  // tree, so the container demux is ~60 lines of byte walking, and
+  // MJPEG frames are ordinary JPEGs the JDK's own ImageIO decodes.
+  // Same seam, same mapPartitions batch shape as the stubbed
+  // frameSample; the body demuxes actual AVI bytes. The gate keeps
+  // the deterministic stub (the synthetic corpus has no real video
+  // and the oracle must replay); a deployment whose payload column
+  // holds real MJPEG-AVI bytes swaps frameSample → frameSampleReal
+  // and nothing upstream or downstream changes (spec-pinned on
+  // generated AVIs in MultimodalCodecSpec). -------------------------
+
+  case class VideoMeta(doc_id: Long, width: Int, height: Int, fps_q: Double,
+                       n_frames: Int, duration_ms: Long)
+  case class VideoFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+                        width: Int, height: Int, mean_byte: Double,
+                        frame_fp: String)
+
+  /** Parsed AVI: stream geometry from the headers, frame payload
+    * slices from the movi list. All RIFF integers are little-endian
+    * u32; chunk bodies pad to even length. */
+  private case class AviStream(width: Int, height: Int, scale: Long,
+                               rate: Long, frames: Vector[Array[Byte]])
+
+  private def parseAvi(docId: Long, b: Array[Byte]): AviStream = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      s"doc $docId: payload is not a RIFF/AVI container")
+    var width = 0; var height = 0; var scale = 1L; var rate = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk a chunk run [from, until): LIST chunks recurse (their body
+    // is a fourcc list-type + a nested chunk run); leaves dispatch on
+    // their id. The movi list's frame chunks are '##dc' (compressed)
+    // or '##db' (uncompressed) where ## is the stream number.
+    def walk(from: Int, until: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = cc(o)
+        val size = u32(o + 4).toInt
+        val data = o + 8
+        if (id == "LIST") walk(data + 4, data + size)
+        else id match {
+          case "strh" if cc(data) == "vids" =>
+            // dwScale/dwRate at +20/+24 of the stream header: the
+            // frame clock is rate/scale Hz (e.g. 30000/1001 = 29.97)
+            scale = u32(data + 20); rate = u32(data + 24)
+          case "strf" if width == 0 =>
+            // BITMAPINFOHEADER: biWidth at +4, biHeight at +8
+            width = u32(data + 4).toInt
+            height = math.abs(u32(data + 8).toInt)
+          case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
+              (fid.endsWith("dc") || fid.endsWith("db")) =>
+            frames += java.util.Arrays.copyOfRange(b, data, data + size)
+          case _ => () // avih/idx1/JUNK/…: advisory, skip
+        }
+        o = data + size + (size & 1) // bodies pad to even
+      }
+    }
+    walk(12, b.length)
+    require(width > 0 && rate > 0,
+      s"doc $docId: AVI lacks a vids stream header")
+    AviStream(width, height, math.max(1L, scale), rate, frames.result())
+  }
+
+  /** Decode real video containers: geometry and frame clock from the
+    * DECODED stream headers, frame count from the movi list itself
+    * (the avih dwTotalFrames field is advisory — the chunks are the
+    * truth, the decodeImage discipline). fps_q half-up at 3 dp;
+    * duration_ms = ⌊frames·scale·1000/rate⌋ in exact integer math.
+    * One codec init per partition; rows stream through. */
+  def decodeVideo(media: Dataset[MediaRecord]): Dataset[VideoMeta] =
+    media.mapPartitions { it =>
+      // per-partition codec init would run here, once
+      it.map { r =>
+        val avi = parseAvi(r.doc_id, r.payload)
+        VideoMeta(r.doc_id, avi.width, avi.height,
+          math.floor(avi.rate.toDouble / avi.scale * 1000 + 0.5) / 1000,
+          avi.frames.length,
+          avi.frames.length.toLong * avi.scale * 1000L / avi.rate)
+      }
+    }(Encoders.product[VideoMeta])
+
+  /** Real frame sampling — [[frameSample]]'s geometry (every
+    * `stride`-th frame kept) over DEMUXED frames, each kept frame
+    * decoded by javax.imageio (MJPEG frames are plain JPEGs): dims
+    * from the decoded frame, mean luminance with the undivided-sum
+    * discipline of decodeImage, and the frame fingerprint over the
+    * DECODED pixels (so two encodings of the same content collide —
+    * what frame-level dedup wants), not the compressed bytes.
+    * Row-local one-to-many flatMap like the stub: no shuffle,
+    * embarrassingly parallel at any corpus size. */
+  def frameSampleReal(media: Dataset[MediaRecord],
+                      stride: Int): Dataset[VideoFrame] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // one init per partition
+      it.flatMap { r =>
+        val avi = parseAvi(r.doc_id, r.payload)
+        val n = avi.frames.length
+        avi.frames.iterator.zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (bytes, idx) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null,
+              s"undecodable frame $idx payload for doc ${r.doc_id}")
+            val digest = java.security.MessageDigest.getInstance("MD5")
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                digest.update((rgb >> 16).toByte)
+                digest.update((rgb >> 8).toByte)
+                digest.update(rgb.toByte)
+                x += 1
+              }
+              y += 1
+            }
+            val np = img.getWidth.toLong * img.getHeight
+            val mean = if (np == 0) 0.0 else sum.toDouble / (3.0 * np)
+            VideoFrame(r.doc_id, n, idx, img.getWidth, img.getHeight,
+              math.floor(mean * 100 + 0.5) / 100,
+              digest.digest().map(b => f"${b & 0xff}%02x").mkString)
+          }.toVector.iterator
+      }
+    }(Encoders.product[VideoFrame])
 
   /** Audio chunking (stubbed demux) — frameSample's audio twin: an
     * "audio" doc yields one row per fixed-duration chunk (the window

@@ -144,6 +144,94 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(sOut.length == 1 && sOut.head.mean_amp == 0.5)
   }
 
+  /** A minimal MJPEG AVI: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh,strf}} → LIST(movi){00dc…}. dwTotalFrames in
+    * avih is set DELIBERATELY WRONG (999) — the demuxer must count
+    * the movi chunks, not trust the advisory header. */
+  private def avi(w: Int, h: Int, rate: Int, scale: Int,
+                  frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ u32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+    val avih = chunk("avih", u32(1000000L * scale / rate) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(999) /* wrong on purpose */ ++ u32(0) ++
+      u32(1) ++ u32(0) ++ u32(w.toLong) ++ u32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ u32(0) ++
+      u32(0) /* wPriority+wLanguage */ ++ u32(0) ++ u32(scale.toLong) ++
+      u32(rate.toLong) ++ u32(0) ++ u32(frames.length.toLong) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ Array.fill(8)(0.toByte) /* rcFrame */)
+    val strf = chunk("strf", u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
+      u32(0x00180001L) /* planes=1, bitcount=24 */ ++ cc("MJPG") ++
+      u32(w.toLong * h * 3) ++ Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    out.write(cc("RIFF")); out.write(u32(body.length.toLong)); out.write(body)
+    out.toByteArray
+  }
+
+  private def grayJpeg(w: Int, h: Int, g: Int, oddPad: Boolean = false): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", buf)
+    // force an odd chunk length when asked — the RIFF pad byte the
+    // writer then appends must be skipped by the demuxer's even-advance
+    val b = buf.toByteArray
+    if (oddPad && b.length % 2 == 0) b :+ 0.toByte else b
+  }
+
+  test("decodeVideo reads real container headers: dims from strf, fps from strh, frames from movi") {
+    // 29.97 fps (30000/1001), 5 frames; avih's dwTotalFrames lies (999)
+    val fs = (0 until 5).map(i => grayJpeg(32, 24, 40 * i, oddPad = i == 2))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, avi(32, 24, 30000, 1001, fs), 999, 999)))(
+      Encoders.product[MediaRecord])
+    val m = Multimodal.decodeVideo(ds).collect().head
+    assert(m.width == 32 && m.height == 24)
+    assert(m.fps_q == 29.97)
+    assert(m.n_frames == 5, "frame count must come from the movi list, not avih")
+    assert(m.duration_ms == 5L * 1001 * 1000 / 30000) // 166 ms
+  }
+
+  test("frameSampleReal: stride geometry + decoded pixel truth per kept frame") {
+    // 6 flat-gray frames at distinct levels; stride 2 keeps 0,2,4.
+    // Flat-field JPEG is DC-only, so decoded luminance stays within
+    // quantization distance of the source gray.
+    val levels = Seq(10, 60, 110, 160, 210, 250)
+    val fs = levels.map(g => grayJpeg(16, 8, g))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(3L, avi(16, 8, 10, 1, fs), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val out = Multimodal.frameSampleReal(ds, stride = 2).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(out.forall(f => f.n_frames == 6 && f.width == 16 && f.height == 8))
+    out.zip(Seq(10, 110, 210)).foreach { case (f, g) =>
+      assert(math.abs(f.mean_byte - g) <= 2.0,
+        s"frame ${f.frame_idx}: decoded mean ${f.mean_byte} far from $g")
+    }
+    // fingerprints are over DECODED pixels and distinct across levels
+    assert(out.map(_.frame_fp).distinct.length == 3)
+    assert(out.head.frame_fp.matches("[0-9a-f]{32}"))
+  }
+
+  test("an undecodable video payload fails fast with the doc id") {
+    val bad = spark.createDataset(Seq(
+      MediaRecord(9L, Array[Byte](82, 73, 70, 70), 4, 4)))(Encoders.product[MediaRecord])
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(bad).collect()
+    }
+    assert(e.getCause != null)
+  }
+
   test("an undecodable audio payload fails fast with the doc id") {
     val bad = spark.createDataset(Seq(
       MediaRecord(9L, Array[Byte](9, 9, 9), 4, 4)))(Encoders.product[MediaRecord])
