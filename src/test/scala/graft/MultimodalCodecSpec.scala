@@ -223,6 +223,24 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out.head.frame_fp.matches("[0-9a-f]{32}"))
   }
 
+  test("frame fingerprints address DECODED content: byte-distinct encodings collide cross-video") {
+    // the same JPEG with and without a trailing pad byte: different
+    // compressed bytes (a bytes-md5 would split them), identical
+    // decoded pixels — frame-level dedup must see ONE frame
+    val f = grayJpeg(12, 12, 77)
+    require(f.length % 2 == 0 || (f :+ 0.toByte).length % 2 == 0)
+    val fPadded = f :+ 0.toByte
+    val ds = spark.createDataset(Seq(
+      MediaRecord(11L, avi(12, 12, 10, 1, Seq(f)), 0, 0),
+      MediaRecord(12L, avi(12, 12, 10, 1, Seq(fPadded)), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val out = Multimodal.frameSampleReal(ds, stride = 1).collect()
+    assert(out.length == 2)
+    assert(out.map(_.frame_fp).distinct.length == 1,
+      "decoded-pixel fingerprints must collide across encodings")
+    assert(java.util.Arrays.equals(f, fPadded) == false)
+  }
+
   test("an undecodable video payload fails fast with the doc id") {
     val bad = spark.createDataset(Seq(
       MediaRecord(9L, Array[Byte](82, 73, 70, 70), 4, 4)))(Encoders.product[MediaRecord])
