@@ -87,6 +87,10 @@ object AnnIndex {
     val meta = IndexMeta(idCol, idType, numBuckets, cents, books)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     deleteRecursively(new java.io.File(s"$dir/codes"))
+    // any rebuild moves the operating curve: a tuning frame measured
+    // under the old quantizer must not drive searchAuto on the new
+    // one — drop it; the maintenance flow re-measures + writeTuning
+    deleteRecursively(new java.io.File(s"$dir/meta_tuning"))
     writeCodes(codeRows(df, idCol, vecCol, cents, books), dir, table,
       idCol, numBuckets, SaveMode.Overwrite)
     writeMeta(spark, dir, meta)
@@ -135,6 +139,35 @@ object AnnIndex {
       k = ncells, iters = iters, trainMod = trainMod)
     write(df, old.idCol, vecCol, dir, table, cents, old.books,
       old.numBuckets)
+  }
+
+  /** Reindex with the book-staleness rule EXECUTED, not just
+    * documented: train the new coarse quantizer, measure
+    * [[Similarity.bookDrift]] of the kept books under it, and decide
+    * — ratio < [[Similarity.BookDriftThreshold]] keeps the books
+    * (plain [[reindex]] semantics, the cheap standard maintenance),
+    * ratio ≥ threshold re-trains the PQ books too, REUSING the
+    * fresh training the drift measurement already paid for
+    * ([[Similarity.bookDriftDetail]] — Lloyd runs once, not twice).
+    * Returns (meta, drift ratio, whether books were re-trained) so
+    * maintenance jobs can log the decision. The gate's reindex key
+    * keeps plain [[reindex]] for oracle replay; this is the
+    * maintenance entry point a deployment schedules. */
+  def reindexAuto(df: DataFrame, vecCol: String, dir: String,
+                  table: String, iters: Int = 5, trainMod: Int = 5,
+                  targetCells: Option[Int] = None)
+      : (IndexMeta, Double, Boolean) = {
+    val spark = df.sparkSession
+    val old = loadMeta(spark, dir)
+    val ncells = targetCells.getOrElse(Similarity.autoCells(df.count()))
+    val cents = Similarity.kmeansCentroids(df, old.idCol, vecCol,
+      k = ncells, iters = iters, trainMod = trainMod)
+    val (drift, freshBooks) = Similarity.bookDriftDetail(df, old.idCol,
+      vecCol, cents, old.books, iters = iters, trainMod = trainMod)
+    val retrain = drift >= Similarity.BookDriftThreshold
+    val books = if (retrain) freshBooks else old.books
+    (write(df, old.idCol, vecCol, dir, table, cents, books,
+      old.numBuckets), drift, retrain)
   }
 
   /** PQ-book staleness of the persisted index against the corpus it
@@ -198,6 +231,57 @@ object AnnIndex {
       .select(col("qid"), col("cid"), col("approx_score"))
     Similarity.adcShortlistRerank(scored, queries, exact, idCol, vecCol,
       k, shortlist)
+  }
+
+  /** Persist a MEASURED tuning frame (the s_ivfpq_tuning output
+    * shape: nprobe, shortlist, recall_at_3) beside the trained
+    * artifacts, making the operating point part of the index itself:
+    * a fresh session [[searchAuto]]s without re-measuring. Measure
+    * on a held-out query sample against brute-force ground truth
+    * (the tuning machinery the gate key runs), re-measure after
+    * [[reindex]]/[[reindexAuto]] (the operating curve moves with the
+    * quantizer). */
+  def writeTuning(tuning: DataFrame, dir: String): Unit = {
+    val need = Set("nprobe", "shortlist", "recall_at_3")
+    require(need.subsetOf(tuning.columns.toSet),
+      s"tuning frame needs columns $need, got ${tuning.columns.toSeq}")
+    tuning.select("nprobe", "shortlist", "recall_at_3")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta_tuning")
+  }
+
+  /** The artifact's own operating point: [[Similarity.
+    * autoOperatingPoint]] (cheapest measured config meeting `floor`)
+    * over the tuning frame persisted by [[writeTuning]]. None means
+    * no stored config reaches the floor — re-size the index
+    * ([[reindexAuto]]) and re-measure, don't probe harder. Fails
+    * loudly when the artifact carries no tuning frame at all. */
+  def operatingPoint(spark: SparkSession, dir: String,
+                     floor: Double): Option[(Int, Int)] = {
+    val path = new java.io.File(s"$dir/meta_tuning")
+    require(path.exists(),
+      s"AnnIndex at $dir carries no tuning frame — measure one and " +
+        s"AnnIndex.writeTuning it before searchAuto/operatingPoint")
+    Similarity.autoOperatingPoint(
+      spark.read.parquet(s"$dir/meta_tuning"), floor)
+  }
+
+  /** [[search]] at the artifact's OWN operating point — the stored
+    * tuning frame picks (nprobe, shortlist) via the executable rule,
+    * so serving code states its recall floor instead of hand-tuned
+    * knobs. Fails loudly (with the re-size advice) when no stored
+    * config meets the floor: serving silently below a stated floor
+    * is the one thing this path must never do. */
+  def searchAuto(queries: DataFrame, codes: DataFrame, meta: IndexMeta,
+                 exact: DataFrame, vecCol: String, k: Int,
+                 dir: String, floor: Double): DataFrame = {
+    val op = operatingPoint(queries.sparkSession, dir, floor)
+    require(op.isDefined,
+      s"no stored operating point reaches recall floor $floor for " +
+        s"AnnIndex at $dir — the index is out of its rated band: " +
+        s"reindexAuto + re-measure the tuning frame, don't probe harder")
+    val (nprobe, shortlist) = op.get
+    search(queries, codes, meta, exact, vecCol, k, nprobe, shortlist)
   }
 
   // ------------------------------------------------------------------

@@ -595,7 +595,19 @@ object Similarity {
   def bookDrift(df: DataFrame, idCol: String, vecCol: String,
                 newCents: Array[Array[Double]],
                 keptBooks: Array[Array[Array[Double]]],
-                iters: Int = 4, trainMod: Int = 4): Double = {
+                iters: Int = 4, trainMod: Int = 4): Double =
+    bookDriftDetail(df, idCol, vecCol, newCents, keptBooks,
+      iters, trainMod)._1
+
+  /** [[bookDrift]] plus the fresh books the measurement trained —
+    * so a caller that decides to ACT on a firing ratio (re-train)
+    * reuses the comparison training instead of paying Lloyd twice
+    * (AnnIndex.reindexAuto's path). */
+  def bookDriftDetail(df: DataFrame, idCol: String, vecCol: String,
+                      newCents: Array[Array[Double]],
+                      keptBooks: Array[Array[Array[Double]]],
+                      iters: Int = 4, trainMod: Int = 4)
+      : (Double, Array[Array[Array[Double]]]) = {
     val m = keptBooks.length
     val ks = keptBooks(0).length
     val dim = keptBooks(0)(0).length * m
@@ -605,7 +617,7 @@ object Similarity {
       keptBooks, trainMod)
     val freshErr = residualQuantError(df, idCol, vecCol, newCents,
       fresh, trainMod)
-    keptErr / freshErr
+    (keptErr / freshErr, fresh)
   }
 
   /** The drift ratio past which [[bookDrift]] recommends a full PQ

@@ -215,6 +215,92 @@ class AnnIndexSpec extends SparkSpec {
       s"fresh index reads stale against itself: drift=$self")
   }
 
+  test("searchAuto serves at the artifact's stored operating point; missing/unmet floors fail loudly") {
+    import spark.implicits._
+    val (cents, books) = trained
+    val dir = tmp("annidx_auto")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_auto", cents, books)
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_auto")
+    val q = emb.filter(col("vec_id") < 10)
+    // no tuning frame persisted yet → loud, with the writeTuning advice
+    val noCurve = intercept[IllegalArgumentException] {
+      AnnIndex.searchAuto(q, codes, meta, emb, "embedding", k = 3,
+        dir, floor = 0.3)
+    }
+    assert(noCurve.getMessage.contains("writeTuning"))
+    // a measured frame where (4, 64) is the cheapest config meeting
+    // .30 — searchAuto must resolve to exactly search(nprobe=4,
+    // shortlist=64)
+    AnnIndex.writeTuning(Seq(
+      (2, 64, 0.21), (4, 32, 0.27), (4, 64, 0.35), (8, 64, 0.36))
+      .toDF("nprobe", "shortlist", "recall_at_3"), dir)
+    assert(AnnIndex.operatingPoint(spark, dir, 0.3).contains((4, 64)))
+    val auto = AnnIndex.searchAuto(q, codes, meta, emb, "embedding",
+      k = 3, dir, floor = 0.3).orderBy("qid", "rnk").collect()
+    val explicit = AnnIndex.search(q, codes, meta, emb, "embedding",
+      k = 3, nprobe = 4, shortlist = 64).orderBy("qid", "rnk").collect()
+    assert(auto.toSeq == explicit.toSeq)
+    // an unreachable floor must refuse to serve, pointing at re-size
+    val unmet = intercept[IllegalArgumentException] {
+      AnnIndex.searchAuto(q, codes, meta, emb, "embedding", k = 3,
+        dir, floor = 0.99)
+    }
+    assert(unmet.getMessage.contains("reindexAuto"))
+    // any rebuild drops the stored curve: a stale operating point
+    // must not survive a quantizer change
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_auto", cents, books)
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.operatingPoint(spark, dir, 0.3)
+    }.getMessage.contains("writeTuning"))
+  }
+
+  test("reindexAuto executes the staleness rule: keeps books in-distribution, re-trains on shift") {
+    val (cents, books) = trained
+    // same-distribution growth → drift quiet → books KEPT, and the
+    // artifact equals a plain reindex at the same cell count
+    val big = (0 until 4).map { r =>
+      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(i === 0, lit(r * 1e-3)).otherwise(lit(0.0)))
+          .as("embedding"))
+    }.reduce(_ unionAll _).localCheckpoint(eager = true)
+    val dir = tmp("annidx_reauto")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_reauto", cents, books)
+    val (metaKept, driftQuiet, retrainedQuiet) =
+      AnnIndex.reindexAuto(big, "embedding", dir, "ann_reauto",
+        iters = 4, trainMod = 4)
+    assert(!retrainedQuiet && driftQuiet < Similarity.BookDriftThreshold,
+      s"reindexAuto re-trained on a same-distribution corpus: $driftQuiet")
+    assert(metaKept.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq, "kept books must be byte-identical")
+    // mode-collapsed corpus (the bookDrift spec's firing regime) →
+    // books RE-TRAINED, reusing the drift measurement's training
+    val modes = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("mode_id"), col("embedding").as("mvec"))
+    val shifted = big
+      .select(col("vec_id"), pmod(col("vec_id"), lit(32L)).as("mode_id"))
+      .join(broadcast(modes), "mode_id")
+      .select(col("vec_id"), transform(col("mvec"), (x, i) =>
+          (x + when(i === 0,
+            pmod(col("vec_id"), lit(1000L)).cast("float") * lit(1e-5f))
+            .otherwise(lit(0.0f))).cast("float"))
+        .as("embedding"))
+      .localCheckpoint(eager = true)
+    val (metaFresh, driftFired, retrainedFired) =
+      AnnIndex.reindexAuto(shifted, "embedding", dir, "ann_reauto",
+        iters = 4, trainMod = 4)
+    assert(retrainedFired && driftFired >= Similarity.BookDriftThreshold,
+      s"reindexAuto kept stale books on a mode-collapsed corpus: $driftFired")
+    assert(metaFresh.books.map(_.map(_.toSeq).toSeq).toSeq !=
+      books.map(_.map(_.toSeq).toSeq).toSeq, "firing must install fresh books")
+    // the rewritten artifact round-trips and still searches
+    val (codes2, meta2) = AnnIndex.load(spark, dir, "ann_reauto")
+    val q = shifted.filter(col("vec_id") < 5)
+    val got = AnnIndex.search(q, codes2, meta2, shifted, "embedding",
+      k = 3, nprobe = 4, shortlist = 64).collect()
+    assert(got.nonEmpty)
+  }
+
   test("load re-registers the external bucketed table after a catalog wipe") {
     val (cents, books) = trained
     val dir = tmp("annidx_reattach")
