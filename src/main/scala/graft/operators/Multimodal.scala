@@ -337,6 +337,9 @@ object Multimodal {
         val id = cc(o)
         val size = u32(o + 4).toInt
         val data = o + 8
+        require(size >= 0 && data + size <= b.length,
+          s"doc $docId: truncated AVI — chunk '$id' at offset $o " +
+            s"declares $size bytes past the payload end")
         if (id == "LIST") walk(data + 4, data + size)
         else id match {
           case "strh" if cc(data) == "vids" =>

@@ -248,6 +248,17 @@ class MultimodalCodecSpec extends SparkSpec {
       Multimodal.decodeVideo(bad).collect()
     }
     assert(e.getCause != null)
+    // a TRUNCATED container (valid magic, chunk size past the end)
+    // must fail with the doc id too, not a bare bounds exception
+    val whole = avi(8, 8, 10, 1, Seq(grayJpeg(8, 8, 50)))
+    val cut = spark.createDataset(Seq(
+      MediaRecord(10L, whole.take(whole.length - 7), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val t = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideo(cut).collect()
+    }
+    assert(t.getCause != null &&
+      String.valueOf(t.getCause.getMessage).contains("doc 10"))
   }
 
   test("an undecodable audio payload fails fast with the doc id") {
