@@ -326,6 +326,11 @@ object Multimodal {
     require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
       s"doc $docId: payload is not a RIFF/AVI container")
     var width = 0; var height = 0; var scale = 1L; var rate = 0L
+    // streams number in strl order; only the VIDEO stream's strf and
+    // '##dc'/'##db' chunks count — an audio-first file must not have
+    // its WAVEFORMATEX read as a BITMAPINFOHEADER or its '##wb'
+    // twins' neighbors mixed into the frame list
+    var strhSeen = 0; var vidsStream = -1; var lastWasVids = false
     val frames = Vector.newBuilder[Array[Byte]]
     // walk a chunk run [from, until): LIST chunks recurse (their body
     // is a fourcc list-type + a nested chunk run); leaves dispatch on
@@ -342,18 +347,25 @@ object Multimodal {
             s"declares $size bytes past the payload end")
         if (id == "LIST") walk(data + 4, data + size)
         else id match {
-          case "strh" if cc(data) == "vids" =>
-            // dwScale/dwRate at +20/+24 of the stream header: the
-            // frame clock is rate/scale Hz (e.g. 30000/1001 = 29.97)
-            scale = u32(data + 20); rate = u32(data + 24)
-          case "strf" if width == 0 =>
+          case "strh" =>
+            lastWasVids = cc(data) == "vids" && vidsStream < 0
+            if (lastWasVids) {
+              // dwScale/dwRate at +20/+24 of the stream header: the
+              // frame clock is rate/scale Hz (e.g. 30000/1001 = 29.97)
+              vidsStream = strhSeen
+              scale = u32(data + 20); rate = u32(data + 24)
+            }
+            strhSeen += 1
+          case "strf" if lastWasVids =>
             // BITMAPINFOHEADER: biWidth at +4, biHeight at +8
             width = u32(data + 4).toInt
             height = math.abs(u32(data + 8).toInt)
+            lastWasVids = false
           case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
-              (fid.endsWith("dc") || fid.endsWith("db")) =>
+              (fid.endsWith("dc") || fid.endsWith("db")) &&
+              (fid.take(2).toInt == vidsStream) =>
             frames += java.util.Arrays.copyOfRange(b, data, data + size)
-          case _ => () // avih/idx1/JUNK/…: advisory, skip
+          case _ => () // avih/idx1/JUNK/other streams' chunks: skip
         }
         o = data + size + (size & 1) // bodies pad to even
       }

@@ -223,6 +223,64 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out.head.frame_fp.matches("[0-9a-f]{32}"))
   }
 
+  /** An audio-FIRST two-stream AVI: stream 0 is 'auds' (strh +
+    * WAVEFORMATEX-shaped strf whose bytes would misread as absurd
+    * dims), stream 1 is the MJPEG video; movi interleaves '00wb'
+    * audio chunks with '01dc' frames. The demuxer must take dims
+    * from the VIDEO strf and frames from stream 1 only. */
+  private def aviAudioFirst(w: Int, h: Int, rate: Int, scale: Int,
+                            frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ u32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ body)
+    val avih = chunk("avih", u32(1000000L * scale / rate) ++
+      Array.fill(52)(0.toByte))
+    val strhA = chunk("strh", cc("auds") ++ cc("    ") ++
+      Array.fill(48)(0.toByte))
+    // WAVEFORMATEX: wFormatTag=1, nChannels=1, nSamplesPerSec=8000 …
+    // reading biWidth at +4 of this blob yields 8000 — the misread
+    // the stream-aware parser must not make
+    val strfA = chunk("strf", u32(0x00010001L) ++ u32(8000L) ++
+      u32(16000L) ++ u32(0x00100002L) ++ Array.fill(2)(0.toByte))
+    val strhV = chunk("strh", cc("vids") ++ cc("MJPG") ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(scale.toLong) ++ u32(rate.toLong) ++
+      u32(0) ++ u32(frames.length.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      Array.fill(8)(0.toByte))
+    val strfV = chunk("strf", u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
+      u32(0x00180001L) ++ cc("MJPG") ++ u32(w.toLong * h * 3) ++
+      Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strhA ++ strfA) ++
+      list("strl", strhV ++ strfV))
+    val audioChunk = chunk("00wb", Array.fill(64)(0x55.toByte))
+    val movi = list("movi",
+      frames.flatMap(f => audioChunk ++ chunk("01dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    out.write(cc("RIFF")); out.write(u32(body.length.toLong)); out.write(body)
+    out.toByteArray
+  }
+
+  test("audio-first two-stream AVI: dims from the VIDEO strf, frames from the video stream only") {
+    val fs = Seq(grayJpeg(24, 16, 30), grayJpeg(24, 16, 200))
+    val ds = spark.createDataset(Seq(
+      MediaRecord(21L, aviAudioFirst(24, 16, 10, 1, fs), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val m = Multimodal.decodeVideo(ds).collect().head
+    assert(m.width == 24 && m.height == 16,
+      s"audio strf misread as video dims: ${m.width}x${m.height}")
+    assert(m.n_frames == 2, "audio '00wb' chunks counted as frames")
+    assert(m.fps_q == 10.0)
+    val out = Multimodal.frameSampleReal(ds, stride = 1).collect().sortBy(_.frame_idx)
+    assert(out.length == 2 && out.forall(f => f.width == 24 && f.height == 16))
+    assert(math.abs(out(0).mean_byte - 30) <= 2 && math.abs(out(1).mean_byte - 200) <= 2)
+  }
+
   test("frame fingerprints address DECODED content: byte-distinct encodings collide cross-video") {
     // the same JPEG with and without a trailing pad byte: different
     // compressed bytes (a bytes-md5 would split them), identical
