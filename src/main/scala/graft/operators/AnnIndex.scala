@@ -89,17 +89,38 @@ object AnnIndex {
     deleteRecursively(new java.io.File(s"$dir/codes"))
     // any rebuild moves the operating curve: a tuning frame measured
     // under the old quantizer must not drive searchAuto on the new
-    // one — drop it; the maintenance flow re-measures + writeTuning
+    // one — drop it (and its provenance); the maintenance flow
+    // re-measures + writeTuning
     deleteRecursively(new java.io.File(s"$dir/meta_tuning"))
+    deleteRecursively(new java.io.File(s"$dir/meta_tuning_info"))
     writeCodes(codeRows(df, idCol, vecCol, cents, books), dir, table,
       idCol, numBuckets, SaveMode.Overwrite)
     writeMeta(spark, dir, meta)
     meta
   }
 
+  /** Appended volume past which a stored tuning frame is STALE:
+    * appends change cell occupancy, and a curve measured on the
+    * pre-append corpus no longer certifies its recalls once the
+    * corpus has grown by this fraction of the rows it was measured
+    * over. Crossing it DROPS the frame (searchAuto then fails loudly
+    * asking for a re-measure) — serving a measured-looking operating
+    * point that nothing measured is the silent drift this guards. */
+  val StaleTuningFraction = 0.25
+
   /** Append a delta: code the new vectors row-locally against the
     * persisted artifacts and add them to the bucketed table. No
-    * retraining, no float shuffle — the production ingest path. */
+    * retraining, no float shuffle — the production ingest path.
+    *
+    * Tuning staleness: a stored tuning frame ([[writeTuning]]) was
+    * measured at a specific corpus size; appended rows change cell
+    * occupancy, so the frame's recalls decay as the corpus grows.
+    * append ACCUMULATES the delta volume in the frame's provenance
+    * and DROPS the frame once total appends exceed
+    * [[StaleTuningFraction]] of the rows the curve was measured over
+    * (or when the frame carries no row-count provenance at all) —
+    * the next [[searchAuto]] then fails loudly demanding a
+    * re-measure instead of serving below its stated floor. */
   def append(newDf: DataFrame, vecCol: String,
              dir: String, table: String): Unit = {
     val spark = newDf.sparkSession
@@ -107,6 +128,30 @@ object AnnIndex {
     registerIfAbsent(spark, dir, table, meta)
     writeCodes(codeRows(newDf, meta.idCol, vecCol, meta.cents, meta.books),
       dir, table, meta.idCol, meta.numBuckets, SaveMode.Append)
+    ageTuning(spark, dir, newDf)
+  }
+
+  /** Post-append tuning-frame aging (see [[append]]'s scaladoc): one
+    * count on the DELTA only, and only when a tuning frame exists. */
+  private def ageTuning(spark: SparkSession, dir: String,
+                        newDf: DataFrame): Unit = {
+    val tuningDir = new java.io.File(s"$dir/meta_tuning")
+    if (tuningDir.exists()) {
+      val n = newDf.count()
+      val kept = readTuningInfo(spark, dir).flatMap { info =>
+        val total = info.appended_rows + n
+        if (info.indexed_rows > 0 &&
+            total.toDouble <= StaleTuningFraction * info.indexed_rows)
+          Some(info.copy(appended_rows = total))
+        else None
+      }
+      kept match {
+        case Some(info) => writeTuningInfo(spark, dir, info)
+        case None =>
+          deleteRecursively(tuningDir)
+          deleteRecursively(new java.io.File(s"$dir/meta_tuning_info"))
+      }
+    }
   }
 
   /** Re-train the coarse quantizer at the corpus's CURRENT size and
@@ -152,22 +197,38 @@ object AnnIndex {
     * Returns (meta, drift ratio, whether books were re-trained) so
     * maintenance jobs can log the decision. The gate's reindex key
     * keeps plain [[reindex]] for oracle replay; this is the
-    * maintenance entry point a deployment schedules. */
+    * maintenance entry point a deployment schedules.
+    *
+    * Pass `tuningQueries` (a held-out query sample) to END the
+    * maintenance call with a SERVABLE artifact: [[write]] drops the
+    * stale tuning frame (the curve moves with the quantizer), so
+    * without a re-measure the rebuilt index cannot [[searchAuto]];
+    * with it, the rebuild is followed by [[measureTuning]] +
+    * [[writeTuning]] (provenance: `measuredFloor` + the corpus size
+    * this call just indexed), and searchAuto works immediately. */
   def reindexAuto(df: DataFrame, vecCol: String, dir: String,
                   table: String, iters: Int = 5, trainMod: Int = 5,
-                  targetCells: Option[Int] = None)
+                  targetCells: Option[Int] = None,
+                  tuningQueries: Option[DataFrame] = None,
+                  measuredFloor: Option[Double] = None)
       : (IndexMeta, Double, Boolean) = {
     val spark = df.sparkSession
     val old = loadMeta(spark, dir)
-    val ncells = targetCells.getOrElse(Similarity.autoCells(df.count()))
+    val nRows = df.count()
+    val ncells = targetCells.getOrElse(Similarity.autoCells(nRows))
     val cents = Similarity.kmeansCentroids(df, old.idCol, vecCol,
       k = ncells, iters = iters, trainMod = trainMod)
     val (drift, freshBooks) = Similarity.bookDriftDetail(df, old.idCol,
       vecCol, cents, old.books, iters = iters, trainMod = trainMod)
     val retrain = drift >= Similarity.BookDriftThreshold
     val books = if (retrain) freshBooks else old.books
-    (write(df, old.idCol, vecCol, dir, table, cents, books,
-      old.numBuckets), drift, retrain)
+    val meta = write(df, old.idCol, vecCol, dir, table, cents, books,
+      old.numBuckets)
+    tuningQueries.foreach { q =>
+      writeTuning(measureTuning(q, df, vecCol, dir, table), dir,
+        measuredFloor, indexedRows = Some(nRows))
+    }
+    (meta, drift, retrain)
   }
 
   /** PQ-book staleness of the persisted index against the corpus it
@@ -233,21 +294,126 @@ object AnnIndex {
       k, shortlist)
   }
 
-  /** Persist a MEASURED tuning frame (the s_ivfpq_tuning output
+  /** MEASURE the persisted index's tuning curve — the operating-point
+    * table [[searchAuto]] serves from, produced by the LIBRARY (not a
+    * gate harness): recall@3 of the indexed search vs brute-force
+    * ground truth for every (nprobe, shortlist) grid config.
+    *
+    * Mechanics (the s_ivfpq_tuning machinery): the ADC stream is
+    * scored ONCE at the grid's max nprobe with each candidate's probe
+    * rank carried, reading the PERSISTED codes (bucket-pruned by the
+    * probed-cell IN filter — floats never shuffle; re-scoring per
+    * config would rerun the stream |grid| times); the grid then
+    * reuses it by filtering pr ≤ nprobe, reranks each config's
+    * shortlist on exact cosine, and scores recall@3 against
+    * [[Similarity.bruteForceTopK]] ground truth (pass a precomputed
+    * frame via `exactTop` — columns qid, cid — to share one
+    * brute-force pass across measurement consumers). Cost scales
+    * with |Q|·(probed members), never the corpus: run it on a
+    * held-out query SAMPLE (tens of queries), as a maintenance job.
+    *
+    * Recall is at k=3 by contract — the stored frame's column is the
+    * `recall_at_3` [[operatingPoint]]/[[Similarity.
+    * autoOperatingPoint]] read; a floor stated against it is a proxy
+    * for serving quality at any k. Output: (nprobe, shortlist,
+    * n_hits, recall_at_3), one row per grid config. */
+  def measureTuning(queries: DataFrame, corpus: DataFrame, vecCol: String,
+                    dir: String, table: String,
+                    nprobes: Seq[Int] = 1 to 8,
+                    shortlists: Seq[Long] = Seq(16L, 32L, 64L),
+                    exactTop: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm, cosineWithNorms}
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val (codes, meta) = load(spark, dir, table)
+    val idCol = meta.idCol
+    val maxProbe = nprobes.max
+    // probe + residual-ADC scoring at maxProbe, pr carried — the
+    // persisted-codes twin of Similarity.ivfPqResidualScored (append
+    // == rebuild parity makes them row-identical), with the probed
+    // cells pushed into the scan as a literal IN filter so bucket
+    // pruning fires exactly as in [[search]]
+    val probes = Similarity.probeCells(queries, idCol, vecCol,
+        meta.cents, maxProbe)
+      .localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = codes
+      .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .withColumnRenamed(idCol, "cid")
+      .join(broadcast(probes), "cell")
+      .join(Similarity.pqQueryLut(queries, idCol, vecCol, meta.books), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx_score",
+        round(col("qcdot") + Similarity.adcScore(meta.m), 6))
+      .select(col("qid"), col("cid"), col("pr"), col("approx_score"))
+    val grid = {
+      import spark.implicits._
+      broadcast(nprobes.map(_.toLong).toDF("nprobe")
+        .crossJoin(shortlists.toDF("shortlist")))
+    }
+    val wS = Window.partitionBy("nprobe", "shortlist", "qid")
+      .orderBy(col("approx_score").desc, col("cid"))
+    val short = scored.join(grid, col("pr") <= col("nprobe"))
+      .withColumn("srnk", row_number().over(wS))
+      .filter(col("srnk") <= col("shortlist"))
+      .select("nprobe", "shortlist", "qid", "cid")
+    val qv = broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec"))))
+    val cv = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+    val wR = Window.partitionBy("nprobe", "shortlist", "qid")
+      .orderBy(col("cos_sim").desc, col("cid"))
+    val approxTop = short.join(qv, "qid").join(cv, "cid")
+      .select(col("nprobe"), col("shortlist"), col("qid"), col("cid"),
+        cosineWithNorms(dot(col("qvec"), col("cvec")), col("qnrm"),
+          col("cnrm")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= 3)
+      .select("nprobe", "shortlist", "qid", "cid")
+    val exact = exactTop.getOrElse(
+        Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k = 3))
+      .select(col("qid"), col("cid"))
+    val hits = approxTop.join(exact, Seq("qid", "cid"))
+      .groupBy("nprobe", "shortlist").agg(count(lit(1)).as("n_hits"))
+    val nex = exact.agg(count(lit(1)).as("n_exact"))
+    grid.crossJoin(broadcast(nex))
+      .join(hits, Seq("nprobe", "shortlist"), "left_outer")
+      .select(col("nprobe"), col("shortlist"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
+  }
+
+  /** Persist a MEASURED tuning frame (the [[measureTuning]] output
     * shape: nprobe, shortlist, recall_at_3) beside the trained
     * artifacts, making the operating point part of the index itself:
     * a fresh session [[searchAuto]]s without re-measuring. Measure
-    * on a held-out query sample against brute-force ground truth
-    * (the tuning machinery the gate key runs), re-measure after
-    * [[reindex]]/[[reindexAuto]] (the operating curve moves with the
-    * quantizer). */
-  def writeTuning(tuning: DataFrame, dir: String): Unit = {
+    * on a held-out query sample against brute-force ground truth,
+    * re-measure after [[reindex]]/[[reindexAuto]] (the operating
+    * curve moves with the quantizer).
+    *
+    * Provenance (meta_tuning_info): `measuredFloor` is the recall
+    * floor the producer VALIDATED this curve against —
+    * [[operatingPoint]] warns when a caller later states a higher
+    * floor than the measurement supports; `indexedRows` is the
+    * corpus size the curve was measured over — [[append]] ages the
+    * frame against it and drops it once appends exceed
+    * [[StaleTuningFraction]]. Omitting `indexedRows` means the frame
+    * carries no aging baseline and the FIRST append drops it. */
+  def writeTuning(tuning: DataFrame, dir: String,
+                  measuredFloor: Option[Double] = None,
+                  indexedRows: Option[Long] = None): Unit = {
     val need = Set("nprobe", "shortlist", "recall_at_3")
     require(need.subsetOf(tuning.columns.toSet),
       s"tuning frame needs columns $need, got ${tuning.columns.toSeq}")
     tuning.select("nprobe", "shortlist", "recall_at_3")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/meta_tuning")
+    writeTuningInfo(tuning.sparkSession, dir,
+      TuningInfo(measuredFloor.getOrElse(Double.NaN),
+        indexedRows.getOrElse(-1L), appended_rows = 0L))
   }
 
   /** The artifact's own operating point: [[Similarity.
@@ -262,6 +428,18 @@ object AnnIndex {
     require(path.exists(),
       s"AnnIndex at $dir carries no tuning frame — measure one and " +
         s"AnnIndex.writeTuning it before searchAuto/operatingPoint")
+    // floor provenance: a curve validated against measured_floor does
+    // not certify a HIGHER floor (a |Q|-sample measurement's recall
+    // granularity is coarse) — warn, loudly, but let the measured
+    // values decide; an unmeetable floor still comes back None
+    readTuningInfo(spark, dir).foreach { info =>
+      if (!info.measured_floor.isNaN && floor > info.measured_floor)
+        System.err.println(
+          s"[AnnIndex] WARNING: caller states recall floor $floor but " +
+            s"the tuning frame at $dir was validated against " +
+            s"${info.measured_floor} — re-measure with a larger query " +
+            s"sample before trusting the higher floor")
+    }
     Similarity.autoOperatingPoint(
       spark.read.parquet(s"$dir/meta_tuning"), floor)
   }
@@ -306,6 +484,33 @@ object AnnIndex {
            |CLUSTERED BY (cell) SORTED BY (cell) INTO ${meta.numBuckets} BUCKETS
            |LOCATION '$dir/codes'""".stripMargin)
     }
+
+  /** Tuning-frame provenance (meta_tuning_info): the floor the curve
+    * was validated against (NaN = unstated), the corpus size it was
+    * measured over (-1 = unstated), and the rows appended since —
+    * what [[append]]'s staleness rule and [[operatingPoint]]'s floor
+    * warning read. */
+  private case class TuningInfo(measured_floor: Double,
+                                indexed_rows: Long, appended_rows: Long)
+
+  private def writeTuningInfo(spark: SparkSession, dir: String,
+                              info: TuningInfo): Unit = {
+    import spark.implicits._
+    Seq(info).toDF()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta_tuning_info")
+  }
+
+  private def readTuningInfo(spark: SparkSession,
+                             dir: String): Option[TuningInfo] = {
+    val f = new java.io.File(s"$dir/meta_tuning_info")
+    if (!f.exists()) None
+    else {
+      val r = spark.read.parquet(s"$dir/meta_tuning_info")
+        .select("measured_floor", "indexed_rows", "appended_rows").head()
+      Some(TuningInfo(r.getDouble(0), r.getLong(1), r.getLong(2)))
+    }
+  }
 
   /** The coding scheme this implementation writes and scores with.
     * Persisted in meta_params so an artifact written under a

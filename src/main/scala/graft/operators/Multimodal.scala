@@ -178,7 +178,10 @@ object Multimodal {
     * stand-in for the decoded frame's content hash). Row-local
     * projection + explode: no shuffle, embarrassingly parallel at any
     * corpus size. */
-  def frameSample(documents: DataFrame, stride: Int): DataFrame =
+  def frameSample(documents: DataFrame, stride: Int): DataFrame = {
+    // stride = 0 would make `frame_idx % 0` null and silently empty
+    // the result; fail at plan-build time instead
+    require(stride > 0, s"frameSample: stride must be > 0, got $stride")
     documents
       .select(col("doc_id"), ((col("doc_id") % 10) + 1).cast("int").as("n_frames"))
       .select(col("doc_id"), col("n_frames"),
@@ -186,6 +189,7 @@ object Multimodal {
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
         md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_fp"))
+  }
 
   // --- the REAL audio codec path (javax.sound.sampled — in-JDK, no
   // external dependency: WAV/AIFF/AU PCM readers ship with the JRE).
@@ -250,7 +254,11 @@ object Multimodal {
     * amplitude. Row-local one-to-many explode like the stub: no
     * shuffle, embarrassingly parallel at any corpus size. */
   def audioChunksReal(media: Dataset[MediaRecord],
-                      chunkMs: Int): Dataset[AudioChunk] =
+                      chunkMs: Int): Dataset[AudioChunk] = {
+    // validated at plan-build time on the driver: chunkMs = 0 would
+    // otherwise surface as an executor-side divide-by-zero with no
+    // argument context
+    require(chunkMs > 0, s"audioChunksReal: chunkMs must be > 0, got $chunkMs")
     media.mapPartitions { it =>
       // per-partition codec init would run here, once
       it.flatMap { r =>
@@ -292,6 +300,7 @@ object Multimodal {
         }
       }
     }(Encoders.product[AudioChunk])
+  }
 
   // --- the REAL video path (pure-JVM RIFF/AVI demux + javax.imageio
   // MJPEG frame decode — both in-JDK, no external dependency). The
@@ -348,6 +357,13 @@ object Multimodal {
         if (id == "LIST") walk(data + 4, data + size)
         else id match {
           case "strh" =>
+            // the fixed fields read below (fccType at +0, dwScale/
+            // dwRate at +20/+24) need 28 bytes — a malformed header
+            // smaller than that must fail with the doc id, not an
+            // executor-side ArrayIndexOutOfBoundsException
+            require(size >= 28,
+              s"doc $docId: malformed AVI — strh chunk at offset $o " +
+                s"is $size bytes, stream header needs >= 28")
             lastWasVids = cc(data) == "vids" && vidsStream < 0
             if (lastWasVids) {
               // dwScale/dwRate at +20/+24 of the stream header: the
@@ -357,7 +373,11 @@ object Multimodal {
             }
             strhSeen += 1
           case "strf" if lastWasVids =>
-            // BITMAPINFOHEADER: biWidth at +4, biHeight at +8
+            // BITMAPINFOHEADER: biWidth at +4, biHeight at +8 — 12
+            // bytes minimum before the fixed-offset reads
+            require(size >= 12,
+              s"doc $docId: malformed AVI — vids strf chunk at offset " +
+                s"$o is $size bytes, BITMAPINFOHEADER needs >= 12")
             width = u32(data + 4).toInt
             height = math.abs(u32(data + 8).toInt)
             lastWasVids = false
@@ -404,7 +424,11 @@ object Multimodal {
     * Row-local one-to-many flatMap like the stub: no shuffle,
     * embarrassingly parallel at any corpus size. */
   def frameSampleReal(media: Dataset[MediaRecord],
-                      stride: Int): Dataset[VideoFrame] =
+                      stride: Int): Dataset[VideoFrame] = {
+    // validated at plan-build time on the driver, like audioChunksReal:
+    // stride = 0 would otherwise surface as an executor-side
+    // divide-by-zero with no argument context
+    require(stride > 0, s"frameSampleReal: stride must be > 0, got $stride")
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // one init per partition
       it.flatMap { r =>
@@ -440,6 +464,7 @@ object Multimodal {
           }.toVector.iterator
       }
     }(Encoders.product[VideoFrame])
+  }
 
   /** Audio chunking (stubbed demux) — frameSample's audio twin: an
     * "audio" doc yields one row per fixed-duration chunk (the window
@@ -448,7 +473,10 @@ object Multimodal {
     * here; the real duration field in production); chunk fingerprints
     * stand in for decoded-chunk content hashes. Row-local explode —
     * no shuffle, embarrassingly parallel at any corpus size. */
-  def audioChunks(documents: DataFrame, chunkMs: Int): DataFrame =
+  def audioChunks(documents: DataFrame, chunkMs: Int): DataFrame = {
+    // chunkMs = 0 would reach the DIV below as a null/zero divisor;
+    // fail at plan-build time instead
+    require(chunkMs > 0, s"audioChunks: chunkMs must be > 0, got $chunkMs")
     documents
       .select(col("doc_id"),
         ((col("doc_id") % 90000) + 1000).cast("long").as("duration_ms"))
@@ -459,4 +487,5 @@ object Multimodal {
         (col("chunk_idx") * chunkMs).as("start_ms"),
         least(col("chunk_idx") * chunkMs + chunkMs, col("duration_ms")).as("end_ms"),
         md5(concat_ws(":", col("doc_id"), col("chunk_idx"))).as("chunk_fp"))
+  }
 }

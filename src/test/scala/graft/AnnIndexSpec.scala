@@ -301,6 +301,111 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("measureTuning: every grid row's recall is exactly what the serving path delivers at that config") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_tune")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_tune", cents, books)
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_tune")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("qid"), col("cid")).localCheckpoint(eager = true)
+    val nExact = exact.count().toDouble
+    val frame = AnnIndex.measureTuning(q, emb, "embedding", dir, "ann_tune",
+        nprobes = 1 to 4, shortlists = Seq(16L, 64L),
+        exactTop = Some(exact))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(frame.size == 8, s"grid must have 4×2 rows, got ${frame.keySet}")
+    // the measured curve must BE the serving path's accuracy: for each
+    // config, recall from AnnIndex.search at (nprobe, shortlist)
+    // against the same ground truth equals the frame's row — a curve
+    // that disagrees with serving would pick operating points nothing
+    // actually delivers
+    for (np <- 1 to 4; sl <- Seq(16, 64)) {
+      val served = AnnIndex.search(q, codes, meta, emb, "embedding",
+        k = 3, nprobe = np, shortlist = sl).select("qid", "cid")
+      val hits = served.join(exact, Seq("qid", "cid")).count()
+      val (gotHits, gotRecall) = frame((np, sl))
+      assert(gotHits == hits,
+        s"($np, $sl): frame n_hits=$gotHits, serving path delivers $hits")
+      assert(gotRecall == math.floor(hits / nExact * 1e6 + 0.5) / 1e6 ||
+        gotRecall == BigDecimal(hits / nExact)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"($np, $sl): frame recall=$gotRecall, serving=${hits / nExact}")
+    }
+    // recall must be non-decreasing in shortlist at fixed nprobe (a
+    // larger shortlist is a superset fed to the exact rerank)
+    for (np <- 1 to 4)
+      assert(frame((np, 64))._2 >= frame((np, 16))._2)
+  }
+
+  test("append ages the tuning frame: in-budget appends keep it, crossing the fraction drops it") {
+    import spark.implicits._
+    val (cents, books) = trained
+    val dir = tmp("annidx_age")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_age", cents, books)
+    val n = emb.count()
+    val curve = Seq((4, 64, 0.4)).toDF("nprobe", "shortlist", "recall_at_3")
+    AnnIndex.writeTuning(curve, dir, measuredFloor = Some(0.3),
+      indexedRows = Some(n))
+    // ~10% append: inside the staleness budget — the curve survives
+    val d1 = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+    AnnIndex.append(d1, "embedding", dir, "ann_age")
+    assert(AnnIndex.operatingPoint(spark, dir, 0.3).contains((4, 64)),
+      "an in-budget append must not drop the tuning frame")
+    // a further ~20% pushes CUMULATIVE appends past StaleTuningFraction
+    // — the frame is dropped and searchAuto fails loudly
+    val d2 = emb.filter(col("vec_id") % 10 < 2)
+      .select((col("vec_id") + lit(20000000L)).as("vec_id"), col("embedding"))
+    AnnIndex.append(d2, "embedding", dir, "ann_age")
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.operatingPoint(spark, dir, 0.3)
+    }.getMessage.contains("writeTuning"),
+      "cumulative appends past the fraction must drop the stale curve")
+    // a frame with NO row-count provenance cannot be aged — the first
+    // append drops it (conservative: unknown baseline, unknown decay)
+    AnnIndex.writeTuning(curve, dir)
+    AnnIndex.append(d1.select((col("vec_id") + lit(30000000L))
+      .as("vec_id"), col("embedding")), "embedding", dir, "ann_age")
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.operatingPoint(spark, dir, 0.3)
+    }.getMessage.contains("writeTuning"))
+  }
+
+  test("reindexAuto with tuningQueries ends SERVABLE, and floors above the validated one warn") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_srv")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_srv", cents, books)
+    val q = emb.filter(col("vec_id") < 10)
+    val (meta, _, _) = AnnIndex.reindexAuto(emb, "embedding", dir, "ann_srv",
+      iters = 4, trainMod = 4, targetCells = Some(8),
+      tuningQueries = Some(q), measuredFloor = Some(0.05))
+    // the maintenance call re-measured + persisted the curve itself:
+    // searchAuto works immediately, at the cheapest config meeting the
+    // floor, with no harness in between
+    val op = AnnIndex.operatingPoint(spark, dir, 0.05)
+    assert(op.isDefined, "reindexAuto(tuningQueries) left no servable curve")
+    val (codes, loaded) = AnnIndex.load(spark, dir, "ann_srv")
+    val auto = AnnIndex.searchAuto(q, codes, loaded, emb, "embedding",
+      k = 3, dir, floor = 0.05).orderBy("qid", "rnk").collect()
+    val explicit = AnnIndex.search(q, codes, loaded, emb, "embedding",
+      k = 3, nprobe = op.get._1, shortlist = op.get._2)
+      .orderBy("qid", "rnk").collect()
+    assert(auto.toSeq == explicit.toSeq)
+    assert(meta.ncells == 8)
+    // floor provenance: asking above the measured-floor validation
+    // warns on stderr (the measurement does not certify it) but the
+    // measured values still decide
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try AnnIndex.operatingPoint(spark, dir, 0.10)
+    finally System.setErr(oldErr)
+    assert(errBuf.toString.contains("validated against"),
+      s"no provenance warning for a floor above the validated one: '$errBuf'")
+  }
+
   test("load re-registers the external bucketed table after a catalog wipe") {
     val (cents, books) = trained
     val dir = tmp("annidx_reattach")

@@ -17,6 +17,9 @@ line = None
 for l in open(log, errors="replace"):
     if '"metric":"total"' in l:
         line = l[l.index('{'):].strip()
+if line is None:
+    sys.exit(f'no \'"metric":"total"\' line found in {log} — '
+             "did graft.Bench finish? (its JSON is the last stdout line)")
 bench = json.loads(line)
 prior = json.load(open(prior_p))
 pq = prior.get("bench", prior).get("queries", {})
