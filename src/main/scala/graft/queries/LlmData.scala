@@ -2852,6 +2852,229 @@ object LlmData {
       |WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------- m_image/audio/video_real
+  // The REAL codecs under the oracle (not just spec-pinned): payload
+  // bytes are generated IN-QUERY as a pure function of doc_id (the
+  // attachPayload discipline — real PNG / PCM-WAV / PNG-codec-AVI
+  // containers through the JDK's own encoders), then decoded by the
+  // REAL codec paths (decodeImage / audioChunksReal / decodeVideo +
+  // frameSampleReal), and the DECODED truths are hash-checked against
+  // the generator's closed-form formula in DuckDB — the s_lsh_topk
+  // plane-literal discipline applied to media. Lossless encodings
+  // only (PNG pixels, PCM samples), so every decoded value is exact;
+  // the lossy-codec tolerance story (MJPEG quantization) stays
+  // spec-pinned in MultimodalCodecSpec where ± bounds are expressible.
+  // All three are row-local mapPartitions generate→decode chains: one
+  // codec init per partition, zero shuffle at any corpus size (the
+  // video row's meta⋈frames join is the one tiny exception — two
+  // decode passes over the same row-local stream).
+
+  /** Two-band gray PNG per doc: left ⌊w/2⌋ columns at g1 = 3·id mod
+    * 256, rest at g2 = 7·id mod 256, dims from the advisory-metadata
+    * formula — mean luminance is the exact rational
+    * (⌊w/2⌋·g1 + (w−⌊w/2⌋)·g2)/w, so the decoded feature is checkable
+    * to the digit (flat fields alone would not prove per-pixel
+    * accumulation). */
+  private def attachImagePayload(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val ids: Dataset[Long] = Tables.documents(s, d)
+      .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
+      .map(_.longValue())(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // one init per partition
+      it.map { id =>
+        val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+        val g1 = ((id * 3) % 256).toInt; val g2 = ((id * 7) % 256).toInt
+        val wl = w / 2
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = if (x < wl) g1 else g2
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        Multimodal.MediaRecord(id, buf.toByteArray, w, h)
+      }
+    }(Encoders.product[Multimodal.MediaRecord])
+  }
+
+  private val imageReal: Q = (s, d) =>
+    Multimodal.decodeImage(attachImagePayload(s, d)).toDF()
+      // byte_len is the PNG encoder's output size — real but not
+      // closed-form; the analytic columns are the gate surface
+      .select("doc_id", "width", "height", "mean_byte", "aspect_q")
+      .orderBy("doc_id")
+
+  private val imageRealSql =
+    """WITH g AS (SELECT doc_id,
+      |    CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+      |    CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+      |    (doc_id * 3) % 256 AS g1, (doc_id * 7) % 256 AS g2
+      |  FROM documents)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      | FLOOR(CAST((w // 2) * g1 + (w - w // 2) * g2 AS DOUBLE) / w * 100 + 0.5)
+      |   / 100 AS mean_byte,
+      | FLOOR(CAST(w AS DOUBLE) / h * 1000 + 0.5) / 1000 AS aspect_q
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** PCM 16-bit 8 kHz mono WAV per doc: n = id mod 10 + 1 full 50 ms
+    * chunks of 400 frames plus one truncated 25 ms tail chunk, chunk
+    * c filled with the constant amplitude a_c = ((id + 37c) mod 100
+    * + 1)·250, sign alternating by chunk (|amplitude| must not care)
+    * — mean_amp per chunk is EXACTLY a_c/32768 (a power-of-two
+    * division: exact in binary both engines). */
+  private def attachAudioPayload(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val ids: Dataset[Long] = Tables.documents(s, d)
+      .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
+      .map(_.longValue())(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 10 + 1).toInt
+        val total = n * 400 + 200
+        val pcm = new Array[Byte](total * 2)
+        var f = 0
+        while (f < total) {
+          val c = f / 400
+          val amp = (((id + c * 37L) % 100 + 1) * 250).toInt
+          val smp = if (c % 2 == 1) -amp else amp
+          pcm(2 * f) = (smp & 0xff).toByte
+          pcm(2 * f + 1) = ((smp >> 8) & 0xff).toByte
+          f += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, total.toLong)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+        Multimodal.MediaRecord(id, buf.toByteArray, 0, 0)
+      }
+    }(Encoders.product[Multimodal.MediaRecord])
+  }
+
+  private val audioReal: Q = (s, d) =>
+    Multimodal.audioChunksReal(attachAudioPayload(s, d), chunkMs = 50)
+      .toDF().orderBy("doc_id", "chunk_idx")
+
+  private val audioRealSql =
+    """WITH p AS (SELECT doc_id, CAST(doc_id % 10 + 1 AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, n,
+      |   unnest(generate_series(0, n)) AS chunk_idx FROM p)
+      |SELECT doc_id, n * 50 + 25 AS duration_ms, chunk_idx,
+      | chunk_idx * 50 AS start_ms,
+      | LEAST(chunk_idx * 50 + 50, n * 50 + 25) AS end_ms,
+      | FLOOR(CAST(((doc_id + chunk_idx * 37) % 100 + 1) * 250 AS DOUBLE)
+      |   / 32768 * 1e6 + 0.5) / 1e6 AS mean_amp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PNG-codec AVI per doc ('PNG ' fourcc — the lossless intra-frame
+    * codec real pipelines use when frame-exact truth matters; the
+    * MJPEG path's quantization-tolerant checks stay in
+    * MultimodalCodecSpec): n = id mod 5 + 2 flat-gray frames at
+    * g_i = (11·id + 31i) mod 256, frame clock rate/scale =
+    * ((id mod 4 + 1)·1000)/100 — geometry, fps, duration AND decoded
+    * per-frame luminance are all closed-form. The writer mirrors the
+    * RIFF layout [[Multimodal.decodeVideo]] parses (the codec spec
+    * keeps its own independent generator, so encode/decode errors
+    * cannot cancel). */
+  private def attachVideoPayload(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val ids: Dataset[Long] = Tables.documents(s, d)
+      .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
+      .map(_.longValue())(Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def u32(v: Long): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def cc(str: String): Array[Byte] = str.getBytes("US-ASCII")
+      def chunk(cid: String, body: Array[Byte]): Array[Byte] =
+        cc(cid) ++ u32(body.length.toLong) ++ body ++
+          (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      def list(typ: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", cc(typ) ++ body)
+      it.map { id =>
+        val w = (id % 32 + 8).toInt; val h = (id % 24 + 8).toInt
+        val n = (id % 5 + 2).toInt
+        val rate = ((id % 4 + 1) * 1000).toInt; val scale = 100
+        val frames = (0 until n).map { i =>
+          val g = ((id * 11 + i * 31L) % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          buf.toByteArray
+        }
+        // standard 56-byte AVIMAINHEADER (dwWidth/dwHeight at +32/+36);
+        // parseAvi treats avih as advisory, but the container is real
+        val avih = chunk("avih", u32(1000000L * scale / rate) ++
+          Array.fill(28)(0.toByte) ++ u32(w.toLong) ++ u32(h.toLong) ++
+          Array.fill(16)(0.toByte))
+        val strh = chunk("strh", cc("vids") ++ cc("PNG ") ++ u32(0) ++
+          u32(0) ++ u32(0) ++ u32(scale.toLong) ++ u32(rate.toLong) ++
+          u32(0) ++ u32(n.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+          Array.fill(8)(0.toByte))
+        val strf = chunk("strf", u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
+          u32(0x00180001L) ++ cc("PNG ") ++ u32(w.toLong * h * 3) ++
+          Array.fill(16)(0.toByte))
+        val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+        val movi = list("movi", frames.flatMap(fb => chunk("00dc", fb)).toArray)
+        val body = cc("AVI ") ++ hdrl ++ movi
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(cc("RIFF")); out.write(u32(body.length.toLong)); out.write(body)
+        Multimodal.MediaRecord(id, out.toByteArray, w, h)
+      }
+    }(Encoders.product[Multimodal.MediaRecord])
+  }
+
+  private val videoReal: Q = (s, d) => {
+    val media = attachVideoPayload(s, d)
+    val meta = Multimodal.decodeVideo(media).toDF()
+      .select(col("doc_id"), col("fps_q"), col("duration_ms"))
+    Multimodal.frameSampleReal(media, stride = 2).toDF()
+      // frame_fp is the md5 of the decoded pixel stream — real but not
+      // SQL-expressible; the analytic columns are the gate surface
+      .select("doc_id", "n_frames", "frame_idx", "width", "height",
+        "mean_byte")
+      .join(meta, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val videoRealSql =
+    """WITH v AS (SELECT doc_id,
+      |    CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames,
+      |    (doc_id % 4 + 1) * 1000 AS rate
+      |  FROM documents),
+      |f AS (SELECT doc_id, width, height, n_frames, rate,
+      |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM v)
+      |SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+      | width, height,
+      | FLOOR(CAST((doc_id * 11 + frame_idx * 31) % 256 AS DOUBLE) * 100
+      |   + 0.5) / 100 AS mean_byte,
+      | FLOOR(CAST(rate AS DOUBLE) / 100 * 1000 + 0.5) / 1000 AS fps_q,
+      | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------ s_centroid_dist
   // Per-label centroids (position-exploded partial agg — one shuffle
   // on (label, pos); at 100 TB this is the map-side-combinable way to
@@ -3753,6 +3976,9 @@ object LlmData {
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
     "m_audio_chunks" -> audioChunks,
+    "m_image_real" -> imageReal,
+    "m_audio_real" -> audioReal,
+    "m_video_real" -> videoReal,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
     "t_corpus_stats" -> corpusStats,
@@ -3909,6 +4135,9 @@ object LlmData {
     "s_lsh_topk" -> lshTopKSql,
     "m_frame_sample" -> frameSampleSql,
     "m_audio_chunks" -> audioChunksSql,
+    "m_image_real" -> imageRealSql,
+    "m_audio_real" -> audioRealSql,
+    "m_video_real" -> videoRealSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,
     "t_corpus_stats" -> corpusStatsSql,
