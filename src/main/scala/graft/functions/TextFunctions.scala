@@ -167,6 +167,26 @@ object TextFunctions {
   def featureBucket(tok: Column, d: Int): Column =
     pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"), lit(d.toLong))
 
+  /** Unigram + bigram feature stream for the quality classifier: the
+    * normalized tokens followed by their adjacent pairs joined with a
+    * single space (the shingle convention — engine-portable through
+    * the same md5 [[featureBucket]]; a space cannot appear inside a
+    * normalized token, so bigram strings never collide with
+    * unigrams). fastText's own recipe (Joulin'16 "Bag of Tricks" §2.1
+    * n-gram features via the hashing trick): word order enters the
+    * model at the cost of a wider hash table, not a new architecture.
+    * Feed the result to [[classifierLogit]] in place of the token
+    * array — the fold, the /n_features normalization, and the
+    * exactness story are unchanged. Row-local; 2n−1 features per
+    * n-token doc. */
+  def classifierFeatures(textCol: Column): Column = {
+    val toks = split(normalize(textCol), " ")
+    concat(toks,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** fastText-style linear classifier margin over hashed unigram
     * features (the hashing trick): logit = (Σ w[h(tok) mod D]) /
     * n_tok + bias. One row-local fold per doc — no explode, no

@@ -55,16 +55,23 @@ object Classifier {
   /** Fit the D-bucket logistic head on `docs`. `labelCol` must be a
     * 0/1 integer column (the deterministic in-corpus seed label —
     * e.g. "stored lang agrees with the n-gram detector"). Text is
-    * normalized and tokenized exactly as the scoring path
-    * (TextFunctions.classifierLogit), so trained weights drop
-    * straight into it. */
+    * featurized exactly as the scoring path
+    * (TextFunctions.classifierLogit over the same stream), so trained
+    * weights drop straight into it. `bigrams = true` trains over the
+    * unigram+bigram stream ([[TextFunctions.classifierFeatures]] —
+    * fastText's n-gram hashing-trick recipe; pair it with a wider `d`
+    * since 2n−1 features now share the buckets), and scoring must
+    * then feed classifierLogit the same stream. */
   def fit(docs: DataFrame, idCol: String, textCol: String,
           labelCol: String, d: Int = 128, epochs: Int = 8,
-          lr: Double = 4.0, trainMod: Int = 1): Fit = {
+          lr: Double = 4.0, trainMod: Int = 1,
+          bigrams: Boolean = false): Fit = {
     val sample =
       if (trainMod <= 1) docs
       else docs.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
-    val toks = split(TextFunctions.normalize(col(textCol)), " ")
+    val toks =
+      if (bigrams) TextFunctions.classifierFeatures(col(textCol))
+      else split(TextFunctions.normalize(col(textCol)), " ")
     // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
     // token repeats before anything shuffles; inv_ntok folds the
     // feature normalization into one per-doc constant
@@ -127,4 +134,46 @@ object Classifier {
     * negatives — the metadata-agreement recipe). */
   def langAgreeLabel(textCol: Column, langCol: Column): Column =
     when(TextFunctions.langId(textCol) === langCol, lit(1L)).otherwise(lit(0L))
+
+  /** Executable operating-threshold rule — the autoOperatingPoint
+    * discipline applied to the margin axis: a raw logistic head's 0
+    * threshold is mis-centered whenever the classes are imbalanced,
+    * so the CUT is calibrated from data instead of assumed. Given
+    * scored TRAIN margins with 0/1 labels, bucket at the
+    * t_classifier_calib grid (floor(margin·10) — candidate cuts are
+    * bucket lower edges) and return the cut whose keep = (bucket ≥
+    * cut) decision maximizes accuracy, LOWEST cut on ties
+    * (deterministic). The cut is an integer BUCKET: decisions compare
+    * floor(margin·10) ≥ cut in integer space, so the calibrated
+    * decision hash-replays with no float threshold to adjudicate.
+    * Calibrate on the TRAINING side and evaluate held-out (the
+    * t_classifier_val flow) — picking the cut on val would leak.
+    * Cost: one partial agg onto the bucket grid + a driver collect
+    * bounded by the bucket span (margins clamp within ±8-ish → a few
+    * hundred rows at any corpus size). */
+  def calibrateCut(scored: DataFrame, marginCol: String,
+                   labelCol: String): Long = {
+    val rows = scored.select(
+        floor(col(marginCol) * lit(10.0d)).cast("long").as("b"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("b")
+      .agg(sum(col("y")).as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "calibrateCut: empty scored frame")
+    // cut at the lowest bucket keeps everything: acc = total positives
+    var posAtOrAbove = rows.map(_._2).sum
+    var negBelow = 0L
+    var bestCut = rows.head._1
+    var bestAcc = posAtOrAbove
+    for ((b, np, nn) <- rows) {
+      // moving the cut just past bucket b: its positives stop being
+      // kept-and-correct, its negatives start being dropped-and-correct
+      posAtOrAbove -= np
+      negBelow += nn
+      val acc = posAtOrAbove + negBelow
+      if (acc > bestAcc) { bestAcc = acc; bestCut = b + 1 }
+    }
+    bestCut
+  }
 }

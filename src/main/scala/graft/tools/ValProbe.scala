@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+import graft.operators.Classifier
+import graft.sources.Tables
+
+/** Dev probe: held-out val AUC / calibrated-cut accuracy of the
+  * quality classifier across (d, epochs, lr, bigrams) configs — the
+  * measurement behind the t_classifier_val floor choice. Mirrors the
+  * gate's split (md5 'cvsplit:' bucket 0 = val) and label exactly.
+  *   sbt "runMain graft.tools.ValProbe [sfDir]"
+  */
+object ValProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val vb = graft.operators.Dedup.shingleHash(
+      concat(lit("cvsplit:"), col("text"))) % 5
+    val docs = Tables.documents(spark, sf).withColumn("_lbl",
+        Classifier.langAgreeLabel(col("text"), col("lang")))
+      .localCheckpoint(eager = true)
+    val train = docs.filter(vb =!= 0)
+    val valDs = docs.filter(vb === 0)
+
+    def evalCfg(d: Int, epochs: Int, lr: Double, bigrams: Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val fit = Classifier.fit(train, "doc_id", "text", "_lbl",
+        d = d, epochs = epochs, lr = lr, trainMod = 1, bigrams = bigrams)
+      val feats =
+        if (bigrams) T.classifierFeatures(col("text"))
+        else split(T.normalize(col("text")), " ")
+      val lg = T.classifierLogit(feats, fit.weightSeq, fit.bias)
+      val cut = Classifier.calibrateCut(
+        train.select(lg.as("m"), col("_lbl").as("y")), "m", "y")
+      val rows = valDs.select(lg.as("m"), col("_lbl").cast("long").as("y"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val auc = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+        .sum / (pos.length.toDouble * neg.length)
+      val cutAcc = rows.count { case (m, y) =>
+        (math.floor(m * 10).toLong >= cut) == (y == 1L) }.toDouble / rows.length
+      val base = math.max(pos.length, neg.length).toDouble / rows.length
+      println(f"CFG d=$d%4d ep=$epochs%3d lr=$lr%4.1f bi=$bigrams%5s | " +
+        f"valAUC=$auc%.4f cut=$cut%3d cutAcc=$cutAcc%.4f base=$base%.4f " +
+        f"trainLossFinal=${fit.losses.last}%.4f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+
+    for ((d, ep, lr, bi) <- Seq(
+      (512, 6, 6.0, true),
+      (512, 12, 6.0, true),
+      (1024, 12, 6.0, true),
+      (1024, 16, 6.0, true),
+      (1024, 16, 8.0, true),
+      (2048, 16, 6.0, true),
+      (1024, 24, 8.0, true)))
+      evalCfg(d, ep, lr, bi)
+    spark.stop()
+  }
+}

@@ -70,4 +70,65 @@ class ClassifierSpec extends SparkSpec {
     assert(byLbl.getOrElse(1L, 0L) > 0, "no positive labels")
     assert(byLbl.getOrElse(0L, 0L) > 0, "no negative labels")
   }
+
+  test("classifierFeatures: unigrams then space-joined bigrams, 2n-1 per doc") {
+    import spark.implicits._
+    val got = Seq("The quick brown fox!", "one", "")
+      .toDF("text")
+      .select(TextFunctions.classifierFeatures(col("text")).as("f"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("the", "quick", "brown", "fox",
+      "the quick", "quick brown", "brown fox"))
+    assert(got(1) == List("one"))      // no bigrams from 1 token
+    assert(got(0).length == 2 * 4 - 1)
+    // a bigram string can never equal a unigram (normalized tokens
+    // cannot contain the joiner space), so buckets never alias by
+    // construction ambiguity
+    assert(got(0).drop(4).forall(_.contains(" ")))
+  }
+
+  test("bigram fit: deterministic, dyadic, and scored identically through the shared feature stream") {
+    val f1 = Classifier.fit(docs, "doc_id", "text", "_lbl",
+      d = 256, epochs = 4, lr = 6.0, bigrams = true)
+    val f2 = Classifier.fit(docs, "doc_id", "text", "_lbl",
+      d = 256, epochs = 4, lr = 6.0, bigrams = true)
+    assert(f1.weights.toSeq == f2.weights.toSeq && f1.bias == f2.bias)
+    val grid = 1048576.0
+    (f1.weights :+ f1.bias).foreach(w =>
+      assert(w * grid == math.rint(w * grid) && math.abs(w) <= 8.0))
+    // the scoring fold over classifierFeatures must equal an explicit
+    // explode-and-sum of the same stream (exactness under bigrams)
+    val feats = TextFunctions.classifierFeatures(col("text"))
+    val folded = docs.select(col("doc_id"),
+      TextFunctions.classifierLogit(feats, f1.weightSeq, f1.bias).as("m"))
+    val exploded = docs
+      .select(col("doc_id"), explode(feats).as("tok"))
+      .select(col("doc_id"),
+        element_at(typedlit(f1.weightSeq),
+          (TextFunctions.featureBucket(col("tok"), 256) + 1L).cast("int"))
+          .as("w"))
+      .groupBy("doc_id")
+      .agg((sum("w") / count(lit(1)) + lit(f1.bias)).as("m2"))
+    assert(folded.join(exploded, "doc_id")
+      .filter(col("m") =!= col("m2")).count() == 0)
+  }
+
+  test("calibrateCut maximizes bucketed accuracy, lowest cut on ties") {
+    import spark.implicits._
+    // margins bucket to -2, 0, 1; positives concentrate at bucket >= 0
+    // → best cut is just past bucket -2 (keeps both b=0 positives and
+    // drops both b=-2 negatives: 4/6 correct; keep-all scores 3/6,
+    // drop-all 3/6)
+    val scored = Seq(
+      (-0.15, 0L), (-0.11, 0L), (-0.18, 1L),
+      (0.02, 1L), (0.05, 1L), (0.19, 0L)).toDF("m", "y")
+    assert(Classifier.calibrateCut(scored, "m", "y") == -1L)
+    // all-positive frame: keep-everything is optimal → the lowest
+    // bucket wins (deterministic, no off-grid cut invented)
+    val allPos = Seq((0.31, 1L), (-0.52, 1L)).toDF("m", "y")
+    assert(Classifier.calibrateCut(allPos, "m", "y") == -6L)
+    // all-negative frame: drop-everything is optimal → one past the top
+    val allNeg = Seq((0.31, 0L), (-0.52, 0L)).toDF("m", "y")
+    assert(Classifier.calibrateCut(allNeg, "m", "y") == 4L)
+  }
 }
