@@ -137,15 +137,19 @@ object LlmData {
     // corpus's physical shape — single file or replicated 10× dir)
     val staging = s"$streamDir/_staging"
     docs.write.parquet(staging)
-    new java.io.File(staging).listFiles()
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (part, i) =>
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$streamDir/docs_$i.parquet"))
-      }
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/docs_$i.parquet"))
+    }
+    // bounded trigger count (autoFilesPerTrigger): 1 file/trigger at
+    // gate scale, ≤ 16 triggers at any volume — the per-trigger
+    // planning + state-store version floor was 26% of the 100× board
     val stream = s.readStream.schema(docs.schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", graft.streaming.StreamingPipeline
+        .autoFilesPerTrigger(parts.length).toString)
       .parquet(streamDir)
     val name = "graft_stream_neardup"
     val q = graft.streaming.StreamingPipeline
@@ -1470,15 +1474,16 @@ object LlmData {
       .createTempDirectory("graft_pqdedup_stream").toString
     val staging = s"$streamDir/_staging"
     emb.write.parquet(staging)
-    new java.io.File(staging).listFiles()
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (part, i) =>
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
-      }
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
+    }
     val stream = s.readStream.schema(emb.schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", graft.streaming.StreamingPipeline
+        .autoFilesPerTrigger(parts.length).toString)
       .parquet(streamDir)
     val name = "graft_stream_pqdedup"
     val q = graft.streaming.StreamingPipeline
@@ -1527,15 +1532,16 @@ object LlmData {
       .createTempDirectory("graft_pqdedup_res_stream").toString
     val staging = s"$streamDir/_staging"
     emb.write.parquet(staging)
-    new java.io.File(staging).listFiles()
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (part, i) =>
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
-      }
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/emb_$i.parquet"))
+    }
     val stream = s.readStream.schema(emb.schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", graft.streaming.StreamingPipeline
+        .autoFilesPerTrigger(parts.length).toString)
       .parquet(streamDir)
     val name = "graft_stream_pqdedup_res"
     val q = graft.streaming.StreamingPipeline

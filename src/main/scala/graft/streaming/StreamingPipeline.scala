@@ -243,6 +243,26 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Replay-batching rule, EXECUTABLE (the autoCells discipline
+    * applied to micro-batch sizing): a file-replay's trigger COUNT
+    * should be bounded, not O(files). Every micro-batch pays a fixed
+    * floor — planning, offset/commit log writes, and one state-store
+    * load + version-commit per shuffle partition (the HDFS-backed
+    * provider clones the map per version, so per-trigger state cost
+    * grows with accumulated state) — while the stateful semantics
+    * being exercised (pairs across batches, keeper hand-off) only
+    * need SOME batch boundaries, not one per file.
+    * maxFilesPerTrigger = ⌈nFiles / targetBatches⌉ bounds any replay
+    * at ≤ targetBatches triggers and degrades to 1 file/trigger
+    * (every boundary exercised) on small corpora, so gate-scale runs
+    * are unchanged while N-file volumes stop paying the floor N
+    * times. */
+  def autoFilesPerTrigger(nFiles: Long, targetBatches: Int = 16): Int = {
+    require(nFiles >= 0 && targetBatches > 0,
+      s"autoFilesPerTrigger: nFiles=$nFiles targetBatches=$targetBatches")
+    math.max(1L, (nFiles + targetBatches - 1) / targetBatches).toInt
+  }
+
   case class BandHit(id: Long, band: Int, band_hash: String)
   case class BucketIds(ids: List[Long])
   case class NearDupPair(id1: Long, id2: Long)

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dev probe: stage-attribute the d_stream_neardup replay wall at a
+  * given corpus (the AckProbe discipline applied to the streaming
+  * replays) — how much of the wall is per-trigger fixed cost
+  * (planning + offset log + one state-store version per shuffle
+  * partition) vs the actual signature + state work. Runs the SAME
+  * replay the gate key runs at several maxFilesPerTrigger settings
+  * and prints wall / trigger count / emitted pairs per setting, plus
+  * the batch signature-projection wall as the stateless floor. The
+  * emitted pair SET is batching-invariant (every bucket's pairs are
+  * the union over batches), so all settings must report the same
+  * n_pairs — printed so the invariance is checked, not assumed.
+  *   sbt "runMain graft.tools.StreamProbe [sfDir] [mfpt1,mfpt2,...]"
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.tune(spark)
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+    // the stateless floor: the same signature+band projection as a
+    // plain batch job (what the per-batch projections sum to)
+    val t0 = System.nanoTime()
+    val sigN = docs.select(col("doc_id"),
+        graft.operators.Dedup.rowLocalShingleHashes(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(graft.operators.Dedup
+        .signatureFromHashes(col("shs"), 16).as("sig"))
+      .count()
+    println(f"PROBE batch_signature_projection " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s rows=$sigN")
+
+    // stage once (timed): the replay corpus all settings share
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_streamprobe").toString
+    val t1 = System.nanoTime()
+    val staging = s"$streamDir/_staging"
+    docs.write.parquet(staging)
+    val parts = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    parts.zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$streamDir/docs_$i.parquet"))
+    }
+    println(f"PROBE staging wall=${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      f"files=${parts.length} " +
+      f"rule_mfpt=${graft.streaming.StreamingPipeline.autoFilesPerTrigger(parts.length)}")
+
+    val settings = args.lift(1)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1,
+        graft.streaming.StreamingPipeline.autoFilesPerTrigger(parts.length),
+        parts.length))
+      .distinct
+    for (mfpt <- settings) {
+      import org.apache.spark.sql.streaming.Trigger
+      val t2 = System.nanoTime()
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", mfpt.toString)
+        .parquet(streamDir)
+      val name = s"probe_neardup_$mfpt"
+      val q = graft.streaming.StreamingPipeline
+        .lshNearDupStream(stream, "doc_id", "text",
+          shingleK = 3, numPerms = 16, rowsPerBand = 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val triggers = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      val pairs = spark.table(name)
+        .select("id1", "id2").distinct().count()
+      println(f"PROBE mfpt=$mfpt%4d wall=${(System.nanoTime() - t2) / 1e9}%7.1f s " +
+        f"triggers>=$triggers n_pairs=$pairs")
+      spark.catalog.dropTempView(name)
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(streamDir))
+    spark.stop()
+  }
+}

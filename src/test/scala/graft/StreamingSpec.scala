@@ -785,4 +785,21 @@ class StreamingSpec extends SparkSpec {
       assert(freshDrop == 1L, "a dup within the TTL must drop instantly")
     } finally spark.conf.set(noData, prior)
   }
+
+  test("autoFilesPerTrigger: trigger count bounded at any volume, 1 file/trigger at gate scale") {
+    import StreamingPipeline.autoFilesPerTrigger
+    assert(autoFilesPerTrigger(0) == 1)
+    assert(autoFilesPerTrigger(1) == 1)
+    assert(autoFilesPerTrigger(16) == 1)   // gate scale: every boundary
+    assert(autoFilesPerTrigger(17) == 2)
+    assert(autoFilesPerTrigger(100) == 7)  // the 100× replica: 15 triggers
+    // the bound itself: ceil(n / mfpt) ≤ targetBatches for any n —
+    // per-trigger fixed cost stops scaling with file count
+    for (n <- Seq(1L, 5L, 16L, 17L, 99L, 100L, 1000L, 12345L, 1000000L)) {
+      val m = autoFilesPerTrigger(n)
+      assert((n + m - 1) / m <= 16, s"n=$n mfpt=$m")
+    }
+    intercept[IllegalArgumentException](autoFilesPerTrigger(-1))
+    intercept[IllegalArgumentException](autoFilesPerTrigger(10, 0))
+  }
 }
