@@ -299,6 +299,52 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(java.util.Arrays.equals(f, fPadded) == false)
   }
 
+  test("cross-video dedup on real pixels end to end: demux → frame fingerprints → collision → keeper") {
+    // the m_phash_dup loop closed on ACTUAL decoded pixels: four real
+    // AVIs, where video 2 is video 1's content RE-ENCODED (every frame
+    // byte-distinct via the pad trick, pixel-identical), video 4
+    // shares only ONE frame with video 1, and video 3 is disjoint.
+    // Dedup policy: videos sharing ≥ 2 decoded-frame fingerprints are
+    // duplicates; keeper = min doc_id (the exact-dedup keeper policy).
+    val a = grayJpeg(20, 12, 30)
+    val b = grayJpeg(20, 12, 120)
+    val c = grayJpeg(20, 12, 210)
+    val d = grayJpeg(20, 12, 90)
+    val e = grayJpeg(20, 12, 170)
+    def pad(f: Array[Byte]) = f :+ 0.toByte // byte-distinct, pixel-same
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, avi(20, 12, 10, 1, Seq(a, b, c)), 0, 0),
+      MediaRecord(2L, avi(20, 12, 10, 1, Seq(pad(a), pad(b), pad(c))), 0, 0),
+      MediaRecord(3L, avi(20, 12, 10, 1, Seq(d, e)), 0, 0),
+      MediaRecord(4L, avi(20, 12, 10, 1, Seq(a, d)), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val frames = Multimodal.frameSampleReal(ds, stride = 1).toDF()
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("frame_fp"))
+    // banded equi-join on the decoded-pixel fingerprint (never
+    // all-pairs — the LSH band-join shape at any corpus size)
+    val pairs = frames.as("x").join(frames.as("y"),
+        org.apache.spark.sql.functions.col("x.frame_fp")
+          === org.apache.spark.sql.functions.col("y.frame_fp") &&
+        org.apache.spark.sql.functions.col("x.doc_id")
+          < org.apache.spark.sql.functions.col("y.doc_id"))
+      .groupBy(org.apache.spark.sql.functions.col("x.doc_id").as("id1"),
+        org.apache.spark.sql.functions.col("y.doc_id").as("id2"))
+      .count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // re-encoded twin: ALL 3 frames collide despite byte-distinct JPEGs
+    assert(pairs((1L, 2L)) == 3L, s"re-encoded twin missed: $pairs")
+    // partial overlaps stay below the ≥2 duplicate bar
+    assert(pairs.getOrElse((1L, 4L), 0L) == 1L)
+    assert(pairs.getOrElse((2L, 4L), 0L) == 1L)
+    assert(pairs.getOrElse((3L, 4L), 0L) == 1L) // frame d shared
+    val dups = pairs.filter(_._2 >= 2L).keys.toSet
+    assert(dups == Set((1L, 2L)), s"duplicate set wrong: $dups")
+    // keeper policy: min doc_id keeps, the twin drops
+    val keeper = dups.map { case (i, j) => math.min(i, j) }
+    assert(keeper == Set(1L))
+  }
+
   test("an undecodable video payload fails fast with the doc id") {
     val bad = spark.createDataset(Seq(
       MediaRecord(9L, Array[Byte](82, 73, 70, 70), 4, 4)))(Encoders.product[MediaRecord])
