@@ -18,11 +18,17 @@ KEYS=$(ls "$DUMP" | grep -v '\.json$')
 # appending the full HEAVY list would re-order (and double-log) keys
 # a subset dump doesn't contain
 HEAVY_PRESENT=$(grep -wF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS" || true)
+# unique order file: a fixed path let a concurrently-launched sweep
+# truncate this one's read loop mid-campaign (same inode, early EOF)
+ORDER=$(mktemp /tmp/sweep_nx_order.XXXXXX)
 { grep -vwF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS";
-  [ -n "$HEAVY_PRESENT" ] && echo "$HEAVY_PRESENT"; } > /tmp/sweep_nx_order.txt
-: > "$LOG"
+  [ -n "$HEAVY_PRESENT" ] && echo "$HEAVY_PRESENT"; } > "$ORDER"
+# resumable: an existing log's verdict lines are kept and their keys
+# skipped, so an interrupted campaign continues instead of restarting
+[ -f "$LOG" ] || : > "$LOG"
 while read -r key; do
   [ -z "$key" ] && continue
+  grep -q "^$key :: " "$LOG" && continue
   # Collapse the verdict to ONE line per key: on failure check.py
   # prints BOTH an empty "PASS (0):" summary and a FAIL detail line,
   # and logging them raw double-counts the key in a `grep -c PASS`
@@ -37,5 +43,6 @@ while read -r key; do
   # empty grep — log it as ERROR so it can't read as a silent pass
   [ -z "$out" ] && out="ERROR (check.py produced no verdict line)"
   echo "$key :: $out" >> "$LOG"
-done < /tmp/sweep_nx_order.txt
+done < "$ORDER"
+rm -f "$ORDER"
 echo SWEEP_DONE >> "$LOG"
