@@ -3025,14 +3025,29 @@ object LlmData {
           pcm(2 * f + 1) = ((smp >> 8) & 0xff).toByte
           f += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
-          true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, total.toLong)
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
-        Multimodal.MediaRecord(id, buf.toByteArray, 0, 0)
+        // canonical 44-byte RIFF/WAVE header assembled directly (PCM16
+        // mono 8 kHz) — the GENERATOR is not the codec under test, and
+        // AudioSystem.write's stream plumbing was ~half the key's 100×
+        // wall; the decode side still goes through javax.sound.sampled
+        val out = new Array[Byte](44 + pcm.length)
+        def u32(o: Int, v: Long): Unit = {
+          out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+          out(o + 2) = ((v >> 16) & 0xff).toByte
+          out(o + 3) = ((v >> 24) & 0xff).toByte
+        }
+        def u16(o: Int, v: Int): Unit = {
+          out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+        }
+        def cc(o: Int, str: String): Unit =
+          str.getBytes("US-ASCII").copyToArray(out, o)
+        cc(0, "RIFF"); u32(4, 36L + pcm.length); cc(8, "WAVE")
+        cc(12, "fmt "); u32(16, 16L)
+        u16(20, 1) /* PCM */; u16(22, 1) /* mono */
+        u32(24, 8000L); u32(28, 16000L) /* byte rate */
+        u16(32, 2) /* block align */; u16(34, 16) /* bits */
+        cc(36, "data"); u32(40, pcm.length.toLong)
+        pcm.copyToArray(out, 44)
+        Multimodal.MediaRecord(id, out, 0, 0)
       }
     }(Encoders.product[Multimodal.MediaRecord])
   }
