@@ -194,13 +194,16 @@ class CurationLoopSpec extends SparkSpec {
     AnnIndex.write(emb, "vec_id", "embedding", annDir, "cur2_ann", cents, books)
     val seed = Tables.documents(spark, sf).withColumn("_lbl",
       Classifier.langAgreeLabel(col("text"), col("lang")))
+    // the PRODUCTION scoring path (r15): unigram+bigram feature
+    // stream at a wider hash table — the loop trains and scores
+    // exactly what the gate's t_classifier_* keys run
     val fit = Classifier.fit(seed, "doc_id", "text", "_lbl",
-      d = 128, epochs = 6, lr = 3.0)
+      d = 256, epochs = 6, lr = 3.0, bigrams = true)
     // calibrate the ingest cut on the SEED margins (the
     // t_classifier_calib discipline): keep ≈ the top 90% — an exact
     // order statistic, deterministic because the fit is
     val seedMargins = seed.select(TextFunctions.classifierLogit(
-        split(TextFunctions.normalize(col("text")), " "),
+        TextFunctions.classifierFeatures(col("text")),
         fit.weightSeq, fit.bias).as("m"))
       .orderBy("m").collect().map(_.getDouble(0))
     val cut = seedMargins((seedMargins.length / 10).max(0))
@@ -255,7 +258,7 @@ class CurationLoopSpec extends SparkSpec {
       // report must reconcile with the applied filters
       val minTokens = size(split(col("text"), " ")) >= 5
       val clsKeep = TextFunctions.classifierLogit(
-        split(TextFunctions.normalize(col("text")), " "),
+        TextFunctions.classifierFeatures(col("text")),
         fit.weightSeq, fit.bias) >= cut
       val funnel = FilterChain.funnel(intake,
           Seq("min_tokens" -> minTokens, "classifier" -> clsKeep))
