@@ -324,6 +324,25 @@ class CurationLoopSpec extends SparkSpec {
         "embedding", annDir, "cur2_ann")
       assert(spark.table("cur2_ann").count() == nPrior + keepers.count(),
         "compaction must add exactly the keeper rows")
+
+      // --- stage 7: MAINTENANCE ends SERVABLE (r15): the grown corpus
+      // reindexes at √n cells with book drift deciding the codebooks,
+      // and the SAME call measures + persists the tuning curve — the
+      // next ingest cycle searchAutos at a stated recall floor instead
+      // of hand-tuned knobs
+      val grown = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(keepers.select(xxhash64(col("doc_id")).as("vec_id"),
+          col("vec").as("embedding")))
+        .localCheckpoint()
+      val tq = emb.filter(col("vec_id") < 10)
+      AnnIndex.reindexAuto(grown, "embedding", annDir, "cur2_ann",
+        iters = 4, trainMod = 4,
+        tuningQueries = Some(tq), measuredFloor = Some(0.05))
+      val (codes2, loaded2) = AnnIndex.load(spark, annDir, "cur2_ann")
+      val served = AnnIndex.searchAuto(tq, codes2, loaded2, grown,
+        "embedding", k = 3, annDir, floor = 0.05)
+      assert(served.count() > 0,
+        "the maintained index must serve at its stored operating point")
     } finally srv.stop()
   }
 }
