@@ -448,4 +448,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("text")),
       s"text rides a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("m_*_real: media payloads never ride an exchange; decode stays row-local") {
+    // the real-codec gate rows are row-local mapPartitions pipelines —
+    // the ONLY exchange allowed is the terminal orderBy's range
+    // partition over the small decoded columns; a hash shuffle, or any
+    // exchange carrying the payload (the widest column in a multimodal
+    // corpus), means media bytes started moving between executors
+    for (k <- Seq("m_image_real", "m_audio_real", "m_video_real")) {
+      val plan = formatted(k)
+      val ex = plan.linesIterator
+        .filter(l => l.contains("hashpartitioning") ||
+          l.contains("rangepartitioning")).toSeq
+      assert(!ex.exists(_.contains("payload")),
+        s"$k shuffles payloads:\n${ex.mkString("\n")}")
+      assert(!plan.contains("CartesianProduct"), s"$k went all-pairs")
+    }
+    // image/audio are pure generate→decode chains: exactly the sort's
+    // range exchange, no hash shuffle at all
+    for (k <- Seq("m_image_real", "m_audio_real"))
+      assert(!formatted(k).contains("hashpartitioning"),
+        s"$k grew a hash shuffle")
+  }
 }
