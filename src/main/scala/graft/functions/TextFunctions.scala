@@ -220,6 +220,23 @@ object TextFunctions {
         .otherwise(lit(bias)))
   }
 
+  /** The PRODUCTION scoring path: the FULLY-fused native kernel
+    * (graft.plans.ClassifierMargin, string child) — normalize +
+    * tokenize + unigram+bigram hash → weight lookup → exact dyadic
+    * sum → /n_features + bias in ONE byte scan per row (the regex
+    * normalize alone cost more than the whole fused kernel —
+    * ClassifierProbe). Bit-identical to
+    * [[classifierLogit]]([[classifierFeatures]](text)) (spec-pinned
+    * parity — same md5-prefix bucket, same exact sum, same two IEEE
+    * roundings), ~15× faster (ClassifierProbe): the HOF formulation
+    * stays as the semantic cross-check and the oracle's algebra. */
+  def classifierMargin(textCol: Column, weights: Seq[Double], bias: Double,
+                       bigrams: Boolean = true): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ClassifierMargin(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
+        weights.toArray, bias, bigrams))
+
   /** Calibrated score in (0,1). exp() is the one libm call in the
     * classifier — cross-engine it can differ by an ulp, which the
     * 6-dp round absorbs (boundary-straddle odds ~2e-10 per doc);

@@ -55,7 +55,8 @@ object AnnIndex {
     * driver-held, interpolated into searches as literals. */
   case class IndexMeta(idCol: String, idType: String, numBuckets: Int,
                        cents: Array[Array[Double]],
-                       books: Array[Array[Array[Double]]]) {
+                       books: Array[Array[Array[Double]]],
+                       metaCols: Seq[(String, String)] = Nil) {
     def m: Int = books.length
     def ncells: Int = cents.length
   }
@@ -70,8 +71,9 @@ object AnnIndex {
     * exchange). */
   def codeRows(df: DataFrame, idCol: String, vecCol: String,
                cents: Array[Array[Double]],
-               books: Array[Array[Array[Double]]]): DataFrame =
-    Similarity.pqCodesResidual(df, idCol, vecCol, cents, books)
+               books: Array[Array[Array[Double]]],
+               metaCols: Seq[String] = Nil): DataFrame =
+    Similarity.pqCodesResidual(df, idCol, vecCol, cents, books, metaCols)
 
   /** Train (or take pre-trained artifacts) and write the full index.
     * Passing `cents`/`books` trained elsewhere (e.g. the session
@@ -81,10 +83,12 @@ object AnnIndex {
             dir: String, table: String,
             cents: Array[Array[Double]],
             books: Array[Array[Array[Double]]],
-            numBuckets: Int = 8): IndexMeta = {
+            numBuckets: Int = 8,
+            metaCols: Seq[String] = Nil): IndexMeta = {
     val spark = df.sparkSession
     val idType = df.schema(idCol).dataType.sql
-    val meta = IndexMeta(idCol, idType, numBuckets, cents, books)
+    val meta = IndexMeta(idCol, idType, numBuckets, cents, books,
+      metaCols.map(c => c -> df.schema(c).dataType.sql))
     spark.sql(s"DROP TABLE IF EXISTS $table")
     deleteRecursively(new java.io.File(s"$dir/codes"))
     // any rebuild moves the operating curve: a tuning frame measured
@@ -93,8 +97,8 @@ object AnnIndex {
     // re-measures + writeTuning
     deleteRecursively(new java.io.File(s"$dir/meta_tuning"))
     deleteRecursively(new java.io.File(s"$dir/meta_tuning_info"))
-    writeCodes(codeRows(df, idCol, vecCol, cents, books), dir, table,
-      idCol, numBuckets, SaveMode.Overwrite)
+    writeCodes(codeRows(df, idCol, vecCol, cents, books, metaCols),
+      dir, table, idCol, numBuckets, SaveMode.Overwrite)
     writeMeta(spark, dir, meta)
     meta
   }
@@ -126,18 +130,28 @@ object AnnIndex {
     val spark = newDf.sparkSession
     val meta = loadMeta(spark, dir)
     registerIfAbsent(spark, dir, table, meta)
-    writeCodes(codeRows(newDf, meta.idCol, vecCol, meta.cents, meta.books),
-      dir, table, meta.idCol, meta.numBuckets, SaveMode.Append)
-    ageTuning(spark, dir, newDf)
+    val tuningExists = new java.io.File(s"$dir/meta_tuning").exists()
+    val coded0 = codeRows(newDf, meta.idCol, vecCol, meta.cents,
+      meta.books, meta.metaCols.map(_._1))
+    // aging needs the delta row count, but counting newDf would re-run
+    // the delta's whole upstream plan a second time after the write
+    // pass (r15 advice): checkpoint the coded delta (1:1 with input
+    // rows) and count THAT — the write reads the checkpoint too, so
+    // the delta's plan evaluates exactly once on the ingest path
+    val coded = if (tuningExists) coded0.localCheckpoint(eager = true)
+                else coded0
+    writeCodes(coded, dir, table, meta.idCol, meta.numBuckets,
+      SaveMode.Append)
+    if (tuningExists) ageTuning(spark, dir, coded.count())
   }
 
-  /** Post-append tuning-frame aging (see [[append]]'s scaladoc): one
-    * count on the DELTA only, and only when a tuning frame exists. */
+  /** Post-append tuning-frame aging (see [[append]]'s scaladoc): the
+    * delta row count comes pre-paid from the append's checkpointed
+    * coding pass. */
   private def ageTuning(spark: SparkSession, dir: String,
-                        newDf: DataFrame): Unit = {
+                        n: Long): Unit = {
     val tuningDir = new java.io.File(s"$dir/meta_tuning")
     if (tuningDir.exists()) {
-      val n = newDf.count()
       val kept = readTuningInfo(spark, dir).flatMap { info =>
         val total = info.appended_rows + n
         if (info.indexed_rows > 0 &&
@@ -268,17 +282,30 @@ object AnnIndex {
     * with [[Similarity.autoOperatingPoint]] over a measured tuning
     * frame (cheapest config meeting the recall floor) rather than
     * hand-tuning; a `None` from the rule means no config reaches the
-    * floor and the answer is [[reindex]], not probing harder. */
+    * floor and the answer is [[reindex]], not probing harder.
+    *
+    * `predicate` is the FILTERED-search path (top-k WITHIN a metadata
+    * slice — source/lang/split — the composed-index capability a real
+    * curation run asks for): a predicate over the index's carried
+    * metaCols, applied to the codes frame BEFORE the shortlist so it
+    * pushes into the bucketed parquet scan ALONGSIDE the probed-cell
+    * IN filter (PlanAuditSpec pins both in PushedFilters) — the
+    * shortlist then holds `shortlist` matching candidates, not a
+    * post-filtered remnant of an unfiltered shortlist, so filtered
+    * recall does not decay with filter selectivity. */
   def search(queries: DataFrame, codes: DataFrame, meta: IndexMeta,
              exact: DataFrame, vecCol: String, k: Int,
-             nprobe: Int, shortlist: Int): DataFrame = {
+             nprobe: Int, shortlist: Int,
+             predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val idCol = meta.idCol
     val probes = Similarity.probeCells(queries, idCol, vecCol,
         meta.cents, nprobe)
       .localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = codes
+    val scored = predicate.foldLeft(codes)((c, p) => c.filter(p))
+      .select(col(idCol) +: col("cell") +:
+        meta.books.indices.map(i => col(s"code_$i")): _*)
       .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
       .withColumnRenamed(idCol, "cid")
       .join(broadcast(probes.drop("pr")), "cell")
@@ -476,8 +503,8 @@ object AnnIndex {
   private def registerIfAbsent(spark: SparkSession, dir: String,
                                table: String, meta: IndexMeta): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val codeCols = meta.books.indices
-        .map(i => s"code_$i BIGINT").mkString(", ")
+      val codeCols = (meta.books.indices.map(i => s"code_$i BIGINT") ++
+        meta.metaCols.map { case (c, t) => s"$c $t" }).mkString(", ")
       spark.sql(
         s"""CREATE TABLE $table (${meta.idCol} ${meta.idType}, cell BIGINT, $codeCols)
            |USING PARQUET
@@ -524,8 +551,11 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, dir: String,
                         meta: IndexMeta): Unit = {
     import spark.implicits._
-    Seq((meta.idCol, meta.idType, meta.numBuckets, CodesEncoding))
-      .toDF("id_col", "id_type", "num_buckets", "codes_encoding")
+    Seq((meta.idCol, meta.idType, meta.numBuckets, CodesEncoding,
+        meta.metaCols.map(_._1).mkString("|"),
+        meta.metaCols.map(_._2).mkString("|")))
+      .toDF("id_col", "id_type", "num_buckets", "codes_encoding",
+        "meta_cols", "meta_types")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/meta_params")
     meta.cents.zipWithIndex.flatMap { case (c, cell) =>
@@ -556,6 +586,15 @@ object AnnIndex {
       s"AnnIndex at $dir is '$enc'-encoded but this build scores " +
         s"'$CodesEncoding' codes — rebuild the index or match versions")
     val p = params.select("id_col", "id_type", "num_buckets").head()
+    // meta_cols absent on pre-filtered artifacts -> no carried metadata
+    val metaCols =
+      if (!params.columns.contains("meta_cols")) Nil
+      else {
+        val r = params.select("meta_cols", "meta_types").head()
+        val names = r.getString(0); val types = r.getString(1)
+        if (names.isEmpty) Nil
+        else names.split("\\|").toSeq.zip(types.split("\\|").toSeq)
+      }
     val cents = spark.read.parquet(s"$dir/meta_cents")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -565,7 +604,8 @@ object AnnIndex {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_._3).map(_._4)).toArray).toArray
-    IndexMeta(p.getString(0), p.getString(1), p.getInt(2), cents, books)
+    IndexMeta(p.getString(0), p.getString(1), p.getInt(2), cents, books,
+      metaCols)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -69,9 +69,16 @@ object Classifier {
     val sample =
       if (trainMod <= 1) docs
       else docs.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    // the native feature expression evaluates the tokenize ONCE per
+    // row (the Column-algebra classifierFeatures references the token
+    // array three times and HOFs get no codegen subexpression
+    // elimination — spec-pinned identical output)
+    val baseToks = split(TextFunctions.normalize(col(textCol)), " ")
     val toks =
-      if (bigrams) TextFunctions.classifierFeatures(col(textCol))
-      else split(TextFunctions.normalize(col(textCol)), " ")
+      if (bigrams) org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.ClassifierFeatures(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(baseToks)))
+      else baseToks
     // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
     // token repeats before anything shuffles; inv_ntok folds the
     // feature normalization into one per-doc constant

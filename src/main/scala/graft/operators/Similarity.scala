@@ -524,7 +524,8 @@ object Similarity {
     * distribution change, only a codegen fence). */
   def pqCodesResidual(df: DataFrame, idCol: String, vecCol: String,
                       cents: Array[Array[Double]],
-                      books: Array[Array[Array[Double]]]): DataFrame = {
+                      books: Array[Array[Array[Double]]],
+                      carryCols: Seq[String] = Nil): DataFrame = {
     val offs = residualOffsets(cents, books)
     val dcCols = books.zipWithIndex.flatMap { case (b, sub) =>
       val sd = b(0).length
@@ -533,9 +534,12 @@ object Similarity {
         dot(v, array(bj.map(lit): _*)).as(s"_dc_${sub}_$j")
       }
     }
+    // carryCols (metadata the index serves filtered searches with —
+    // AnnIndex metaCols) ride the row-local projection untouched
     val stage1Raw = df.select(col(idCol) +:
         assignExprOn(col(vecCol), cents, replayExact = true)
-          .cast("long").as("cell") +: dcCols.toSeq: _*)
+          .cast("long").as("cell") +:
+        (dcCols.toSeq ++ carryCols.map(col)): _*)
     val stage1 = stage1Raw.mapPartitions(it => it)(
       org.apache.spark.sql.Encoders.row(stage1Raw.schema))
     val codeCols = books.zipWithIndex.map { case (b, sub) =>
@@ -547,7 +551,8 @@ object Similarity {
       }
       array_min(array(scored: _*)).getField("j").cast("long").as(s"code_$sub")
     }
-    stage1.select(col(idCol) +: col("cell") +: codeCols.toSeq: _*)
+    stage1.select(col(idCol) +: col("cell") +:
+      (codeCols.toSeq ++ carryCols.map(col)): _*)
   }
 
   /** Mean residual quantization error of `books` under `cents` on a

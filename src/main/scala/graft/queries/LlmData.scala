@@ -1388,8 +1388,12 @@ object LlmData {
       val emb = Tables.embeddings(s, d)
       val (cents, books) = trainIvfPqResidual(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      // `label` rides the codes table as a carried metadata column —
+      // the filtered-search path (s_filtered_topk) pushes predicates
+      // on it into the same bucketed scan the plain search prunes
       graft.operators.AnnIndex.write(emb, "vec_id", "embedding", dir,
-        annTable(key), cents, books, numBuckets = 8)
+        annTable(key), cents, books, numBuckets = 8,
+        metaCols = Seq("label"))
       dir
     })
   }
@@ -1454,6 +1458,42 @@ object LlmData {
         nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist)
       .orderBy("qid", "rnk")
   }
+
+  // ---------------------------------------------- s_filtered_topk
+  // FILTERED ANN: top-k WITHIN a metadata predicate (label = 1 — the
+  // source/lang/split shape of a curation run's "nearest in-slice
+  // neighbors" ask), served from the SAME persisted artifact as
+  // s_ivfpq_indexed: the label column rides the bucketed codes table
+  // (AnnIndex metaCols), and the predicate pushes into the parquet
+  // scan ALONGSIDE the probed-cell IN filter (PlanAuditSpec pins both
+  // in PushedFilters + bucket pruning still firing). The filter
+  // applies BEFORE the shortlist, so the shortlist holds `shortlist`
+  // MATCHING candidates — filtered recall does not decay with filter
+  // selectivity, unlike post-filtering an unfiltered top-k. Oracle:
+  // the same generic IVFADC replay with the candidate stream
+  // restricted to the predicate — the gate proves the composed
+  // filter+prune scan loses nothing vs the engine-independent replay.
+  private val filteredTopK: Q = (s, d) => {
+    val dir = annIndexDir(s, d)
+    val (codes, meta) = graft.operators.AnnIndex.load(s, dir,
+      annTable(mhKey(s, d).get))
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.search(emb.filter(col("vec_id") < 10),
+        codes, meta, emb, "embedding", k = 3,
+        nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist,
+        predicate = Some(col("label") === 1))
+      .orderBy("qid", "rnk")
+  }
+
+  private def ivfPqFilteredSql(cents: Array[Array[Double]],
+                               books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqCtes(cents, books, books(0)(0).length,
+            IvfPqDefaults.nprobe, IvfPqDefaults.shortlist,
+            candFilter =
+              "AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")}
+       |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ivfpq_ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
 
   // --------------------------------------------- d_stream_pqdedup
   // The always-on twin of d_pq_semdedup (the lshNearDupStream
@@ -1649,7 +1689,8 @@ object LlmData {
   private def ivfPqCtes(cents: Array[Array[Double]],
                         books: Array[Array[Array[Double]]],
                         sd: Int, nprobe: Int = 3,
-                        shortlist: Int = 32): String = {
+                        shortlist: Int = 32,
+                        candFilter: String = ""): String = {
     s"""${pqDotCtes(books)},
        |${ivfCellCtes(cents)},
        |${resAssignCtes(cents, books)},
@@ -1663,7 +1704,7 @@ object LlmData {
        |           JOIN probes p ON p.cell = ca.cell
        |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
        |           JOIN qcdots qd ON qd.qid = l.qid AND qd.cell = ca.cell
-       |           WHERE a.vec_id <> l.qid
+       |           WHERE a.vec_id <> l.qid $candFilter
        |           GROUP BY l.qid, a.vec_id, qd.dc),
        |short AS (SELECT qid, cid FROM (
        |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
@@ -2047,7 +2088,7 @@ object LlmData {
   // Model-based quality filtering (the DCLM / FineWeb-Edu stage that
   // runs AFTER the cheap t_quality heuristics): a fastText-shaped
   // logistic regression over HASHED unigram+bigram features (Joulin'16
-  // §2.1 — word order via the hashing trick) at D=512, engine-portable
+  // §2.1 — word order via the hashing trick) at D=1024, engine-portable
   // 60-bit md5-prefix bucket — whose weights are TRAINED IN-ENGINE by
   // Classifier.fit (distributed full-batch GD on the deterministic
   // lang-agreement seed label).
@@ -2092,19 +2133,16 @@ object LlmData {
 
   private val classifier: Q = (s, d) => {
     val fit = trainClassifier(s, d)
-    val logit = T.classifierLogit(T.classifierFeatures(col("text")),
-      fit.weightSeq, fit.bias)
-    // the repartition is a COLLAPSE BARRIER, not a distribution
-    // choice: margin/score/keep all reference the logit, and
-    // CollapseProject would otherwise inline the whole normalize+
-    // split+fold pipeline into each of the three output expressions
-    // (ClassifierProbe measured the recompute at ~2× the single-pass
-    // wall); the exchange carries only (doc_id, source, lg) — the
-    // text column is already dropped — so the barrier costs ~12 MB
-    // of shuffle for 500k docs against ~80 s of recompute
+    val logit = T.classifierMargin(col("text"), fit.weightSeq, fit.bias)
+    // no collapse barrier needed anymore: the fused native kernel is
+    // codegen-capable, so when CollapseProject inlines the logit into
+    // the three output expressions, whole-stage codegen's COMMON
+    // SUBEXPRESSION ELIMINATION computes it once (ClassifierProbe
+    // pins three-outputs ≈ one-output wall; the old interpreted HOF
+    // fold was codegen-opaque and recomputed ~3× — the r14 barrier
+    // bought single-pass at the price of a corpus-wide exchange)
     Tables.documents(s, d).select(col("doc_id"), col("source"),
         logit.as("lg"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
         // UNROUNDED: the margin is bit-exact across engines (exact
         // dyadic Σw, one IEEE division, one addition), and rounding
@@ -2170,8 +2208,7 @@ object LlmData {
   private val classifierCalib: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val fit = trainClassifier(s, d)
-    val logit = T.classifierLogit(T.classifierFeatures(col("text")),
-      fit.weightSeq, fit.bias)
+    val logit = T.classifierMargin(col("text"), fit.weightSeq, fit.bias)
     val b = Tables.documents(s, d)
       .select(col("source"), floor(logit * 10.0d).cast("long").as("bucket"))
       .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
@@ -2267,8 +2304,7 @@ object LlmData {
   private def trainClassifierValCut(s: SparkSession, d: String): Long = {
     def build = {
       val fit = trainClassifierVal(s, d)
-      val logit = T.classifierLogit(T.classifierFeatures(col("text")),
-        fit.weightSeq, fit.bias)
+      val logit = T.classifierMargin(col("text"), fit.weightSeq, fit.bias)
       val label = graft.operators.Classifier.langAgreeLabel(col("text"), col("lang"))
       graft.operators.Classifier.calibrateCut(
         Tables.documents(s, d).filter(valBucket =!= 0)
@@ -2283,8 +2319,7 @@ object LlmData {
   private val classifierVal: Q = (s, d) => {
     val fit = trainClassifierVal(s, d)
     val cut = trainClassifierValCut(s, d)
-    val logit = T.classifierLogit(T.classifierFeatures(col("text")),
-      fit.weightSeq, fit.bias)
+    val logit = T.classifierMargin(col("text"), fit.weightSeq, fit.bias)
     val label = graft.operators.Classifier.langAgreeLabel(col("text"), col("lang"))
     val v = Tables.documents(s, d)
       .filter(valBucket === 0)
@@ -3165,6 +3200,66 @@ object LlmData {
       | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------- m_frame_dup
+  // CROSS-MODAL real-pixel dedup UNDER THE ORACLE (the r15 stretch
+  // made a gate key): the m_video_real AVI corpus demuxed, every
+  // frame DECODED (javax.imageio PNG), fingerprinted over the decoded
+  // pixel stream, and exact-deduped on fingerprint collision — the
+  // MultimodalCodecSpec cross-video loop with a closed-form truth.
+  // The generator's flat-gray frames make collision SQL-expressible:
+  // the fp hashes only the raw pixel byte stream, so two frames
+  // collide iff (width·height, gray) match — INCLUDING across
+  // different geometries with equal pixel count (12×8 ≡ 8×12), which
+  // the oracle groups by npx, not (w, h). Keeper = lexicographic min
+  // (doc_id, frame_idx) per collision group; one output row per
+  // DROPPED frame. gray is the REAL decoded mean luminance (flat
+  // frames: exactly g), so the hash ties the actual decode into the
+  // dedup decision. Row-local decode → one window over fp groups
+  // (bounded by dup-cluster size, never corpus-sized) — media
+  // payloads stay off every exchange.
+  private val frameDup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Multimodal.frameSampleReal(attachVideoPayload(s, d),
+        stride = 1)
+      .toDF().select(col("doc_id"), col("frame_idx"),
+        col("mean_byte"), col("frame_fp"))
+    val wFp = Window.partitionBy("frame_fp")
+    frames
+      .withColumn("n_members", count(lit(1)).over(wFp))
+      .withColumn("k", min(struct(col("doc_id"), col("frame_idx"))).over(wFp))
+      .filter(col("n_members") >= 2 &&
+        !(col("doc_id") === col("k.doc_id") &&
+          col("frame_idx") === col("k.frame_idx")))
+      .select(col("doc_id"), col("frame_idx"), col("mean_byte").as("gray"),
+        col("k.doc_id").as("keep_doc"), col("k.frame_idx").as("keep_frame"),
+        col("n_members"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameDupSql =
+    """WITH v AS (SELECT doc_id,
+      |    CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |f AS (SELECT doc_id, width * height AS npx,
+      |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM v),
+      |g AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, npx,
+      |   (doc_id * 11 + frame_idx * 31) % 256 AS gray FROM f),
+      |k AS (SELECT npx, gray, COUNT(*) AS n_members,
+      |   MIN(doc_id) AS keep_doc
+      |  FROM g GROUP BY npx, gray HAVING COUNT(*) >= 2),
+      |kf AS (SELECT k.npx, k.gray, k.n_members, k.keep_doc,
+      |    MIN(g.frame_idx) AS keep_frame
+      |  FROM k JOIN g ON g.doc_id = k.keep_doc
+      |    AND g.npx = k.npx AND g.gray = k.gray
+      |  GROUP BY k.npx, k.gray, k.n_members, k.keep_doc)
+      |SELECT g.doc_id, g.frame_idx, CAST(g.gray AS DOUBLE) AS gray,
+      | kf.keep_doc, kf.keep_frame, kf.n_members
+      |FROM g JOIN kf USING (npx, gray)
+      |WHERE NOT (g.doc_id = kf.keep_doc AND g.frame_idx = kf.keep_frame)
+      |ORDER BY g.doc_id, g.frame_idx""".stripMargin
 
   // ------------------------------------------------ s_centroid_dist
   // Per-label centroids (position-exploded partial agg — one shuffle
@@ -4052,6 +4147,7 @@ object LlmData {
     "s_ivfpq_recall" -> ivfPqRecall,
     "s_ivfpq_tuning" -> ivfPqTuning,
     "s_ivfpq_indexed" -> ivfPqIndexed,
+    "s_filtered_topk" -> filteredTopK,
     "s_reindex_topk" -> reindexTopK,
     "d_stream_pqdedup" -> streamPqDedup,
     "d_stream_pqdedup_res" -> streamPqDedupRes,
@@ -4070,6 +4166,7 @@ object LlmData {
     "m_image_real" -> imageReal,
     "m_audio_real" -> audioReal,
     "m_video_real" -> videoReal,
+    "m_frame_dup" -> frameDup,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
     "t_corpus_stats" -> corpusStats,
@@ -4155,6 +4252,9 @@ object LlmData {
           // SQL — the gate proves persist → load → search loses
           // nothing vs the in-session path
           "s_ivfpq_indexed" -> ivfPqTopKSql(c, b),
+          // filtered search: same replay, candidate stream restricted
+          // to the predicate slice
+          "s_filtered_topk" -> ivfPqFilteredSql(c, b),
           // the residual streaming dedup reconstructs the BATCH
           // residual dedup from its emission log — the replay is the
           // batch query's (streaming at ingest loses nothing, in the
@@ -4232,6 +4332,7 @@ object LlmData {
     "m_image_real" -> imageRealSql,
     "m_audio_real" -> audioRealSql,
     "m_video_real" -> videoRealSql,
+    "m_frame_dup" -> frameDupSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,
     "t_corpus_stats" -> corpusStatsSql,

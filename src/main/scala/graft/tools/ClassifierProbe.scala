@@ -57,6 +57,26 @@ object ClassifierProbe {
       aggregate(transform(toks,
           t => element_at(w, (T.featureBucket(t, 128) + 1L).cast("int"))),
         lit(0.0d), (acc, x) => acc + x).as("s")))
+    time("8_native_margin_uni")(docs.select(col("doc_id"),
+      T.classifierMargin(col("text"), ws, 0.05, bigrams = false).as("m")))
+    val wsBig = T.classifierWeights(1024)
+    time("9_hof_bigram_logit")(docs.select(col("doc_id"),
+      T.classifierLogit(T.classifierFeatures(col("text")), wsBig, 0.05).as("m")))
+    time("10_native_bigram_margin")(docs.select(col("doc_id"),
+      T.classifierMargin(col("text"), wsBig, 0.05).as("m")))
+    // the pre-fused formulation (array child: builtin normalize+split
+    // feeds the kernel) — prices what fusing the tokenize bought
+    time("10b_arraychild_margin")(docs.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.ClassifierMargin(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            split(T.normalize(col("text")), " ")),
+          wsBig.toArray, 0.05, bigrams = true)).as("m")))
+    time("11_native_three_outputs")(docs.select(col("doc_id"),
+      T.classifierMargin(col("text"), wsBig, 0.05).as("m"),
+      T.sigmoid6(T.classifierMargin(col("text"), wsBig, 0.05)).as("sc"),
+      when(T.classifierMargin(col("text"), wsBig, 0.05) >= 0.0d, 1L)
+        .otherwise(0L).as("k")))
     time("7_explode_groupby")(
       docs.select(col("doc_id"), explode(toks).as("tok"))
         .select(col("doc_id"),

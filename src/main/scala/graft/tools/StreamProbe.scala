@@ -88,6 +88,46 @@ object StreamProbe {
         f"triggers>=$triggers n_pairs=$pairs")
       spark.catalog.dropTempView(name)
     }
+    // state-store floor attack (r15 verdict #4): the HDFS-backed
+    // provider clones every partition's version map per batch, and
+    // versions scale with partitions × triggers — grid over provider
+    // × shuffle-partition count at the rule mfpt, on cloned sessions
+    // (per-session SQLConf; the stream reads it at start). The pair
+    // set must stay invariant across every config.
+    val ruleMfpt = graft.streaming.StreamingPipeline
+      .autoFilesPerTrigger(parts.length)
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    for ((label, provider, nPart) <- Seq(
+        (s"hdfs_p$cpus", None, cpus.toInt),
+        (s"rocks_p$cpus", Some(rocks), cpus.toInt),
+        ("hdfs_p8", None, 8),
+        ("rocks_p8", Some(rocks), 8),
+        ("hdfs_p4", None, 4))) {
+      import org.apache.spark.sql.streaming.Trigger
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", nPart)
+      provider.foreach(p =>
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      val t3 = System.nanoTime()
+      val stream = s2.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", ruleMfpt.toString)
+        .parquet(streamDir)
+      val name = s"probe_store_$label"
+      val q = graft.streaming.StreamingPipeline
+        .lshNearDupStream(stream, "doc_id", "text",
+          shingleK = 3, numPerms = 16, rowsPerBand = 4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val triggers = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      val pairs = s2.table(name).select("id1", "id2").distinct().count()
+      println(f"PROBE store=$label%-9s mfpt=$ruleMfpt wall=" +
+        f"${(System.nanoTime() - t3) / 1e9}%7.1f s " +
+        f"triggers>=$triggers n_pairs=$pairs")
+    }
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
     }

@@ -35,10 +35,8 @@ object ValProbe {
       val t0 = System.nanoTime()
       val fit = Classifier.fit(train, "doc_id", "text", "_lbl",
         d = d, epochs = epochs, lr = lr, trainMod = 1, bigrams = bigrams)
-      val feats =
-        if (bigrams) T.classifierFeatures(col("text"))
-        else split(T.normalize(col("text")), " ")
-      val lg = T.classifierLogit(feats, fit.weightSeq, fit.bias)
+      val lg = T.classifierMargin(col("text"), fit.weightSeq, fit.bias,
+        bigrams = bigrams)
       val cut = Classifier.calibrateCut(
         train.select(lg.as("m"), col("_lbl").as("y")), "m", "y")
       val rows = valDs.select(lg.as("m"), col("_lbl").cast("long").as("y"))

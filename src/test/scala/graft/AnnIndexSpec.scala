@@ -64,6 +64,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("filtered search: predicate + probe BOTH push to the scan; results = in-session search of the slice") {
+    val (cents, books) = trained
+    val dir = tmp("annidx_filt")
+    AnnIndex.write(emb, "vec_id", "embedding", dir, "ann_filt", cents,
+      books, metaCols = Seq("label"))
+    val (codes, meta) = AnnIndex.load(spark, dir, "ann_filt")
+    assert(meta.metaCols.map(_._1) == Seq("label"))
+    val q = emb.filter(col("vec_id") < 10)
+    val df = AnnIndex.search(q, codes, meta, emb, "embedding",
+      k = 3, nprobe = 4, shortlist = 64,
+      predicate = Some(col("label") === 1))
+    // the s_filtered_topk plan-audit pin: the label predicate pushes
+    // into the bucketed parquet scan ALONGSIDE the probed-cell IN
+    // filter, and bucket pruning still fires
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(label,1)"),
+      s"label predicate not pushed to the codes scan:\n$plan")
+    assert(plan.contains("In(cell"),
+      s"probe IN filter not pushed to the codes scan:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bucket pruning lost under the filtered scan:\n$plan")
+    // filtering candidates commutes with coding (cell/code per row is
+    // independent of the rest of the corpus): the filtered indexed
+    // search must equal the in-session composed search over the slice
+    val inSession = Similarity.ivfPqResidualTopK(q,
+      emb.filter(col("label") === 1), "vec_id", "embedding",
+      cents, books, k = 3, nprobe = 4, shortlist = 64)
+      .orderBy("qid", "rnk").collect()
+    assert(df.orderBy("qid", "rnk").collect().toSeq == inSession.toSeq)
+    // appended deltas carry the metadata column too: search again over
+    // a rebuilt-from-halves artifact and require the same answer
+    val dir2 = tmp("annidx_filt2")
+    AnnIndex.write(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", dir2, "ann_filt2", cents, books,
+      metaCols = Seq("label"))
+    AnnIndex.append(emb.filter(col("vec_id") % 2 === 1), "embedding",
+      dir2, "ann_filt2")
+    val (codes2, meta2) = AnnIndex.load(spark, dir2, "ann_filt2")
+    val appended = AnnIndex.search(q, codes2, meta2, emb, "embedding",
+      k = 3, nprobe = 4, shortlist = 64,
+      predicate = Some(col("label") === 1))
+      .orderBy("qid", "rnk").collect()
+    assert(appended.toSeq == inSession.toSeq)
+  }
+
   test("append == rebuild: delta-coded rows and search results are identical") {
     val (cents, books) = trained
     // build on the even half (artifacts trained on the FULL corpus —

@@ -113,6 +113,43 @@ class ClassifierSpec extends SparkSpec {
       .filter(col("m") =!= col("m2")).count() == 0)
   }
 
+  test("native ClassifierMargin is bit-identical to the HOF logit (bigram + unigram, real docs + edges)") {
+    import spark.implicits._
+    val ws = TextFunctions.classifierWeights(1024, seed = 7L)
+    val edge = Seq("", "   ", "one", "!!!", "a  b\tc", "Ünïcode tøkens here")
+      .toDF("text").withColumn("doc_id", lit(-1L))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+      edge.select(col("doc_id"), col("text")))
+    // bigram production path vs the HOF oracle algebra — EXACT equality
+    val bi = corpus.select(
+      TextFunctions.classifierMargin(col("text"), ws, 0.0625d).as("native"),
+      TextFunctions.classifierLogit(
+        TextFunctions.classifierFeatures(col("text")), ws, 0.0625d).as("hof"))
+    assert(bi.filter(col("native") =!= col("hof")).count() == 0)
+    assert(bi.filter(col("native").isNull).count() == 0)
+    // unigram mode vs the plain token fold
+    val uni = corpus.select(
+      TextFunctions.classifierMargin(col("text"), fit.weightSeq, fit.bias,
+        bigrams = false).as("native"),
+      TextFunctions.classifierLogit(
+        split(TextFunctions.normalize(col("text")), " "),
+        fit.weightSeq, fit.bias).as("hof"))
+    assert(uni.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native ClassifierFeatures equals the Column-algebra stream (the fit featurizer swap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val corpus = docs.select(col("text")).unionByName(
+      Seq("", "one", "two words", "a b c d").toDF("text"))
+    val toks = split(TextFunctions.normalize(col("text")), " ")
+    val both = corpus.select(
+      ColumnBridge.column(graft.plans.ClassifierFeatures(
+        ColumnBridge.expression(toks))).as("native"),
+      TextFunctions.classifierFeatures(col("text")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
   test("calibrateCut maximizes bucketed accuracy, lowest cut on ties") {
     import spark.implicits._
     // margins bucket to -2, 0, 1; positives concentrate at bucket >= 0

@@ -79,6 +79,24 @@ class CodegenSpec extends SparkSpec {
     assert(st0.getInt(2) == 5)
   }
 
+  test("multiple ClassifierMargins compile into one generated projection") {
+    // the DotProduct freshName lesson applied to the classifier kernel:
+    // distinct weight arrays per expression so CSE can't merge them
+    import graft.plans.ClassifierMargin
+    val toks = Literal.create(Seq("a", "b", "c"), ArrayType(StringType))
+    val exprs: Seq[Expression] = (0 until 4).map { j =>
+      ClassifierMargin(toks, Array.fill(64)(0.25d * (j + 1)), 0.5d, bigrams = true)
+    }
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    val row = proj(InternalRow.empty)
+    // all weights equal per expr → margin = w + bias regardless of hash
+    (0 until 4).foreach { j =>
+      assert(row.getDouble(j) === 0.25d * (j + 1) + 0.5d)
+    }
+    // and the bigram feature count divides correctly: 2*3-1 = 5 equal
+    // contributions of w each → sum/5 = w exactly (checked above)
+  }
+
   test("native RepetitionStats matches the HOF folds on real docs") {
     import graft.functions.{TextFunctions => T}
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -23,12 +23,15 @@ HEAVY_PRESENT=$(grep -wF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS" || true)
 ORDER=$(mktemp /tmp/sweep_nx_order.XXXXXX)
 { grep -vwF -f <(tr ' ' '\n' <<< "$HEAVY") <<< "$KEYS";
   [ -n "$HEAVY_PRESENT" ] && echo "$HEAVY_PRESENT"; } > "$ORDER"
-# resumable: an existing log's verdict lines are kept and their keys
-# skipped, so an interrupted campaign continues instead of restarting
+# resumable: an existing log's PASS/ROWS-ONLY verdicts are kept and
+# their keys skipped; FAIL/TIMEOUT/ERROR keys RE-RUN on resume (a
+# transient timeout under load must not stick for the whole campaign
+# — r15 advice). Later verdict lines override earlier ones in
+# sweep_assemble.py, so the re-run's verdict wins.
 [ -f "$LOG" ] || : > "$LOG"
 while read -r key; do
   [ -z "$key" ] && continue
-  grep -q "^$key :: " "$LOG" && continue
+  grep -qE "^$key :: (PASS|ROWS-ONLY)" "$LOG" && continue
   # Collapse the verdict to ONE line per key: on failure check.py
   # prints BOTH an empty "PASS (0):" summary and a FAIL detail line,
   # and logging them raw double-counts the key in a `grep -c PASS`
