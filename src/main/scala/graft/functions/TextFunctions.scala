@@ -235,7 +235,7 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.plans.ClassifierMargin(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
-        weights.toArray, bias, bigrams))
+        weights.toIndexedSeq, bias, bigrams))
 
   /** Calibrated score in (0,1). exp() is the one libm call in the
     * classifier — cross-engine it can differ by an ulp, which the

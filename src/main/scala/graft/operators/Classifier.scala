@@ -65,20 +65,25 @@ object Classifier {
   def fit(docs: DataFrame, idCol: String, textCol: String,
           labelCol: String, d: Int = 128, epochs: Int = 8,
           lr: Double = 4.0, trainMod: Int = 1,
-          bigrams: Boolean = false): Fit = {
+          bigrams: Boolean = false,
+          featsCol: Option[Column] = None): Fit = {
     val sample =
       if (trainMod <= 1) docs
       else docs.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
     // the native feature expression evaluates the tokenize ONCE per
     // row (the Column-algebra classifierFeatures references the token
     // array three times and HOFs get no codegen subexpression
-    // elimination — spec-pinned identical output)
+    // elimination — spec-pinned identical output). featsCol overrides
+    // the stream entirely (a caller-supplied array<string> feature
+    // column — the ValProbe grid's lever for probing NEW feature
+    // families before they earn kernel/oracle plumbing); scoring must
+    // then feed classifierLogit the same stream.
     val baseToks = split(TextFunctions.normalize(col(textCol)), " ")
-    val toks =
+    val toks = featsCol.getOrElse(
       if (bigrams) org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.plans.ClassifierFeatures(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(baseToks)))
-      else baseToks
+      else baseToks)
     // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
     // token repeats before anything shuffles; inv_ntok folds the
     // feature normalization into one per-doc constant

@@ -39,9 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null semantics mirror the HOF pipeline: null token array → null
   * margin; a null element poisons the fold → null margin.
   */
-case class ClassifierMargin(child: Expression, weights: Array[Double],
+case class ClassifierMargin(child: Expression, weights: IndexedSeq[Double],
                             bias: Double, bigrams: Boolean)
     extends UnaryExpression {
+
+  // weights is an IndexedSeq, NOT an Array, so case-class equality is
+  // structural: two ClassifierMargins built independently from the
+  // same fit canonicalize equal and whole-stage CSE computes the
+  // kernel ONCE per row (an Array field compares by reference —
+  // ClassifierProbe measured the three-output projection at 3× the
+  // single-margin wall before this). The kernel itself indexes a
+  // plain array.
+  @transient private lazy val wArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -70,13 +79,13 @@ case class ClassifierMargin(child: Expression, weights: Array[Double],
   override protected def nullSafeEval(input: Any): Any =
     if (fused)
       ClassifierKernelUtil.marginText(
-        input.asInstanceOf[UTF8String], weights, bias, bigrams)
+        input.asInstanceOf[UTF8String], wArr, bias, bigrams)
     else
       ClassifierKernelUtil.margin(
-        input.asInstanceOf[ArrayData], weights, bias, bigrams)
+        input.asInstanceOf[ArrayData], wArr, bias, bigrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("classifierWeights", weights, "double[]")
+    val wRef = ctx.addReferenceObj("classifierWeights", wArr, "double[]")
     val fn = if (fused) "marginText" else "margin"
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("clsMargin")

@@ -2088,7 +2088,7 @@ object LlmData {
   // Model-based quality filtering (the DCLM / FineWeb-Edu stage that
   // runs AFTER the cheap t_quality heuristics): a fastText-shaped
   // logistic regression over HASHED unigram+bigram features (Joulin'16
-  // §2.1 — word order via the hashing trick) at D=1024, engine-portable
+  // §2.1 — word order via the hashing trick) at D=8192, engine-portable
   // 60-bit md5-prefix bucket — whose weights are TRAINED IN-ENGINE by
   // Classifier.fit (distributed full-batch GD on the deterministic
   // lang-agreement seed label).
@@ -2101,12 +2101,17 @@ object LlmData {
   // exactly like t_quality; training cost is bounded by the epoch
   // count × two partial-agg passes (timed as _store_classifier).
   // D / epochs / lr chosen by held-out measurement (ValProbe over the
-  // (d, epochs, lr, bigrams) grid at sf0.01): 1024 buckets, 16 epochs,
-  // lr 8 lifts val AUC 0.5597 → 0.5881 over the r14 unigram/128/6/3
-  // point AND is the cheapest probed config where the CALIBRATED cut
-  // beats the majority-class base rate on unseen docs (0.5859 vs
-  // 0.5455); train loss still improves monotonically (lr 12+ diverges)
-  private val classifierD = 1024
+  // (d, epochs, lr, bigrams) grid at sf0.01): r16 — with the fused
+  // ClassifierMargin kernel paying for capacity, the grid re-ran at
+  // D ∈ {1024..16384} plus char-3/4/5-gram and word∪char3 streams
+  // (the langid-shaped alternatives): char families rank no better
+  // (best char3/4096 AUC 0.6049) and their calibrated cut COLLAPSES
+  // to the base rate, so the word unigram+bigram stream stays; 8192
+  // buckets at 16 epochs / lr 8 is the best-AUC word config — val
+  // AUC 0.5881 → 0.6025 over r15's D=1024 — and its calibrated cut
+  // still beats base (0.5960 vs 0.5455). epochs 24 overfits the cut
+  // (collapses to keep-all) at every width probed.
+  private val classifierD = 8192
 
   // The weights are TRAINED IN-ENGINE (Classifier.fit — distributed
   // full-batch logistic GD on the deterministic lang-agreement seed
@@ -2266,11 +2271,11 @@ object LlmData {
   // one partial agg onto (source, margin), and the global cumulative
   // runs through ShardedWindow (range-sharded prefix sum — no
   // single-task global sort).
-  // raised from 0.5 (r14) on the r15 measured headroom: val AUC
-  // 0.5881 at the new bigram/1024/16/8 operating point — 17/32 keeps
-  // the floor dyadic (exact cross-engine) while separating a working
-  // ranker from chance with margin for corpus-draw variance
-  private val classifierValFloor = 0.53125 // 17/32, dyadic
+  // raised from 17/32 (r15) on the r16 measured headroom: val AUC
+  // 0.6025 at the bigram/8192/16/8 operating point — 35/64 keeps the
+  // floor dyadic (exact cross-engine) and the r15-style ~0.056
+  // corpus-draw margin under the measurement
+  private val classifierValFloor = 0.546875 // 35/64, dyadic
 
   private def valBucket = // content-hash 5-bucket; bucket 0 = val
     graft.operators.Dedup.shingleHash(concat(lit("cvsplit:"), col("text"))) % 5

@@ -71,7 +71,7 @@ object ClassifierProbe {
         graft.plans.ClassifierMargin(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(
             split(T.normalize(col("text")), " ")),
-          wsBig.toArray, 0.05, bigrams = true)).as("m")))
+          wsBig.toIndexedSeq, 0.05, bigrams = true)).as("m")))
     time("11_native_three_outputs")(docs.select(col("doc_id"),
       T.classifierMargin(col("text"), wsBig, 0.05).as("m"),
       T.sigmoid6(T.classifierMargin(col("text"), wsBig, 0.05)).as("sc"),

@@ -31,12 +31,29 @@ object ValProbe {
     val train = docs.filter(vb =!= 0)
     val valDs = docs.filter(vb === 0)
 
-    def evalCfg(d: Int, epochs: Int, lr: Double, bigrams: Boolean): Unit = {
+    // char n-gram stream over the normalized text INCLUDING spaces
+    // (word boundaries carry signal for the langid-shaped seed task —
+    // the fastText langid recipe); short docs degrade to one whole-
+    // string feature. Probe-only Column algebra (HOF-slow is fine at
+    // sf0.01); a winning family earns kernel + oracle plumbing.
+    def charGrams(n: Int): org.apache.spark.sql.Column = {
+      val norm = T.normalize(col("text"))
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n)))
+    }
+
+    def evalCfg(d: Int, epochs: Int, lr: Double, bigrams: Boolean,
+                label: String = "word",
+                feats: Option[org.apache.spark.sql.Column] = None): Unit = {
       val t0 = System.nanoTime()
       val fit = Classifier.fit(train, "doc_id", "text", "_lbl",
-        d = d, epochs = epochs, lr = lr, trainMod = 1, bigrams = bigrams)
-      val lg = T.classifierMargin(col("text"), fit.weightSeq, fit.bias,
-        bigrams = bigrams)
+        d = d, epochs = epochs, lr = lr, trainMod = 1, bigrams = bigrams,
+        featsCol = feats)
+      val lg = feats match {
+        case Some(f) => T.classifierLogit(f, fit.weightSeq, fit.bias)
+        case None => T.classifierMargin(col("text"), fit.weightSeq,
+          fit.bias, bigrams = bigrams)
+      }
       val cut = Classifier.calibrateCut(
         train.select(lg.as("m"), col("_lbl").as("y")), "m", "y")
       val rows = valDs.select(lg.as("m"), col("_lbl").cast("long").as("y"))
@@ -49,21 +66,36 @@ object ValProbe {
       val cutAcc = rows.count { case (m, y) =>
         (math.floor(m * 10).toLong >= cut) == (y == 1L) }.toDouble / rows.length
       val base = math.max(pos.length, neg.length).toDouble / rows.length
-      println(f"CFG d=$d%4d ep=$epochs%3d lr=$lr%4.1f bi=$bigrams%5s | " +
+      println(f"CFG $label%-10s d=$d%5d ep=$epochs%3d lr=$lr%4.1f bi=$bigrams%5s | " +
         f"valAUC=$auc%.4f cut=$cut%3d cutAcc=$cutAcc%.4f base=$base%.4f " +
         f"trainLossFinal=${fit.losses.last}%.4f " +
         f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
     }
 
-    for ((d, ep, lr, bi) <- Seq(
-      (512, 6, 6.0, true),
-      (512, 12, 6.0, true),
-      (1024, 12, 6.0, true),
-      (1024, 16, 6.0, true),
+    // r16 grid: the fused kernel made capacity cheap — probe the wider
+    // hash tables the r15 verdict asked for (args override: d,ep,lr
+    // triples as "4096:16:8,16384:16:8")
+    val grid = args.lift(1).map(_.split(",").toSeq.map { c =>
+      val Array(d, ep, lr) = c.split(":")
+      (d.toInt, ep.toInt, lr.toDouble, true)
+    }).getOrElse(Seq(
       (1024, 16, 8.0, true),
-      (2048, 16, 6.0, true),
-      (1024, 24, 8.0, true)))
-      evalCfg(d, ep, lr, bi)
+      (2048, 16, 8.0, true),
+      (4096, 16, 8.0, true),
+      (4096, 24, 8.0, true),
+      (8192, 16, 8.0, true),
+      (16384, 16, 8.0, true),
+      (16384, 24, 8.0, true)))
+    for ((d, ep, lr, bi) <- grid) evalCfg(d, ep, lr, bi)
+    // char n-gram families (probe-only streams)
+    for ((n, d) <- Seq((3, 4096), (3, 8192), (3, 16384),
+        (4, 8192), (4, 16384), (5, 16384)))
+      evalCfg(d, 16, 8.0, bigrams = false, label = s"char$n",
+        feats = Some(charGrams(n)))
+    // union stream: word unigram+bigram ++ char trigrams
+    for (d <- Seq(8192, 16384))
+      evalCfg(d, 16, 8.0, bigrams = false, label = "word+char3",
+        feats = Some(concat(T.classifierFeatures(col("text")), charGrams(3))))
     spark.stop()
   }
 }

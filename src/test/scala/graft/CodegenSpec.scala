@@ -85,7 +85,7 @@ class CodegenSpec extends SparkSpec {
     import graft.plans.ClassifierMargin
     val toks = Literal.create(Seq("a", "b", "c"), ArrayType(StringType))
     val exprs: Seq[Expression] = (0 until 4).map { j =>
-      ClassifierMargin(toks, Array.fill(64)(0.25d * (j + 1)), 0.5d, bigrams = true)
+      ClassifierMargin(toks, IndexedSeq.fill(64)(0.25d * (j + 1)), 0.5d, bigrams = true)
     }
     val proj = GenerateUnsafeProjection.generate(exprs)
     val row = proj(InternalRow.empty)
