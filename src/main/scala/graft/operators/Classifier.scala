@@ -108,9 +108,17 @@ object Classifier {
     // losses(e) is the mean logloss after e updates, so losses.last
     // evaluates the FINAL weights (no silently-unmeasured update)
     for (e <- 0 to epochs) {
-      val wLit = typedlit(w.toSeq)
+      // weights ride a codegen reference object (BucketWeight), not a
+      // typedlit: at D=8192 the literal array blew janino's method
+      // limits and dropped the whole margin-pass aggregate to
+      // interpreted eval (r16 100× dump log); same arithmetic, so
+      // trained weights are bit-identical
+      val wb = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.BucketWeight(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_b")),
+          w.toIndexedSeq))
       val margins = feat.groupBy("_id")
-        .agg((sum(col("_cnt") * element_at(wLit, (col("_b") + 1).cast("int")))
+        .agg((sum(col("_cnt") * wb)
             / first(col("_ntok")) + lit(bias)).as("_m"),
           first(col("_y")).as("_y"),
           first(col("_ntok")).as("_ntok"))

@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
-/** Dev tool: stage attribution for the t_classifier_score hot path
-  * (the 100× bench read 205 s for 500k docs — ~400 µs/doc, two
-  * orders over a "row-local projection" budget). Each variant noop-
-  * writes the same 500k-doc corpus so the deltas isolate one layer:
-  * normalize/split, the fold alone, the hash alone, explode+groupBy
-  * as the shuffle-paying alternative shape.
+/** Dev tool: stage attribution for the t_classifier_score hot path.
+  * History: the r15 HOF fold read 198 s for 500k docs (variant 9);
+  * the r16 native kernel fed by builtin normalize+split read 38.5 s
+  * (10b — tokenize-bound: variant 1 shows the regex pipeline alone
+  * costs that), and the fully-fused string-child kernel reads 1.2 s
+  * (10); variant 11 (three outputs) read 3× that while weights were
+  * an Array — reference equality defeated CSE — motivating the
+  * IndexedSeq change. Each variant
+  * noop-writes the same corpus so the deltas isolate one layer.
   *   sbt "runMain graft.tools.ClassifierProbe <sfDir>"
   */
 object ClassifierProbe {
