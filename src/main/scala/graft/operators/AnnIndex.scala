@@ -142,7 +142,12 @@ object AnnIndex {
                 else coded0
     writeCodes(coded, dir, table, meta.idCol, meta.numBuckets,
       SaveMode.Append)
-    if (tuningExists) ageTuning(spark, dir, coded.count())
+    if (tuningExists) {
+      ageTuning(spark, dir, coded.count())
+      // release the checkpoint blocks now — a large delta's blocks
+      // otherwise linger in executor storage until ContextCleaner GC
+      coded.unpersist(blocking = false)
+    }
   }
 
   /** Post-append tuning-frame aging (see [[append]]'s scaladoc): the
@@ -551,6 +556,12 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, dir: String,
                         meta: IndexMeta): Unit = {
     import spark.implicits._
+    // meta_cols/meta_types round-trip through a '|'-joined string; a
+    // column name carrying the delimiter would silently corrupt the
+    // loadMeta split into wrong (column, type) pairs — reject at write
+    for ((c, t) <- meta.metaCols)
+      require(!c.contains("|") && !t.contains("|"),
+        s"metadata column name/type may not contain '|': ($c, $t)")
     Seq((meta.idCol, meta.idType, meta.numBuckets, CodesEncoding,
         meta.metaCols.map(_._1).mkString("|"),
         meta.metaCols.map(_._2).mkString("|")))

@@ -222,6 +222,14 @@ object Multimodal {
   private val cachedAudioReader =
     new ThreadLocal[javax.sound.sampled.spi.AudioFileReader]
 
+  /** Provider list materialized ONCE (not a fresh ServiceLoader per
+    * cache miss) — the miss path is now a plain list walk. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala.toSeq
+  }
+
   private def openPcm(docId: Long,
                       payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     import javax.sound.sampled.UnsupportedAudioFileException
@@ -231,18 +239,28 @@ object Multimodal {
       try return checkPcm(docId, cached.getAudioInputStream(bais))
       catch { case _: UnsupportedAudioFileException => bais.reset() }
     }
-    val it = java.util.ServiceLoader.load(
-      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
-    while (it.hasNext) {
-      val reader = it.next()
+    var lastMiss: UnsupportedAudioFileException = null
+    for (reader <- audioReaders) {
       try {
         val in = reader.getAudioInputStream(bais)
         cachedAudioReader.set(reader)
         return checkPcm(docId, in)
-      } catch { case _: UnsupportedAudioFileException => bais.reset() }
+      } catch {
+        case e: UnsupportedAudioFileException => lastMiss = e; bais.reset()
+      }
     }
-    throw new IllegalArgumentException(
-      s"undecodable audio payload for doc $docId")
+    // Terminal fallback through AudioSystem itself: its provider
+    // preference order is authoritative, so a payload only one of
+    // several same-container readers accepts decodes exactly as it
+    // did pre-cache (the list walk above is an optimization, not a
+    // semantics change). Don't cache — we can't see which reader won.
+    try checkPcm(docId, javax.sound.sampled.AudioSystem.getAudioInputStream(bais))
+    catch {
+      case e: UnsupportedAudioFileException =>
+        val cause = if (lastMiss != null) lastMiss else e
+        throw new IllegalArgumentException(
+          s"undecodable audio payload for doc $docId", cause)
+    }
   }
 
   private def checkPcm(docId: Long,

@@ -293,7 +293,12 @@ object ClassifierKernelUtil {
     val out = new Array[Any](if (n == 0) 0 else 2 * n - 1)
     var i = 0
     while (i < n) {
-      out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      // clone(): the child ArrayData may be backed by a reused row
+      // buffer; storing the raw UTF8String reference would alias it
+      // and corrupt elements if a consumer defers materialization
+      // across input rows (works today only because explode/projection
+      // copy immediately — close the latent hazard)
+      out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).clone()
       i += 1
     }
     i = 0

@@ -576,6 +576,71 @@ object LlmData {
       |WHERE ROUND(dot/(n1.nrm*n2.nrm), 6) >= 0.35
       |ORDER BY id1, id2""".stripMargin
 
+  // ------------------------------------------- d_embedding_neardup_s
+  // The volume-bounded twin of d_embedding_neardup: exact cosine
+  // pairs over a DETERMINISTIC content-hash slice of the corpus. The
+  // full-corpus exact form is inherently O(n²/L) — the one plan shape
+  // that cannot survive a 100× scale-up (454 s at 100×, ~12 h
+  // extrapolated at 1000×) — so volume campaigns run THIS key as the
+  // exact-pair yardstick instead. The slice modulus self-scales:
+  // S = max(2, ceil(n/2000)), so the slice is ~2000 vectors at ANY N×
+  // (pairs stay O(minutes) forever) and S=2 at sf0.01 means the gate
+  // exercises the real slicing path, not a degenerate S=1. The slice
+  // is the d_split_assign discipline (md5-derived, content-hash on
+  // vec_id) so re-runs, re-shards, and the DuckDB oracle agree; the
+  // oracle replays the SAME predicate independently, proving in-gate
+  // that sampled == full-restricted-to-slice.
+  private val embNearDupS: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val mod = math.max(2L, math.ceil(emb.count() / 2000.0).toLong)
+    val sliced = emb.filter(
+      Dedup.shingleHash(concat(lit("slice:"), col("vec_id").cast("string")))
+        % mod === 0)
+    Similarity.cosineNearDup(sliced, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.35)
+      .orderBy("id1", "id2")
+  }
+
+  /** The slice CTE both d_embedding_neardup_s oracles share: the
+    * self-scaling modulus, then the same md5 predicate the Spark side
+    * applies. */
+  private val embSliceCte =
+    """nn AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS s
+      |       FROM embeddings),
+      |sel AS (SELECT vec_id, label, embedding FROM embeddings, nn
+      |        WHERE TRY_CAST('0x' || substr(md5('slice:' || vec_id), 1, 15) AS BIGINT)
+      |              % s = 0)""".stripMargin
+
+  private val embNearDupSSql =
+    s"""WITH $embSliceCte,
+       |flat AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |         FROM sel),
+       |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.x*b.x) AS dot
+       |          FROM flat a JOIN flat b
+       |            ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |          GROUP BY a.vec_id, b.vec_id),
+       |norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id)
+       |SELECT id1, id2, ROUND(dot/(n1.nrm*n2.nrm), 6) AS cos_sim
+       |FROM pairs JOIN norms n1 ON id1 = n1.vec_id JOIN norms n2 ON id2 = n2.vec_id
+       |WHERE ROUND(dot/(n1.nrm*n2.nrm), 6) >= 0.35
+       |ORDER BY id1, id2""".stripMargin
+
+  /** List-native ALT twin (see embAltCtes note) — same slice, same
+    * arithmetic, no 64×-wide flat join at N×. */
+  private val embNearDupSAltSql =
+    s"""WITH $embSliceCte,
+       |v AS (SELECT vec_id, label,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM sel),
+       |n AS (SELECT vec_id, label, e,
+       |        sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) AS cos_sim
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ROUND(list_inner_product(a.e, b.e)/(a.nrm*b.nrm), 6) >= 0.35
+       |ORDER BY id1, id2""".stripMargin
+
   // ----------------------------------------------------- d_semdedup
   // SemDeDup over LSH sign-bit blocks: label-free embedding dedup.
   // The 6 deterministic planes (seed 42, same LCG as s_lsh_topk) are
@@ -720,6 +785,7 @@ object LlmData {
     * already swaps. */
   def oracleAlt: Map[String, String] = Map(
     "d_embedding_neardup" -> embNearDupAltSql,
+    "d_embedding_neardup_s" -> embNearDupSAltSql,
     "d_semdedup" -> semDedupAltSql,
     "s_knn_degree" -> knnDegreeAltSql,
     "d_substr_long" -> substrLongAltSql)
@@ -1494,6 +1560,89 @@ object LlmData {
        |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ivfpq_ranked WHERE rnk <= 3
        |ORDER BY qid, rnk""".stripMargin
+
+  // -------------------------------------------- s_filtered_recall
+  // The recall-as-gate-metric discipline (s_lsh/ivf/pq/ivfpq_recall)
+  // applied to the FIFTH search shape: per-query recall@3 of the
+  // FILTERED search vs FILTERED brute force (label = 1, ~half the
+  // corpus at the synthetic label mix). This turns "filtered recall
+  // does not decay with selectivity" from a spec assertion
+  // (AnnIndexSpec) into a hash-checked gate row: because the
+  // predicate applies BEFORE the shortlist, the shortlist holds
+  // `shortlist` MATCHING candidates and recall stays at the
+  // unfiltered operating point — post-filtering an unfiltered top-k
+  // would decay toward zero as the filter sharpens. Ground truth is
+  // its own small store (_store_exactfilt — the _store_exacttopk
+  // discipline) so the gate row reports marginal cost.
+  private val exactFilteredStash =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  graft.operators.Dedup.onClearStore(() => exactFilteredStash.clear())
+
+  private def exactFilteredTop3(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def build = {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+          emb.filter(col("label") === 1), "vec_id", "embedding", k = 3)
+        .localCheckpoint(eager = true)
+    }
+    mhKey(s, d) match {
+      case Some(k) => exactFilteredStash.getOrElseUpdate(s"$k|exactfilt3", build)
+      case None => build
+    }
+  }
+
+  private val filteredRecall: Q = (s, d) => {
+    val dir = annIndexDir(s, d)
+    val (codes, meta) = graft.operators.AnnIndex.load(s, dir,
+      annTable(mhKey(s, d).get))
+    val emb = Tables.embeddings(s, d)
+    val exact = exactFilteredTop3(s, d).select(col("qid"), col("cid"))
+    val approx = graft.operators.AnnIndex.search(emb.filter(col("vec_id") < 10),
+        codes, meta, emb, "embedding", k = 3,
+        nprobe = IvfPqDefaults.nprobe, shortlist = IvfPqDefaults.shortlist,
+        predicate = Some(col("label") === 1))
+      .select(col("qid"), col("cid"))
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  /** ivfPqRecallSql with BOTH sides restricted to the predicate
+    * slice: the IVFADC replay's candidate stream via candFilter, the
+    * exact side via the same IN-subquery — filtered recall measured
+    * against filtered ground truth. */
+  private def ivfPqFilteredRecallSql(cents: Array[Array[Double]],
+                                     books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${ivfPqCtes(cents, books, books(0)(0).length,
+            IvfPqDefaults.nprobe, IvfPqDefaults.shortlist,
+            candFilter =
+              "AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")},
+       |exact_dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+       |               FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |               WHERE q.vec_id < 10
+       |                 AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)
+       |               GROUP BY q.vec_id, c.vec_id),
+       |exact_ranked AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |                  ORDER BY ROUND(dot/(nq.nrm*nc.nrm), 6) DESC, cid) AS rnk
+       |                 FROM exact_dots JOIN norms nq ON qid = nq.vec_id
+       |                                 JOIN norms nc ON cid = nc.vec_id),
+       |exact_top AS (SELECT e.qid, e.cid FROM exact_ranked e WHERE e.rnk <= 3),
+       |atop AS (SELECT p.qid, p.cid FROM ivfpq_ranked p WHERE p.rnk <= 3),
+       |hits AS (SELECT e.qid, COUNT(*) AS n_hits
+       |         FROM exact_top e JOIN atop a ON e.qid = a.qid AND e.cid = a.cid
+       |         GROUP BY e.qid)
+       |SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       | ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |       / CAST(q.n_exact AS DOUBLE), 6) AS recall_at_3
+       |FROM (SELECT qid, COUNT(*) AS n_exact FROM exact_top GROUP BY qid) q
+       |LEFT JOIN hits h USING (qid)
+       |ORDER BY q.qid""".stripMargin
 
   // --------------------------------------------- d_stream_pqdedup
   // The always-on twin of d_pq_semdedup (the lshNearDupStream
@@ -3123,7 +3272,9 @@ object LlmData {
     * RIFF layout [[Multimodal.decodeVideo]] parses (the codec spec
     * keeps its own independent generator, so encode/decode errors
     * cannot cancel). */
-  private def attachVideoPayload(s: SparkSession, d: String) = {
+  private def attachVideoPayload(s: SparkSession, d: String,
+                                 fourcc: String = "PNG ",
+                                 imgFormat: String = "png") = {
     import org.apache.spark.sql.{Dataset, Encoders}
     val ids: Dataset[Long] = Tables.documents(s, d)
       .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
@@ -3155,7 +3306,7 @@ object LlmData {
             y += 1
           }
           val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
+          javax.imageio.ImageIO.write(img, imgFormat, buf)
           buf.toByteArray
         }
         // standard 56-byte AVIMAINHEADER (dwWidth/dwHeight at +32/+36);
@@ -3163,12 +3314,12 @@ object LlmData {
         val avih = chunk("avih", u32(1000000L * scale / rate) ++
           Array.fill(28)(0.toByte) ++ u32(w.toLong) ++ u32(h.toLong) ++
           Array.fill(16)(0.toByte))
-        val strh = chunk("strh", cc("vids") ++ cc("PNG ") ++ u32(0) ++
+        val strh = chunk("strh", cc("vids") ++ cc(fourcc) ++ u32(0) ++
           u32(0) ++ u32(0) ++ u32(scale.toLong) ++ u32(rate.toLong) ++
           u32(0) ++ u32(n.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
           Array.fill(8)(0.toByte))
         val strf = chunk("strf", u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++
-          u32(0x00180001L) ++ cc("PNG ") ++ u32(w.toLong * h * 3) ++
+          u32(0x00180001L) ++ cc(fourcc) ++ u32(w.toLong * h * 3) ++
           Array.fill(16)(0.toByte))
         val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
         val movi = list("movi", frames.flatMap(fb => chunk("00dc", fb)).toArray)
@@ -3206,6 +3357,51 @@ object LlmData {
       | width, height,
       | FLOOR(CAST((doc_id * 11 + frame_idx * 31) % 256 AS DOUBLE) * 100
       |   + 0.5) / 100 AS mean_byte,
+      | FLOOR(CAST(rate AS DOUBLE) / 100 * 1000 + 0.5) / 1000 AS fps_q,
+      | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------ m_video_mjpeg
+  // The LOSSY video path under the oracle (the last spec-only codec
+  // path — m_video_real gates the lossless 'PNG '-codec AVI): the
+  // same RIFF container, frames JPEG-encoded ('MJPG' fourcc — the
+  // common real-world intra-frame codec), demuxed by the same
+  // parseAvi and decoded by the same javax.imageio path. JPEG is
+  // quantized, so the decoded luminance is NOT closed-form — the
+  // q30/q32 sketch-verdict discipline applies: the gate surface
+  // carries the lossless fields exactly (geometry, frame count, frame
+  // clock — container headers don't quantize) plus a BANDED verdict
+  // on the decode, in_band = |decoded mean − generated gray| ≤ 3
+  // (a flat-gray frame is DC-only, so JPEG round-trip error is a
+  // couple of levels at most). The oracle emits literal TRUE — the
+  // hash only matches while every REAL decoded frame stays inside
+  // the quantization band.
+  private val videoMjpeg: Q = (s, d) => {
+    val media = attachVideoPayload(s, d, fourcc = "MJPG", imgFormat = "jpg")
+    val meta = Multimodal.decodeVideo(media).toDF()
+      .select(col("doc_id"), col("fps_q"), col("duration_ms"))
+    Multimodal.frameSampleReal(media, stride = 2).toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"),
+        (abs(col("mean_byte") -
+          ((col("doc_id") * 11 + col("frame_idx") * 31) % 256)
+            .cast("double")) <= 3.0).as("in_band"))
+      .join(meta, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val videoMjpegSql =
+    """WITH v AS (SELECT doc_id,
+      |    CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames,
+      |    (doc_id % 4 + 1) * 1000 AS rate
+      |  FROM documents),
+      |f AS (SELECT doc_id, width, height, n_frames, rate,
+      |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM v)
+      |SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+      | width, height, TRUE AS in_band,
       | FLOOR(CAST(rate AS DOUBLE) / 100 * 1000 + 0.5) / 1000 AS fps_q,
       | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
       |FROM f WHERE frame_idx % 2 = 0
@@ -4147,6 +4343,7 @@ object LlmData {
     "d_ngram_jaccard" -> ngramJaccard,
     "d_containment_dup" -> containmentDup,
     "d_embedding_neardup" -> embNearDup,
+    "d_embedding_neardup_s" -> embNearDupS,
     "s_cosine_topk" -> cosineTopK,
     "s_lsh_topk" -> lshTopK,
     "s_ivf_topk" -> ivfTopK,
@@ -4158,6 +4355,7 @@ object LlmData {
     "s_ivfpq_tuning" -> ivfPqTuning,
     "s_ivfpq_indexed" -> ivfPqIndexed,
     "s_filtered_topk" -> filteredTopK,
+    "s_filtered_recall" -> filteredRecall,
     "s_reindex_topk" -> reindexTopK,
     "d_stream_pqdedup" -> streamPqDedup,
     "d_stream_pqdedup_res" -> streamPqDedupRes,
@@ -4176,6 +4374,7 @@ object LlmData {
     "m_image_real" -> imageReal,
     "m_audio_real" -> audioReal,
     "m_video_real" -> videoReal,
+    "m_video_mjpeg" -> videoMjpeg,
     "m_frame_dup" -> frameDup,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
@@ -4226,6 +4425,7 @@ object LlmData {
     "_store_classifier" -> ((s, d) => { trainClassifier(s, d); () }),
     "_store_classifierval" -> ((s, d) => { trainClassifierVal(s, d); () }),
     "_store_exacttopk" -> ((s, d) => { exactTop3(s, d); () }),
+    "_store_exactfilt" -> ((s, d) => { exactFilteredTop3(s, d); () }),
     "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
     "_store_annreindex" -> ((s, d) => { annReindexDir(s, d); () }))
 
@@ -4265,6 +4465,9 @@ object LlmData {
           // filtered search: same replay, candidate stream restricted
           // to the predicate slice
           "s_filtered_topk" -> ivfPqFilteredSql(c, b),
+          // filtered recall: the same restricted replay measured
+          // against the restricted brute force
+          "s_filtered_recall" -> ivfPqFilteredRecallSql(c, b),
           // the residual streaming dedup reconstructs the BATCH
           // residual dedup from its emission log — the replay is the
           // batch query's (streaming at ingest loses nothing, in the
@@ -4329,6 +4532,7 @@ object LlmData {
     "d_ngram_jaccard" -> ngramJaccardSql,
     "d_containment_dup" -> containmentDupSql,
     "d_embedding_neardup" -> embNearDupSql,
+    "d_embedding_neardup_s" -> embNearDupSSql,
     "s_cosine_topk" -> cosineTopKSql,
     "t_langid" -> langidSql,
     "t_lang_mix" -> langMixSql,
@@ -4342,6 +4546,7 @@ object LlmData {
     "m_image_real" -> imageRealSql,
     "m_audio_real" -> audioRealSql,
     "m_video_real" -> videoRealSql,
+    "m_video_mjpeg" -> videoMjpegSql,
     "m_frame_dup" -> frameDupSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,

@@ -72,6 +72,96 @@ object ValProbe {
         f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
     }
 
+    // ---- r17 mode: AUC vs TRAIN-SAMPLE SIZE at the gate config ----
+    // (verdict item: capacity and feature family probed flat in r16;
+    // the unprobed axis is training-data volume). Hash-nested
+    // fractions of the train split (1/16 ⊂ 1/8 ⊂ … ⊂ 1) at the gate
+    // operating point — a flat curve from half to full data means
+    // more corpus cannot reach 0.62 and the ceiling is the model
+    // family, not the sample.
+    if (args.lift(1).contains("sizecurve")) {
+      val fb = graft.operators.Dedup.shingleHash(
+        concat(lit("tsz:"), col("text"))) % 16
+      for (frac <- Seq(1, 2, 4, 8, 16)) {
+        val sub = train.filter(fb < frac)
+        val n = sub.count()
+        val t0 = System.nanoTime()
+        val fit = Classifier.fit(sub, "doc_id", "text", "_lbl",
+          d = 8192, epochs = 16, lr = 8.0, trainMod = 1, bigrams = true)
+        val lg = T.classifierMargin(col("text"), fit.weightSeq, fit.bias)
+        val rows = valDs.select(lg.as("m"), col("_lbl").cast("long").as("y"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val auc = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+          .sum / (pos.length.toDouble * neg.length)
+        println(f"SIZE frac=$frac%2d/16 nTrain=$n%7d valAUC=$auc%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      spark.stop(); return
+    }
+
+    // ---- r17 mode: seed-task ceiling probes -----------------------
+    // The seed label is DETERMINISTIC in text (langId(text)==lang with
+    // lang generator-assigned), so there is no aleatoric noise floor;
+    // the question is what the linear-over-hashed-features family can
+    // express. Three measurements: (a) the heuristic's own confidence
+    // margin as a zero-parameter ranking score; (b) where the
+    // disagreement mass lives on the margin axis (the hand-checkable-
+    // slice read: high-margin docs should be ~all label 1); (c) an
+    // ORACLE-FEATURE fit — the langid marker internals quantized into
+    // categorical tokens and appended to the word stream. If (c)
+    // jumps, ~0.60 is the WORD-HASH family ceiling, not the task
+    // ceiling, and the next rung is the marker-feature stream.
+    if (args.lift(1).contains("ceiling")) {
+      val en = T.markerScore(col("text"), "en")
+      val de = T.markerScore(col("text"), "de")
+      val es = T.markerScore(col("text"), "es")
+      val fr = T.markerScore(col("text"), "fr")
+      val sorted = sort_array(array(en, de, es, fr), asc = false)
+      val top = element_at(sorted, 1)
+      val second = element_at(sorted, 2)
+      val margin = (top - second).cast("double")
+
+      // (a) heuristic-confidence margin as the score
+      val rows = valDs.select(margin.as("m"), col("_lbl").cast("long").as("y"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val aucM = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+        .sum / (pos.length.toDouble * neg.length)
+      println(f"CEIL margin-as-score valAUC=$aucM%.4f " +
+        f"(nPos=${pos.length} nNeg=${neg.length})")
+
+      // (b) label rate by margin band — the hand-checkable slice
+      docs.groupBy(least(margin, lit(8.0)).cast("long").as("margin_band"))
+        .agg(count(lit(1)).as("n"), avg(col("_lbl")).as("label_rate"))
+        .orderBy("margin_band").collect()
+        .foreach(r => println(f"CEIL band=${r.getLong(0)}%2d " +
+          f"n=${r.getLong(1)}%6d labelRate=${r.getDouble(2)}%.4f"))
+
+      // (c) oracle-feature fits: marker internals as tokens, alone
+      // and appended to the word unigram+bigram stream
+      val markerToks = array(
+        concat(lit("g:"), T.langId(col("text"))),
+        concat(lit("mg:"), least(margin, lit(20.0)).cast("long").cast("string")),
+        concat(lit("en:"), least(en, lit(30)).cast("string")),
+        concat(lit("de:"), least(de, lit(30)).cast("string")),
+        concat(lit("es:"), least(es, lit(30)).cast("string")),
+        concat(lit("fr:"), least(fr, lit(30)).cast("string")))
+      evalCfg(8192, 16, 8.0, bigrams = false, label = "markers",
+        feats = Some(markerToks))
+      evalCfg(8192, 16, 8.0, bigrams = false, label = "word+markers",
+        feats = Some(concat(T.classifierFeatures(col("text")), markerToks)))
+      evalCfg(16384, 16, 8.0, bigrams = false, label = "word+markers",
+        feats = Some(concat(T.classifierFeatures(col("text")), markerToks)))
+      evalCfg(8192, 24, 8.0, bigrams = false, label = "word+markers",
+        feats = Some(concat(T.classifierFeatures(col("text")), markerToks)))
+      spark.stop(); return
+    }
+
     // r16 grid: the fused kernel made capacity cheap — probe the wider
     // hash tables the r15 verdict asked for (args override: d,ep,lr
     // triples as "4096:16:8,16384:16:8")

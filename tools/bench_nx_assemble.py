@@ -5,14 +5,24 @@ file so scale-wall regressions get the same round-over-round
 discipline as the sf0.1 bench.
 
 Usage: tools/bench_nx_assemble.py <bench-log> <prior-campaign.json> \
-       <out.json> <campaign-note>
+       <out.json> <campaign-note> [adjudications.json]
 The bench log's LAST '{"metric":...}' line is the JSON; BENCH_local
 is not used (the log survives nohup, the cwd file may be clobbered by
 later 1x runs).
+
+ADJUDICATION COVERAGE IS MECHANICAL (r16 verdict #2): every per-key
+move >= 1.4x in EITHER direction (and > 0.5 s absolute delta) must
+have an entry in the adjudications JSON (a {key: "explanation"} map,
+also embedded into the output) or this script REFUSES to write the
+board — the "every move adjudicated" claim is enforced by the
+artifact, not the round's diligence. Keys in the adjudications file
+that are not movers are fine (context entries, new-key notes,
+exclusions).
 """
 import json, sys
 
 log, prior_p, out_p, note = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+adj_p = sys.argv[5] if len(sys.argv) > 5 else None
 line = None
 for l in open(log, errors="replace"):
     if '"metric":"total"' in l:
@@ -24,7 +34,18 @@ bench = json.loads(line)
 prior = json.load(open(prior_p))
 pq = prior.get("bench", prior).get("queries", {})
 nq = bench["queries"]
-# regression rule: the sf0.1 bench discipline (1.5x AND +0.5s)
+adj = json.load(open(adj_p)) if adj_p else {}
+# movers needing adjudication: >= 1.4x either way AND > 0.5s delta
+movers = {k for k in nq if k in pq and abs(nq[k] - pq[k]) > 0.5
+          and (nq[k] >= 1.4 * pq[k] or pq[k] >= 1.4 * nq[k])}
+missing = sorted(movers - set(adj))
+if missing:
+    for k in missing:
+        print(f"UNADJUDICATED {k}: {pq[k]:.2f} -> {nq[k]:.2f} s "
+              f"({nq[k]/pq[k]:.2f}x)", file=sys.stderr)
+    sys.exit(f"refusing to write {out_p}: {len(missing)} mover(s) >=1.4x "
+             "lack an adjudications entry (pass a JSON map as argv[5])")
+# labeled diff keeps the sharper 1.5x + 0.5s buckets for reading
 regr = {k: (pq[k], nq[k]) for k in nq
         if k in pq and nq[k] > 1.5 * pq[k] and nq[k] > pq[k] + 0.5}
 impr = {k: (pq[k], nq[k]) for k in nq
@@ -44,7 +65,10 @@ doc = {
     },
     "bench": bench,
 }
+if adj:
+    doc["adjudications"] = adj
 json.dump(doc, open(out_p, "w"), indent=1)
+print("movers_1p4x adjudicated:", sorted(movers) if movers else "none")
 print("regressions:", json.dumps(regr, indent=1) if regr else "none")
 print("improvements:", sorted(impr))
 print("new keys:", new)
