@@ -61,9 +61,19 @@ object Bench {
     // the clears above dropped the earlier families' memos — rebuild
     // untimed so every family query below reports MARGINAL cost (its
     // min-of-2 is warm-store by design: that is the per-query cost a
-    // session that built the store once actually pays)
-    graft.queries.LlmData.storeBuilders.valuesIterator
-      .foreach(fn => try fn(spark, sfDir) catch { case _: Throwable => () })
+    // session that built the store once actually pays).
+    // SPARK_GRAFT_REBUILD_STORES=named (opt-in, N×-campaign subset
+    // runs): rebuild only the stores named in args — at 1000× the
+    // rebuild-all loop pays ~20 min for stores (shingle overlap,
+    // minhash) no key in the subset reads. The caller then owns
+    // naming EVERY store its subset queries consume, or those
+    // queries absorb the build into their min-of-2.
+    val rebuildNamed =
+      sys.env.get("SPARK_GRAFT_REBUILD_STORES").contains("named")
+    graft.queries.LlmData.storeBuilders.iterator
+      .filter { case (n, _) => !(rebuildNamed && only.nonEmpty) || only(n) }
+      .foreach { case (_, fn) =>
+        try fn(spark, sfDir) catch { case _: Throwable => () } }
 
     // (name, seconds, ok) — a throwing query is NOT swallowed into a
     // normal-looking time: it is reported by name in "failed" and its

@@ -23,6 +23,17 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Nearest-centroid assignment (argmin ‖v−c‖²) as ONE native
+    * expression carrying the trained centroid matrix by reference —
+    * codegen-stable at any cell count (the Column-algebra form
+    * inlines k·dim literals and blows janino's 64 KB limit at the
+    * √n reindex cell counts; see graft.plans.NearestCell). */
+  def nearestCell(v: Column, cents: Seq[Seq[Double]],
+                  replayExact: Boolean): Column =
+    ColumnBridge.column(graft.plans.NearestCell(
+      ColumnBridge.expression(v),
+      cents.map(_.toIndexedSeq).toIndexedSeq, replayExact))
+
   /** Reference composition (CodegenFallback path) — kept for
     * cross-checking the custom expression in tests. */
   def dotHof(a: Column, b: Column): Column =

@@ -42,6 +42,20 @@ object Dedup {
     store.clear()
     Similarity.clearCentroidMemo()
     clearHooks.forEach(_.run())
+    // Release the checkpoint/cache BLOCKS too: clearing the maps only
+    // drops the references, and localCheckpoint blocks then linger in
+    // executor storage until ContextCleaner GC — which under a large
+    // heap may be minutes away. The r17 OverlapProbe measured the
+    // SECOND cold signature-store build in one JVM at 1.75× the first
+    // (71 → 125 s at 100×) from exactly this eviction pressure; it
+    // read as a round-over-round _store_overlap regression on
+    // untouched code. clearStore's contract is "no cache survives",
+    // so releasing every persisted RDD is the semantics, not a
+    // heuristic.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      s.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Exact dedup, keep-first: one surviving row per key group with

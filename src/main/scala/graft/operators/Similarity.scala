@@ -198,9 +198,24 @@ object Similarity {
     assignExprOn(col("_v"), cs, replayExact)
 
   /** [[assignExpr]] generalized over the vector expression — PQ
-    * assigns each SLICE of the vector against its own codebook. */
+    * assigns each SLICE of the vector against its own codebook.
+    * r17: ONE native NearestCell expression (centroids by reference)
+    * — the literal-inlined Column algebra below blew janino's 64 KB
+    * method limit at the √n reindex cell counts (448 cells at 100×,
+    * 1414 at 1000×) and silently fell back to interpreted projection
+    * over k DotProducts per row. Bit-parity with the algebra is
+    * pinned in SaltingAndIvfSpec (same widening, summation order,
+    * HALF_UP 6-dp round, smallest-id tie). */
   private def assignExprOn(v: Column, cs: Array[Array[Double]],
-                           replayExact: Boolean): Column = {
+                           replayExact: Boolean): Column =
+    graft.functions.VectorFunctions.nearestCell(
+      v, cs.toSeq.map(_.toSeq), replayExact)
+
+  /** The pre-r17 literal-inlined Column-algebra form — the semantic
+    * cross-check [[assignExprOn]]'s native kernel is spec-pinned
+    * against (the dotHof discipline). */
+  private[graft] def assignAlgebraOn(v: Column, cs: Array[Array[Double]],
+                                     replayExact: Boolean): Column = {
     val scored = cs.zipWithIndex.map { case (cvec, j) =>
       val carr = array(cvec.map(lit): _*)
       val c2 = cvec.map(x => x * x).sum
@@ -542,14 +557,21 @@ object Similarity {
         (dcCols.toSeq ++ carryCols.map(col)): _*)
     val stage1 = stage1Raw.mapPartitions(it => it)(
       org.apache.spark.sql.Encoders.row(stage1Raw.schema))
+    // r17: the cell-dependent offset argmin as ONE native expression
+    // per subspace (graft.plans.OffsetArgmin, offsets by reference) —
+    // the element_at(array(ncells literals)) algebra inlined
+    // 4·8·ncells literal nodes and blew janino's 64 KB limit at the
+    // √n reindex cell counts (same parity pin as NearestCell)
     val codeCols = books.zipWithIndex.map { case (b, sub) =>
-      val scored = b.indices.map { j =>
-        val offByCell = array(offs.map(oc => lit(oc(sub)(j))): _*)
-        val raw = element_at(offByCell, (col("cell") + 1).cast("int")) -
-          lit(2.0) * col(s"_dc_${sub}_$j")
-        struct(round(raw, 6).as("s"), lit(j).as("j"))
-      }
-      array_min(array(scored: _*)).getField("j").cast("long").as(s"code_$sub")
+      val offSub: IndexedSeq[IndexedSeq[Double]] =
+        offs.map(oc => oc(sub).toIndexedSeq).toIndexedSeq
+      val dcArr = array(b.indices.map(j => col(s"_dc_${sub}_$j")): _*)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.OffsetArgmin(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cell")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(dcArr),
+          offSub))
+        .cast("long").as(s"code_$sub")
     }
     stage1.select(col(idCol) +: col("cell") +:
       (codeCols.toSeq ++ carryCols.map(col)): _*)

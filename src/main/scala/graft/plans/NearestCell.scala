@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid (argmin ‖v−c‖²) over a TRAINED centroid table —
+  * the IVF/k-means cell assignment as ONE native expression.
+  *
+  * The Column-algebra form (per cell: `lit(c²) − 2·DotProduct(v,
+  * array(64 literals))`, then `array_min(array(structs))`) inlines
+  * k·dim literal nodes into the plan. At the gate's 8 cells that
+  * codegens fine; at reindex scale the √n rule gives 448 cells at
+  * 100× and 1414 at 1000× — 28k–90k literal nodes — and janino's
+  * 64 KB method limit rejects the stage, silently falling back to
+  * interpreted projection with per-expression dispatch over 1414
+  * DotProducts per row (the r17 100× bench logged exactly this
+  * fallback; the typedlit-at-D=8192 BucketWeight lesson re-applied).
+  * Here the centroid matrix rides `ctx.addReferenceObj` (kilobytes,
+  * broadcast with the plan) and the generated code is one static
+  * call — small, codegen-stable at ANY cell count, with the scan
+  * loop in compiled Scala.
+  *
+  * PARITY: bit-identical to the algebra it replaces — same
+  * float→double widening per element, same ascending-position
+  * summation, same `c² − 2.0·dot` expression shape, the same
+  * HALF_UP 6-dp round when `replayExact` (scala BigDecimal(double)
+  * == java BigDecimal.valueOf — Spark's Round path), and argmin
+  * ties resolve to the SMALLEST cell id (array_min on struct(s, j)
+  * ordering). Pinned against the Column algebra in SaltingAndIvfSpec.
+  *
+  * `cents` is an IndexedSeq-of-IndexedSeq so structurally equal
+  * expressions canonicalize equal and CSE merges repeated
+  * assignments (the ClassifierMargin lesson — Array fields defeat
+  * CSE via reference equality).
+  */
+case class NearestCell(child: Expression,
+                       cents: IndexedSeq[IndexedSeq[Double]],
+                       replayExact: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires an array<float|double> child, got $other")
+  }
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  // c² per cell, the same Scala `map(x*x).sum` the algebra folded
+  // into lit(c2) at plan-build time — identical doubles
+  @transient private lazy val c2Arr: Array[Double] =
+    centArr.map(c => c.map(x => x * x).sum)
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellUtil.nearest(v.asInstanceOf[ArrayData],
+      elemType == FloatType, centArr, c2Arr, replayExact)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.NearestCellUtil.nearest(
+         |  $v, ${elemType == FloatType}, $cRef, $c2Ref, $replayExact);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+object NearestCellUtil {
+  /** Spark Round(HALF_UP, 6) for finite doubles: scala
+    * BigDecimal(double) routes through java BigDecimal.valueOf
+    * (Double.toString canonicalization), so valueOf here is the same
+    * decimal. NaN/Inf pass through like Spark's Round. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** argmin_j round?(c²_j − 2·⟨v, c_j⟩); strict `<` with ascending j
+    * == array_min's smallest-id tie policy. */
+  def nearest(arr: ArrayData, isFloat: Boolean, cents: Array[Array[Double]],
+              c2: Array[Double], replayExact: Boolean): Int = {
+    var best = Double.PositiveInfinity
+    var bestJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(arr.numElements(), c.length)
+      var acc = 0.0d
+      var i = 0
+      if (isFloat) {
+        while (i < n) { acc += arr.getFloat(i).toDouble * c(i); i += 1 }
+      } else {
+        while (i < n) { acc += arr.getDouble(i) * c(i); i += 1 }
+      }
+      var s = c2(j) - 2.0d * acc
+      if (replayExact) s = round6(s)
+      if (s < best) { best = s; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
+  /** argmin_j round₆(offs[cell][j] − 2·dcs[j]) — [[OffsetArgmin]]'s
+    * scan; null on an out-of-table cell id (element_at parity). */
+  def offsetArgmin(cell: Long, dcs: ArrayData,
+                   offs: Array[Array[Double]]): Integer = {
+    if (cell < 0 || cell >= offs.length) return null
+    val row = offs(cell.toInt)
+    val n = math.min(row.length, dcs.numElements())
+    var best = Double.PositiveInfinity
+    var bestJ = -1
+    var j = 0
+    while (j < n) {
+      val s = round6(row(j) - 2.0d * dcs.getDouble(j))
+      if (s < best) { best = s; bestJ = j }
+      j += 1
+    }
+    if (bestJ < 0) null else Integer.valueOf(bestJ)
+  }
+}
+
+/** Residual-PQ code assignment under a cell-dependent offset table —
+  * the second literal-inlined argmin in the coding path ([[NearestCell]]'s
+  * scaladoc): code_sub = argmin_j round₆(off[cell][sub][j] − 2·dc_j),
+  * where the dc_j dot products are already projected as columns. The
+  * algebra form (`element_at(array(ncells literals), cell+1)` per
+  * (sub, j)) inlines 4·8·ncells literal nodes — 45k at the 1000×
+  * reindex cell count — and suffers the same janino 64 KB fallback.
+  * `offs` ([cell][j] for ONE subspace) rides addReferenceObj.
+  * Parity: identical round/tie semantics to the algebra; a cell id
+  * outside the table yields null exactly like element_at's
+  * out-of-bounds null propagating through the struct argmin. */
+case class OffsetArgmin(cell: Expression, dcs: Expression,
+                        offs: IndexedSeq[IndexedSeq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = dcs
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "offset_argmin"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (cell.dataType, dcs.dataType) match {
+      case (IntegerType | LongType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"offset_argmin requires (int|long cell, array<double> dcs), got $other")
+    }
+
+  @transient private lazy val offArr: Array[Array[Double]] =
+    offs.map(_.toArray).toArray
+
+  override protected def nullSafeEval(c: Any, d: Any): Any = {
+    val cellIdx = c match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case l: Long => l
+      case i: Int => i.toLong
+    }
+    NearestCellUtil.offsetArgmin(cellIdx, d.asInstanceOf[ArrayData], offArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val oRef = ctx.addReferenceObj("offs", offArr, "double[][]")
+    // fresh name: 4 OffsetArgmins (one per subspace) share one codegen
+    // scope — a literal `r` redefines and janino rejects the stage
+    // (the DotProduct loop-variable lesson)
+    val r = ctx.freshName("oam")
+    nullSafeCodeGen(ctx, ev, (c, d) => {
+      s"""
+         |Object $r = graft.plans.NearestCellUtil.offsetArgmin((long) $c, $d, $oRef);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Integer) $r).intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OffsetArgmin =
+    copy(cell = newLeft, dcs = newRight)
+}

@@ -187,4 +187,61 @@ class SaltingAndIvfSpec extends SparkSpec {
     val j = graft.sources.CatalogReader.jsonLines(spark, s"$dir/j")
     assert(j.columns.toSet == Set("id", "name") && j.count() == 2)
   }
+
+  test("NearestCell kernel == literal-inlined assign algebra (both replay modes)") {
+    // deterministic pseudo-random floats incl. exact-tie geometry:
+    // mirrored centroids make equidistant rows, where the smallest-id
+    // tie policy is the difference between parity and flakiness
+    val dim = 16
+    def vec(seed: Long): Array[Float] = {
+      var st = seed
+      Array.fill(dim) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 40).toInt % 1000) / 500.0f - 1.0f
+      }
+    }
+    val rows = (0L until 500L).map(i => (i, vec(i))) ++
+      Seq((500L, Array.fill(dim)(0.0f)))               // equidistant to ±c
+    val df = rows.toDF("id", "v")
+    val cents: Array[Array[Double]] =
+      (0 until 37).map(j => vec(1000L + j).map(_.toDouble)).toArray ++
+        Array(Array.fill(dim)(0.5d), Array.fill(dim)(-0.5d)) // mirror pair
+    for (exact <- Seq(true, false)) {
+      val kernel = graft.functions.VectorFunctions.nearestCell(
+        col("v"), cents.toSeq.map(_.toSeq), replayExact = exact)
+      val algebra = Similarity.assignAlgebraOn(col("v"), cents, exact)
+      val mism = df.select(kernel.as("k"), algebra.as("a"))
+        .filter(col("k") =!= col("a")).count()
+      assert(mism == 0L, s"kernel/algebra mismatch (replayExact=$exact)")
+    }
+  }
+
+  test("OffsetArgmin kernel == element_at offset algebra") {
+    val ncells = 41; val ks = 8
+    def d(seed: Long): Double = {
+      val st = seed * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 40).toInt % 1000) / 250.0
+    }
+    val offs: IndexedSeq[IndexedSeq[Double]] =
+      (0 until ncells).map(c => (0 until ks).map(j => d(c * 100L + j)))
+    val rows = (0L until 300L).map { i =>
+      (i, i % ncells, (0 until ks).map(j => d(7000L + i * 10 + j)).toArray)
+    }
+    val df = rows.toDF("id", "cell", "dcs")
+    val kernel = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.OffsetArgmin(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cell")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("dcs")),
+        offs))
+    val scored = (0 until ks).map { j =>
+      val offByCell = array((0 until ncells).map(c => lit(offs(c)(j))): _*)
+      val raw = element_at(offByCell, (col("cell") + 1).cast("int")) -
+        lit(2.0) * element_at(col("dcs"), j + 1)
+      struct(round(raw, 6).as("s"), lit(j).as("j"))
+    }
+    val algebra = array_min(array(scored: _*)).getField("j")
+    val mism = df.select(kernel.as("k"), algebra.as("a"))
+      .filter(col("k") =!= col("a")).count()
+    assert(mism == 0L)
+  }
 }
