@@ -23,6 +23,7 @@ import json, sys
 
 log, prior_p, out_p, note = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 adj_p = sys.argv[5] if len(sys.argv) > 5 else None
+data_s = sys.argv[6] if len(sys.argv) > 6 else None
 line = None
 for l in open(log, errors="replace"):
     if '"metric":"total"' in l:
@@ -53,7 +54,7 @@ impr = {k: (pq[k], nq[k]) for k in nq
 new = sorted(set(nq) - set(pq))
 doc = {
     "campaign": note,
-    "data": "tools/Replicate 100 x sf0.1: 60M lineitem / 10M events / 500k docs / 200k vectors (~1.6GB parquet)",
+    "data": data_s or "tools/Replicate 100 x sf0.1: 60M lineitem / 10M events / 500k docs / 200k vectors (~1.6GB parquet)",
     "method": "graft.Bench (min-of-2, noop sink forcing all output columns, family stores cleared+timed cold as _store_* keys, marginal queries warm-store) on idle local[32] / 64g heap",
     "diff_vs_prior": {
         "prior_file": prior_p.split("/")[-1],
