@@ -138,15 +138,21 @@ object AnnIndex {
     // pass (r15 advice): checkpoint the coded delta (1:1 with input
     // rows) and count THAT — the write reads the checkpoint too, so
     // the delta's plan evaluates exactly once on the ingest path
-    val coded = if (tuningExists) coded0.localCheckpoint(eager = true)
-                else coded0
+    // release path: Dataset.unpersist on a localCheckpoint'd frame is
+    // a NO-OP (it only uncaches the CacheManager entry, which a
+    // checkpoint never had — the blocks live on an internal RDD), so
+    // capture the checkpoint's backing RDD at creation and unpersist
+    // THAT once the count is paid; otherwise a large delta's blocks
+    // linger in executor storage until ContextCleaner GC
+    val (coded, ckptRdds) =
+      if (tuningExists)
+        Dedup.withNewPersistentRdds(coded0.localCheckpoint(eager = true))
+      else (coded0, Nil)
     writeCodes(coded, dir, table, meta.idCol, meta.numBuckets,
       SaveMode.Append)
     if (tuningExists) {
       ageTuning(spark, dir, coded.count())
-      // release the checkpoint blocks now — a large delta's blocks
-      // otherwise linger in executor storage until ContextCleaner GC
-      coded.unpersist(blocking = false)
+      ckptRdds.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -87,7 +87,14 @@ object Classifier {
     // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
     // token repeats before anything shuffles; inv_ntok folds the
     // feature normalization into one per-doc constant
-    val feat = sample
+    // the feature frame and each epoch's residual frame are scoped to
+    // this fit — capture the checkpoints' backing RDDs and release
+    // them when their epoch (or the fit) is done; Dataset.unpersist
+    // is a no-op on a localCheckpoint'd frame (it only uncaches the
+    // CacheManager entry, which a checkpoint never had), so without
+    // the RDD handle 16 epochs of residual blocks linger until
+    // ContextCleaner GC
+    val (feat, featRdds) = Dedup.withNewPersistentRdds(sample
       .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"),
         explode(toks).as("_tok"))
       .groupBy(col("_id"), col("_y"),
@@ -96,7 +103,8 @@ object Classifier {
       .withColumn("_ntok", sum(col("_cnt")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_id")))
       .repartition(col("_id"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
+    try {
     val n = feat.select(count_distinct(col("_id"))).head().getLong(0)
     require(n > 0, "Classifier.fit: empty training frame")
 
@@ -124,28 +132,32 @@ object Classifier {
           first(col("_ntok")).as("_ntok"))
       // residual r = σ(m) − y; r/ntok is the per-doc factor every
       // bucket gradient multiplies by its count
-      val resid = margins.select(col("_id"),
+      val (resid, residRdds) = Dedup.withNewPersistentRdds(
+        margins.select(col("_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("_m"))) - col("_y")).as("_r"),
           (lit(1.0) / col("_ntok")).as("_inv"),
           // logloss via the stable form ln(1+e^{-|m|}) + max(0, ∓m)
           (log(lit(1.0) + exp(-abs(col("_m")))) +
             when(col("_y") > 0.5, greatest(lit(0.0), -col("_m")))
               .otherwise(greatest(lit(0.0), col("_m")))).as("_ll"))
-        .localCheckpoint(eager = true)
-      val stats = resid.agg(sum(col("_ll")).as("ll"), sum(col("_r")).as("rb"))
-        .head()
-      losses += stats.getDouble(0) / n
-      if (e < epochs) {
-        val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
-          .groupBy("_b")
-          .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
-          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        w = w.indices.map(b =>
-          snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
-        bias = snap(bias - lr * (stats.getDouble(1) / n))
-      }
+        .localCheckpoint(eager = true))
+      try {
+        val stats = resid.agg(sum(col("_ll")).as("ll"), sum(col("_r")).as("rb"))
+          .head()
+        losses += stats.getDouble(0) / n
+        if (e < epochs) {
+          val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
+            .groupBy("_b")
+            .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
+            .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+          w = w.indices.map(b =>
+            snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
+          bias = snap(bias - lr * (stats.getDouble(1) / n))
+        }
+      } finally residRdds.foreach(_.unpersist(blocking = false))
     }
     Fit(w, bias, losses.result())
+    } finally featRdds.foreach(_.unpersist(blocking = false))
   }
 
   /** The deterministic in-corpus seed label the gate's trained

@@ -28,7 +28,52 @@ object Dedup {
   private val store = scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   private[operators] def memoized(key: String)(build: => DataFrame): DataFrame =
-    store.getOrElseUpdate(key, build)
+    store.getOrElseUpdate(key, trackOwned(build))
+
+  /** Persistent-RDD ids created by store builds — the only blocks
+    * [[clearStore]] may release. Builds claim their blocks through
+    * [[trackOwned]]; a caller-held localCheckpoint created OUTSIDE a
+    * store build keeps its blocks across clearStore (the r17 global
+    * sweep broke such frames permanently: a checkpoint-truncated
+    * lineage cannot recompute, so the next action failed with
+    * "checkpoint block not found"). */
+  private val ownedRddIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Run `build` and CLAIM any persistent RDDs it creates (cache or
+    * localCheckpoint blocks) for [[clearStore]] release. The claim is
+    * a diff of `SparkContext.getPersistentRDDs` around the build:
+    * intermediates the build itself releases are gone before the
+    * diff, and nested builds (e.g. Classifier.fit's per-epoch
+    * checkpoints) are claimed with their parent. Dataset.unpersist is
+    * NOT the release path for checkpoint blocks — on a
+    * localCheckpoint'd frame it only calls CacheManager.uncacheQuery,
+    * which never saw the checkpoint's internal RDD — so RDD-id
+    * claiming here is what makes release possible at all. Caveat: a
+    * checkpoint created CONCURRENTLY on another thread during a build
+    * can be over-claimed; store builds are serial in every engine
+    * entry point (Verify/Bench/tests), and over-claiming degrades to
+    * the pre-r18 sweep behavior for that one frame. */
+  def trackOwned[T](build: => T): T = {
+    val (out, fresh) = withNewPersistentRdds(build)
+    fresh.foreach(r => ownedRddIds.add(r.id))
+    out
+  }
+
+  /** Run `build`, returning its result plus the persistent RDDs it
+    * registered (the only handle that can release localCheckpoint
+    * blocks — see [[trackOwned]]). For scoped lifetimes (e.g.
+    * AnnIndex.append's coded-delta checkpoint) unpersist the returned
+    * RDDs directly instead of claiming them for clearStore. */
+  def withNewPersistentRdds[T](build: => T): (T, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext)
+    val before: Set[Int] =
+      sc.map(_.getPersistentRDDs.keySet.toSet).getOrElse(Set.empty)
+    val out = build
+    val fresh = sc.toSeq.flatMap(_.getPersistentRDDs.valuesIterator
+      .filter(r => !before.contains(r.id)))
+    (out, fresh)
+  }
 
   /** Extra session-keyed caches outside this object (e.g. the oracle
     * centroid stash in the query layer) register here so ONE call
@@ -42,20 +87,25 @@ object Dedup {
     store.clear()
     Similarity.clearCentroidMemo()
     clearHooks.forEach(_.run())
-    // Release the checkpoint/cache BLOCKS too: clearing the maps only
-    // drops the references, and localCheckpoint blocks then linger in
-    // executor storage until ContextCleaner GC — which under a large
-    // heap may be minutes away. The r17 OverlapProbe measured the
-    // SECOND cold signature-store build in one JVM at 1.75× the first
-    // (71 → 125 s at 100×) from exactly this eviction pressure; it
-    // read as a round-over-round _store_overlap regression on
-    // untouched code. clearStore's contract is "no cache survives",
-    // so releasing every persisted RDD is the semantics, not a
-    // heuristic.
+    // Release the store-owned checkpoint/cache BLOCKS too: clearing
+    // the maps only drops the references, and localCheckpoint blocks
+    // then linger in executor storage until ContextCleaner GC — which
+    // under a large heap may be minutes away. The r17 OverlapProbe
+    // measured the SECOND cold signature-store build in one JVM at
+    // 1.75× the first (71 → 125 s at 100×) from exactly this eviction
+    // pressure. Scope (r18, was a global getPersistentRDDs sweep):
+    // only RDDs CLAIMED by store builds via [[trackOwned]] are
+    // released — a caller-held localCheckpoint'd frame outside the
+    // store keeps its blocks (its lineage is truncated, so a swept
+    // block is unrecoverable, not merely evicted), and unrelated
+    // application caches sharing the context survive.
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      s.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      val live = s.sparkContext.getPersistentRDDs
+      ownedRddIds.forEach { id =>
+        live.get(id).foreach(_.unpersist(blocking = false)); ()
+      }
     }
+    ownedRddIds.clear()
   }
 
   /** Exact dedup, keep-first: one surviving row per key group with

@@ -178,9 +178,12 @@ object Similarity {
                       k: Int = 16, iters: Int = 5, trainMod: Int = 5,
                       cacheKey: Option[String] = None): Array[Array[Double]] =
     cacheKey match {
+      // trackOwned: belt-and-braces claim for clearStore of any block
+      // a future trainer leaves behind (today trainCentroids releases
+      // its own sample checkpoint before returning)
       case Some(ck) => centroidMemo.getOrElseUpdate(
         s"$ck|kmeansC|$k|$iters|$trainMod",
-        trainCentroids(df, idCol, vecCol, k, iters, trainMod))
+        Dedup.trackOwned(trainCentroids(df, idCol, vecCol, k, iters, trainMod)))
       case None => trainCentroids(df, idCol, vecCol, k, iters, trainMod)
     }
 
@@ -228,8 +231,14 @@ object Similarity {
   private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                              k: Int, iters: Int, trainMod: Int): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol).as("_v"))
-    val sample = base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
-      .localCheckpoint(eager = true)
+    // the sample checkpoint is scoped to this training run — capture
+    // its backing RDD and release it before returning (Dataset
+    // .unpersist would be a no-op on a checkpoint; see
+    // Dedup.withNewPersistentRdds)
+    val (sample, sampleRdds) = Dedup.withNewPersistentRdds(
+      base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+        .localCheckpoint(eager = true))
+    try {
 
     def collectVecs(d: DataFrame, c: String): Array[Array[Double]] =
       d.select(col(c)).collect()
@@ -259,6 +268,7 @@ object Similarity {
         .map(j => updated.getOrElse(j, centroids(j))).toArray
     }
     centroids
+    } finally sampleRdds.foreach(_.unpersist(blocking = false))
   }
 
   /** Near-duplicate pairs by cosine within a blocking key (label /
@@ -757,11 +767,17 @@ object Similarity {
                                     maxProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val wP = Window.partitionBy("qid").orderBy(col("cscore").asc, col("cell"))
-    q.select(col("qid"), posexplode(array(cents.map { c =>
-        val c2 = c.map(x => x * x).sum
-        val d = dot(col("qvec"), array(c.map(lit): _*))
-        struct(round(lit(c2) - lit(2.0) * d, 6).as("cs"), d.as("qd"))
-      }: _*))
+    // r18: ONE native CellScores table per query (centroids by
+    // reference) — the literal-inlined per-cell struct array below it
+    // replaced blew janino's 64 KB limit at reindex cell counts and
+    // fell back to interpreted on the query frame (bounded by |Q|,
+    // but the last fallback site in the ANN family); bit-parity with
+    // the algebra pinned in SaltingAndIvfSpec
+    q.select(col("qid"), posexplode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.plans.CellScores(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qvec")),
+            cents.map(_.toIndexedSeq).toIndexedSeq)))
         .as(Seq("cell", "ps")))
       .select(col("qid"), col("cell"), col("ps.cs").as("cscore"),
         col("ps.qd").as("qcdot"))

@@ -116,8 +116,37 @@ object NearestCellUtil {
     bestJ
   }
 
+  /** Per-cell (round₆(c²_j − 2·⟨v,c_j⟩), ⟨v,c_j⟩) score table —
+    * [[CellScores]]' scan. Same widening/summation/round discipline
+    * as [[nearest]]; the raw dot rides along because the probe path
+    * carries ⟨q, c_cell⟩ into the residual ADC. */
+  def cellScores(arr: ArrayData, isFloat: Boolean,
+                 cents: Array[Array[Double]],
+                 c2: Array[Double]): ArrayData = {
+    val out = new Array[Any](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(arr.numElements(), c.length)
+      var acc = 0.0d
+      var i = 0
+      if (isFloat) {
+        while (i < n) { acc += arr.getFloat(i).toDouble * c(i); i += 1 }
+      } else {
+        while (i < n) { acc += arr.getDouble(i) * c(i); i += 1 }
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        round6(c2(j) - 2.0d * acc), acc)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** argmin_j round₆(offs[cell][j] − 2·dcs[j]) — [[OffsetArgmin]]'s
-    * scan; null on an out-of-table cell id (element_at parity). */
+    * scan; null on an out-of-table cell id (a DELIBERATE divergence
+    * from the replaced algebra, which on an OOB cell nulls every
+    * struct score and its nulls-first argmin returns j=0 — see the
+    * case-class scaladoc). */
   def offsetArgmin(cell: Long, dcs: ArrayData,
                    offs: Array[Array[Double]]): Integer = {
     if (cell < 0 || cell >= offs.length) return null
@@ -143,9 +172,16 @@ object NearestCellUtil {
   * (sub, j)) inlines 4·8·ncells literal nodes — 45k at the 1000×
   * reindex cell count — and suffers the same janino 64 KB fallback.
   * `offs` ([cell][j] for ONE subspace) rides addReferenceObj.
-  * Parity: identical round/tie semantics to the algebra; a cell id
-  * outside the table yields null exactly like element_at's
-  * out-of-bounds null propagating through the struct argmin. */
+  * Parity: identical round/tie semantics to the algebra for every
+  * in-table cell id — the only ids [[NearestCell]] can produce
+  * ([0, k)), which is the pinned domain (SaltingAndIvfSpec). On an
+  * out-of-table cell id the kernel INTENTIONALLY DIVERGES: it
+  * returns null (no code assignable), where the algebra's
+  * `element_at` OOB null propagates into every struct score and the
+  * nulls-first struct argmin silently yields j=0 — a wrong-looking
+  * "first sub-centroid" code for a row that matched no cell. Null is
+  * the honest answer; the divergence is unreachable on the engine's
+  * own coding path. */
 case class OffsetArgmin(cell: Expression, dcs: Expression,
                         offs: IndexedSeq[IndexedSeq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -193,4 +229,65 @@ case class OffsetArgmin(cell: Expression, dcs: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): OffsetArgmin =
     copy(cell = newLeft, dcs = newRight)
+}
+
+/** Query-side cell scoring as ONE native expression — the probe
+  * phase's twin of [[NearestCell]]: for a query vector, the full
+  * per-cell table struct(cs = round₆(c²_j − 2·⟨v,c_j⟩), qd =
+  * ⟨v,c_j⟩), posexploded by the caller into (cell, cscore, qcdot)
+  * rows for the probe ranking. The Column-algebra form it replaces
+  * (`array(ncells × struct(round(lit(c²)−2·DotProduct(v, 64
+  * literals)), dot))`) inlines k·dim literal nodes and hits janino's
+  * 64 KB method limit at reindex cell counts (the r17 1000× dump
+  * logged the interpreted fallback on the query frame — bounded by
+  * |Q| but the last fallback site in the ANN family). Centroids ride
+  * `ctx.addReferenceObj`; codegen is one static call at any cell
+  * count. Parity with the algebra is pinned in SaltingAndIvfSpec
+  * (same widening, summation order, HALF_UP 6-dp round on cs, raw
+  * dot on qd). `cents` is IndexedSeq-of-IndexedSeq for CSE (the
+  * ClassifierMargin lesson). */
+case class CellScores(child: Expression,
+                      cents: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cs", DoubleType, nullable = false),
+      StructField("qd", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cell_scores"
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_scores requires an array<float|double> child, got $other")
+  }
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val c2Arr: Array[Double] =
+    centArr.map(c => c.map(x => x * x).sum)
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellUtil.cellScores(v.asInstanceOf[ArrayData],
+      elemType == FloatType, centArr, c2Arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.NearestCellUtil.cellScores(
+         |  $v, ${elemType == FloatType}, $cRef, $c2Ref);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellScores =
+    copy(child = newChild)
 }

@@ -788,7 +788,17 @@ object LlmData {
     "d_embedding_neardup_s" -> embNearDupSAltSql,
     "d_semdedup" -> semDedupAltSql,
     "s_knn_degree" -> knnDegreeAltSql,
-    "d_substr_long" -> substrLongAltSql)
+    "d_substr_long" -> substrLongAltSql) ++
+    // the reindexed-search ALT interpolates the SAME stashed
+    // re-trained centroids + residual books as the generic replay
+    // (populated when the query ran — Verify dumps oracles after
+    // queries), list-native so the ⌈√n⌉-cell assignment fits the
+    // oracle budget at any campaign decade
+    ((reindexCents.values.toList, residBooksStash.values.toList) match {
+      case (rc :: Nil, b :: Nil) =>
+        Map("s_reindex_topk" -> ivfPqTopKAltSql(rc, b))
+      case _ => Map.empty[String, String]
+    })
 
   // ------------------------------------------------------ s_knn_degree
   // Degree profile of the semantic k-NN graph — the structure every
@@ -1209,7 +1219,11 @@ object LlmData {
         "vec_id", "embedding", k = 3).localCheckpoint(eager = true)
     }
     mhKey(s, d) match {
-      case Some(k) => exactTopStash.getOrElseUpdate(s"$k|exacttop3", build)
+      // trackOwned: the stash holds a checkpointed frame — claim its
+      // blocks so clearStore can release them (r18 ownership
+      // discipline; clearStore no longer sweeps unclaimed RDDs)
+      case Some(k) => exactTopStash.getOrElseUpdate(s"$k|exacttop3",
+        graft.operators.Dedup.trackOwned(build))
       case None => build
     }
   }
@@ -1586,7 +1600,9 @@ object LlmData {
         .localCheckpoint(eager = true)
     }
     mhKey(s, d) match {
-      case Some(k) => exactFilteredStash.getOrElseUpdate(s"$k|exactfilt3", build)
+      // trackOwned: stash-held checkpoint — see exactTopStash
+      case Some(k) => exactFilteredStash.getOrElseUpdate(s"$k|exactfilt3",
+        graft.operators.Dedup.trackOwned(build))
       case None => build
     }
   }
@@ -1879,6 +1895,118 @@ object LlmData {
        |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
        |FROM ivfpq_ranked WHERE rnk <= 3
        |ORDER BY qid, rnk""".stripMargin
+
+  /** ALT (volume-tractable) twin of [[ivfPqTopKSql]] for the
+    * REINDEXED search — the r12 array-native oracle discipline
+    * applied to the 1000× boundary the r17 campaign hit: the generic
+    * replay's `celld` explodes n·ncells·dim join tuples (2e11 at
+    * autoCells(2M)=1414 cells — past the 900 s oracle budget), where
+    * the semantics need only (a) each vector's argmin cell, computed
+    * here as ONE list_inner_product per (vector, cell) under a
+    * struct-MIN aggregate (same ROUND-6 + lower-cell tiebreak, no
+    * exploded join, no window materialization), and (b) downstream
+    * work restricted to PROBED cells' members exactly like the Spark
+    * plan's IN-filter scan — residual code assignment, ADC and the
+    * rerank then touch ~n·nprobe/ncells rows instead of n. Same
+    * rounding/tiebreak discipline throughout, so the result is
+    * hash-identical to the generic replay wherever both fit their
+    * budget (pinned at sf0.01 by the campaign tooling). */
+  private def ivfPqTopKAltSql(cents: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]]): String = {
+    val sd = books(0)(0).length
+    val nprobe = IvfPqDefaults.nprobe
+    val shortlist = IvfPqDefaults.shortlist
+    // flat struct-lists (the ivfCellCtes parser-depth discipline),
+    // but keeping each centroid / codebook row / offset row a LIST —
+    // the list-native kernels consume them whole
+    val centList = cents.zipWithIndex.map { case (c, j) =>
+      s"{'cell': $j, 'v': [${c.map(x => f"$x%.17e").mkString(",")}]}"
+    }.mkString(",\n")
+    val bookList = (for {
+      (b, m) <- books.zipWithIndex
+      (cj, j) <- b.zipWithIndex
+    } yield s"{'m': $m, 'j': $j, 'v': [${cj.map(x => f"$x%.17e").mkString(",")}]}")
+      .mkString(",\n")
+    val offs = Similarity.residualOffsets(cents, books)
+    val offList = (for {
+      (oc, cell) <- offs.zipWithIndex
+      (om, m) <- oc.zipWithIndex
+      (o, j) <- om.zipWithIndex
+    } yield f"{'cell': $cell, 'm': $m, 'j': $j, 'o': $o%.17e}").mkString(",\n")
+    s"""WITH v AS (SELECT vec_id,
+       |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |centsl AS (SELECT s.cell AS cell, s.v AS cv
+       |           FROM (SELECT unnest([$centList]) AS s)),
+       |cellsq AS (SELECT cell, list_sum(list_transform(cv, x -> x*x)) AS c2
+       |           FROM centsl),
+       |bookl AS (SELECT s.m AS m, s.j AS j, s.v AS bv
+       |          FROM (SELECT unnest([$bookList]) AS s)),
+       |resoffl AS (SELECT s.cell AS cell, s.m AS m, s.j AS j, s.o AS off
+       |            FROM (SELECT unnest([$offList]) AS s)),
+       |qdist AS (SELECT a.vec_id AS qid, c.cell,
+       |            list_inner_product(a.e, c.cv) AS dc,
+       |            ROUND(cq.c2 - 2*list_inner_product(a.e, c.cv), 6) AS s
+       |          FROM v a, centsl c JOIN cellsq cq USING (cell)
+       |          WHERE a.vec_id < 10),
+       |proberanks AS (SELECT qid, cell, ROW_NUMBER() OVER (PARTITION BY qid
+       |                 ORDER BY s ASC, cell ASC) AS prnk FROM qdist),
+       |probes AS (SELECT qid, cell FROM proberanks WHERE prnk <= $nprobe),
+       |pcells AS (SELECT DISTINCT cell FROM probes),
+       |cellassign AS (SELECT a.vec_id,
+       |                 (MIN({'s': ROUND(cq.c2
+       |                         - 2*list_inner_product(a.e, c.cv), 6),
+       |                       'cell': c.cell})).cell AS cell
+       |               FROM v a, centsl c JOIN cellsq cq USING (cell)
+       |               GROUP BY a.vec_id),
+       |members AS (SELECT ca.vec_id, ca.cell, a.e
+       |            FROM cellassign ca JOIN pcells USING (cell)
+       |            JOIN v a ON a.vec_id = ca.vec_id),
+       |mcdots AS (SELECT a.vec_id, b.m, b.j,
+       |             list_inner_product(
+       |               list_slice(a.e, b.m*$sd + 1, (b.m+1)*$sd), b.bv) AS dc
+       |           FROM members a, bookl b),
+       |rassign AS (SELECT vec_id, m, j AS code FROM (
+       |              SELECT d.vec_id, d.m, d.j,
+       |                ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+       |                  ORDER BY ROUND(ro.off - 2*d.dc, 6) ASC, d.j ASC) AS r
+       |              FROM mcdots d
+       |              JOIN members ca ON ca.vec_id = d.vec_id
+       |              JOIN resoffl ro ON ro.cell = ca.cell AND ro.m = d.m
+       |                             AND ro.j = d.j)
+       |            WHERE r = 1),
+       |lut AS (SELECT a.vec_id AS qid, b.m, b.j,
+       |          list_inner_product(
+       |            list_slice(a.e, b.m*$sd + 1, (b.m+1)*$sd), b.bv) AS ip
+       |        FROM v a, bookl b WHERE a.vec_id < 10),
+       |scored AS (SELECT l.qid, a.vec_id AS cid, qd.dc + SUM(l.ip) AS aip
+       |           FROM rassign a
+       |           JOIN members ca ON ca.vec_id = a.vec_id
+       |           JOIN probes p ON p.cell = ca.cell
+       |           JOIN lut l ON l.m = a.m AND l.j = a.code AND l.qid = p.qid
+       |           JOIN qdist qd ON qd.qid = l.qid AND qd.cell = ca.cell
+       |           WHERE a.vec_id <> l.qid
+       |           GROUP BY l.qid, a.vec_id, qd.dc),
+       |short AS (SELECT qid, cid FROM (
+       |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY ROUND(aip, 6) DESC, cid) AS srnk
+       |           FROM scored) WHERE srnk <= $shortlist),
+       |norms AS (SELECT vec_id,
+       |            sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+       |rdots AS (SELECT s.qid, s.cid,
+       |            list_inner_product(q.e, t.e) AS dot
+       |          FROM short s JOIN v q ON q.vec_id = s.qid
+       |                       JOIN v t ON t.vec_id = s.cid),
+       |ranked AS (SELECT qid, cid,
+       |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos_sim,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rnk
+       |           FROM rdots JOIN norms nq ON qid = nq.vec_id
+       |                      JOIN norms nc ON cid = nc.vec_id)
+       |SELECT qid, cid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   private def ivfPqRecallSql(cents: Array[Array[Double]],
                              books: Array[Array[Array[Double]]]): String =
@@ -2420,11 +2548,20 @@ object LlmData {
   // one partial agg onto (source, margin), and the global cumulative
   // runs through ShardedWindow (range-sharded prefix sum — no
   // single-task global sort).
-  // raised from 17/32 (r15) on the r16 measured headroom: val AUC
-  // 0.6025 at the bigram/8192/16/8 operating point — 35/64 keeps the
-  // floor dyadic (exact cross-engine) and the r15-style ~0.056
-  // corpus-draw margin under the measurement
-  private val classifierValFloor = 0.546875 // 35/64, dyadic
+  // re-pinned r18 BELOW the measured seed-task ceiling: ValProbe at
+  // sf0.1 (954 val docs, ±0.03 CI vs sf0.01's ±0.06) measured the
+  // Bayes AUC of ANY text-only model on the lang-agreement seed at
+  // ≈ 0.54 at measurement scale (flat 0.50–0.54 across 4–40× training
+  // data; the label is near-independent of the text's marker
+  // statistics) — r16's 0.6025, which justified the old 35/64 floor,
+  // was a 100-doc-val-draw artifact, leaving that floor ABOVE the
+  // ceiling: it passed only on the sf0.01 draw and its replicas and
+  // would fail a fresh sf0.1-scale draw on untouched code. 33/64
+  // sits under the ceiling with ~0.025 margin (≈ the sf0.1 CI),
+  // stays dyadic (exact cross-engine), and keeps the gated claim
+  // honest: "ranks its seed task better than chance on unseen docs."
+  // The 0.6025 figure is draw-scoped prose now, not a floor premise.
+  private val classifierValFloor = 0.515625 // 33/64, dyadic
 
   private def valBucket = // content-hash 5-bucket; bucket 0 = val
     graft.operators.Dedup.shingleHash(concat(lit("cvsplit:"), col("text"))) % 5
@@ -2591,6 +2728,233 @@ object LlmData {
        |    END AS auc,
        |  CAST(CASE WHEN u.tp * u.tn > 0
        |    AND u.contrib >= $classifierValFloor
+       |      * CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+       |FROM agg a JOIN aucs u USING (source) ORDER BY a.source""".stripMargin
+
+  // -------------------------------------------- t_classifier_val_q
+  // The QUALITY-COMPOSITE seed (r18 — the verdict's "better seed"
+  // rung landed): the lang-agreement seed's Bayes ceiling is ≈0.54
+  // because the generator's lang column is ~independent of the text
+  // (r17 ValProbe), so the DCLM-style next seed is the output of a
+  // STRONGER FILTER for the model to distill — here the full
+  // t_filter_chain verdict with the language stage on T.langId
+  // (deterministic IN TEXT; the chain's metadata-lang stage would
+  // re-import the unlearnable column):
+  //   label = [n_tok ≥ 20] ∧ [langId(text)='en'] ∧ [quality ≥ 0.5]
+  //         ∧ [dup-2gram coverage ≤ 0.2].
+  // The word bag alone cannot express the filter's thresholds (its
+  // features are length-NORMALIZED counts — ValProbe seed2 measured
+  // the word-only ceiling at 0.54–0.56): the feature stream appends
+  // four QUANTIZED-STATISTIC tokens (log2-length bucket via binary-
+  // string length — no libm-log2 boundary hazard; repetition-coverage
+  // decile; quality decile; the langId verdict), every one an
+  // existing oracle-replayable formula, and the linear model then
+  // distills the conjunction: ValProbe at sf0.1 (954 val docs, ±0.03
+  // CI) measured val AUC 0.8627 for word+stats (stats-only
+  // oracle-feature ceiling 0.9661; word-only 0.5593). Same split
+  // discipline as t_classifier_val (md5 'cvsplit:' bucket 0 = val),
+  // fit on TRAIN only, AUC gated per-source + '__all__' in exact
+  // half-integer arithmetic. Scale shape at 100 TB: the stat tokens
+  // are row-local projections over the same token array the word
+  // stream reads; scoring stays one projection, training stays
+  // epochs × two partial-agg passes.
+  private val classifierValQFloor = 0.78125 // 25/32, dyadic
+
+  /** Quantized-statistic tokens appended to the word stream — each a
+    * closed-form, engine-portable function of the text (the r17
+    * marker-token probe discipline, promoted to the gate). */
+  private def qcStatToks: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val dupCov = round(T.repetitionStats(toks, 2, 2).getField("dup_covered")
+      .cast("double") / n, 6)
+    array(
+      // floor(log2(n)) as binary-string length − 1: exact integer on
+      // both engines (Spark conv / DuckDB bin), immune to the
+      // ln(n)/ln(2) ulp-at-the-boundary hazard
+      concat(lit("len:"), least(length(conv(n.cast("string"), 10, 2)) - 1,
+        lit(12)).cast("long").cast("string")),
+      concat(lit("rep:"), least(floor(dupCov * 10.0d), lit(10L))
+        .cast("string")),
+      // quality is null only on zero-length text — coalesce keeps the
+      // token stream null-free (a null element would silently drop
+      // from the bucket join on one engine and not the other)
+      coalesce(concat(lit("q:"), least(floor(T.qualityScore(col("text"))
+        * 10.0d), lit(10L)).cast("string")), lit("q:na")),
+      concat(lit("g:"), T.langId(col("text"))))
+  }
+
+  private def qcToks: org.apache.spark.sql.Column =
+    concat(T.classifierFeatures(col("text")), qcStatToks)
+
+  /** The composite seed label — the filter-chain verdict with langId
+    * as the language stage (all four stages text-deterministic). */
+  private def qcLabel: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val dupCov = round(T.repetitionStats(toks, 2, 2).getField("dup_covered")
+      .cast("double") / n, 6)
+    val comp = (n >= 20) && (T.langId(col("text")) === "en") &&
+      (T.qualityScore(col("text")) >= 0.5d) && (dupCov <= 0.2d)
+    when(comp, 1L).otherwise(0L)
+  }
+
+  private val classifierValQStash =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Classifier.Fit]
+  graft.operators.Dedup.onClearStore(() => classifierValQStash.clear())
+
+  private def trainClassifierValQ(s: SparkSession, d: String): graft.operators.Classifier.Fit = {
+    def build = {
+      val docs = Tables.documents(s, d).withColumn("_lbl", qcLabel)
+      graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
+        "doc_id", "text", "_lbl", d = classifierD, epochs = 16, lr = 8.0,
+        trainMod = 1, bigrams = false, featsCol = Some(qcToks))
+    }
+    mhKey(s, d) match {
+      case Some(k) => classifierValQStash.getOrElseUpdate(k, build)
+      case None => build
+    }
+  }
+
+  private val classifierValQ: Q = (s, d) => {
+    val fit = trainClassifierValQ(s, d)
+    val logit = T.classifierLogit(qcToks, fit.weightSeq, fit.bias)
+    val v = Tables.documents(s, d)
+      .filter(valBucket === 0)
+      .select(col("source"), logit.as("lg"), qcLabel.as("lbl"))
+      .localCheckpoint(eager = true) // scored once; two consumers below
+    val v2 = v.unionAll(v.select(lit("__all__").as("source"),
+      col("lg"), col("lbl")))
+    val acc = v2.groupBy("source")
+      .agg(count(lit(1)).as("n_val"),
+        sum(when((col("lg") >= 0.0d) === (col("lbl") === 1L), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(col("lbl")).as("n_pos"))
+    // AUC rank-sum over the margin-frequency frame — the
+    // t_classifier_val machinery verbatim (ShardedWindow prefix sum,
+    // exact half-integer contrib)
+    val mf = v2.groupBy(col("source"), col("lg").as("m"))
+      .agg(sum(col("lbl")).as("np"),
+        (count(lit(1)) - sum(col("lbl"))).as("nn"))
+    val cum = graft.operators.ShardedWindow.runningSum(mf, "source",
+      shard = floor(col("m") * 1024.0d), order = Seq(col("m")),
+      value = col("nn"), out = "cumnn")
+    val auc = cum.groupBy("source")
+      .agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"),
+        sum(col("np").cast("double")
+          * (col("cumnn").cast("double") - lit(0.5d) * col("nn").cast("double")))
+          .as("contrib"))
+    acc.join(auc, "source")
+      .select(col("source"), col("n_val"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_val").cast("double"))
+          .as("accuracy"),
+        (greatest(col("n_pos"), col("n_val") - col("n_pos")).cast("double")
+          / col("n_val").cast("double")).as("base_rate"),
+        when(col("tp") * col("tn") > 0L,
+          col("contrib") / (col("tp").cast("double") * col("tn").cast("double")))
+          .as("auc"),
+        when(col("tp") * col("tn") > 0L &&
+            col("contrib") >= lit(classifierValQFloor)
+              * col("tp").cast("double") * col("tn").cast("double"), 1L)
+          .otherwise(0L).as("meets_floor"))
+      .orderBy("source")
+  }
+
+  /** The langId replay CASE (the proven t_langid / t_classifier_val
+    * formulation) as an expression over a `text` column reference. */
+  private def langIdCaseSql(textRef: String): String =
+    s"""(CASE
+       | WHEN len(regexp_extract_all($textRef, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all($textRef, '\\b(der|die|und|das|ist)\\b'))
+       |  AND len(regexp_extract_all($textRef, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all($textRef, '\\b(el|la|los|de|que)\\b'))
+       |  AND len(regexp_extract_all($textRef, '\\b(the|and|of|to|in)\\b')) >= len(regexp_extract_all($textRef, '\\b(le|la|les|et|des)\\b'))
+       | THEN 'en'
+       | WHEN len(regexp_extract_all($textRef, '\\b(der|die|und|das|ist)\\b')) >= len(regexp_extract_all($textRef, '\\b(el|la|los|de|que)\\b'))
+       |  AND len(regexp_extract_all($textRef, '\\b(der|die|und|das|ist)\\b')) >= len(regexp_extract_all($textRef, '\\b(le|la|les|et|des)\\b'))
+       | THEN 'de'
+       | WHEN len(regexp_extract_all($textRef, '\\b(el|la|los|de|que)\\b')) >= len(regexp_extract_all($textRef, '\\b(le|la|les|et|des)\\b'))
+       | THEN 'es'
+       | ELSE 'fr' END)""".stripMargin
+
+  private def classifierValQSql(fit: graft.operators.Classifier.Fit): String =
+    s"""WITH n AS (SELECT doc_id, source, text,
+       |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+       |           ' +', ' ', 'g')) AS t FROM documents),
+       |ta AS (SELECT doc_id, string_split(t, ' ') AS a FROM n),
+       |toks AS (SELECT doc_id, unnest(a) AS tok FROM ta
+       |         UNION ALL
+       |         SELECT doc_id, array_to_string(a[i:i+1], ' ') AS tok
+       |         FROM (SELECT doc_id, a,
+       |                unnest(generate_series(1, len(a) - 1)) AS i FROM ta)),
+       |rawt AS (SELECT doc_id, text, string_split(text, ' ') AS rt FROM documents),
+       |tg AS (SELECT doc_id, array_to_string(rt[i:i+1], ' ') AS g, i
+       |       FROM (SELECT doc_id, rt, unnest(generate_series(1, len(rt)-1)) AS i FROM rawt)),
+       |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
+       |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
+       |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
+       |        GROUP BY doc_id),
+       |stats AS (SELECT r.doc_id,
+       |   len(rt) AS ntokr,
+       |   ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / len(rt), 6) AS dupcov,
+       |   ROUND(LEAST(1.0, CAST(len(rt) AS DOUBLE)/100.0)*0.3
+       |    + CAST(len(regexp_extract_all(r.text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
+       |       / len(rt) * 0.3
+       |    + CAST(len(regexp_extract_all(r.text, '[A-Za-z]')) AS DOUBLE) / length(r.text) * 0.4, 6) AS q,
+       |   ${langIdCaseSql("r.text")} AS lid
+       |  FROM rawt r LEFT JOIN cov USING (doc_id)),
+       |stok AS (SELECT doc_id, unnest([
+       |   'len:' || CAST(LEAST(length(bin(ntokr)) - 1, 12) AS VARCHAR),
+       |   'rep:' || CAST(LEAST(CAST(FLOOR(dupcov * 10.0) AS BIGINT), 10) AS VARCHAR),
+       |   COALESCE('q:' || CAST(LEAST(CAST(FLOOR(q * 10.0) AS BIGINT), 10) AS VARCHAR), 'q:na'),
+       |   'g:' || lid]) AS tok FROM stats),
+       |allt AS (SELECT doc_id, tok FROM toks UNION ALL SELECT doc_id, tok FROM stok),
+       |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
+       |        unnest([${fit.weights.map(x => f"$x%.17e").mkString(",")}]) AS w),
+       |feat AS (SELECT allt.doc_id, SUM(wt.w) AS sw,
+       |          CAST(COUNT(*) AS DOUBLE) AS ntok
+       |         FROM allt JOIN wt
+       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |               % $classifierD) = wt.b
+       |         GROUP BY allt.doc_id),
+       |lg AS (SELECT n.doc_id, n.source,
+       |        feat.sw / feat.ntok + ${f"${fit.bias}%.17e"} AS logit
+       |       FROM n JOIN feat ON n.doc_id = feat.doc_id),
+       |lbl AS (SELECT s.doc_id,
+       |         CASE WHEN s.ntokr >= 20 AND s.lid = 'en'
+       |           AND s.q >= 0.5 AND s.dupcov <= 0.2 THEN 1 ELSE 0 END AS y,
+       |         TRY_CAST('0x' || substr(md5('cvsplit:' || r.text), 1, 15)
+       |           AS BIGINT) % 5 AS vb
+       |        FROM stats s JOIN rawt r USING (doc_id)),
+       |v AS (SELECT lg.source, lg.logit, lbl.y
+       |      FROM lg JOIN lbl ON lg.doc_id = lbl.doc_id WHERE lbl.vb = 0),
+       |v2 AS (SELECT source, logit, y FROM v
+       |       UNION ALL SELECT '__all__', logit, y FROM v),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_val,
+       |         CAST(SUM(CASE WHEN (logit >= 0) = (y = 1)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |         CAST(SUM(y) AS BIGINT) AS n_pos
+       |        FROM v2 GROUP BY source),
+       |mf AS (SELECT source, logit AS m, CAST(SUM(y) AS BIGINT) AS np,
+       |        CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+       |       FROM v2 GROUP BY source, logit),
+       |cum AS (SELECT *, SUM(nn) OVER (PARTITION BY source ORDER BY m
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumnn
+       |        FROM mf),
+       |aucs AS (SELECT source, CAST(SUM(np) AS BIGINT) AS tp,
+       |          CAST(SUM(nn) AS BIGINT) AS tn,
+       |          SUM(CAST(np AS DOUBLE)
+       |            * (CAST(cumnn AS DOUBLE) - 0.5 * CAST(nn AS DOUBLE))) AS contrib
+       |         FROM cum GROUP BY source)
+       |SELECT a.source, a.n_val, a.n_correct,
+       |  CAST(a.n_correct AS DOUBLE) / CAST(a.n_val AS DOUBLE) AS accuracy,
+       |  CAST(GREATEST(a.n_pos, a.n_val - a.n_pos) AS DOUBLE)
+       |    / CAST(a.n_val AS DOUBLE) AS base_rate,
+       |  CASE WHEN u.tp * u.tn > 0
+       |    THEN u.contrib / (CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE))
+       |    END AS auc,
+       |  CAST(CASE WHEN u.tp * u.tn > 0
+       |    AND u.contrib >= $classifierValQFloor
        |      * CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE)
        |    THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
        |FROM agg a JOIN aucs u USING (source) ORDER BY a.source""".stripMargin
@@ -4367,6 +4731,7 @@ object LlmData {
     "t_classifier_score" -> classifier,
     "t_classifier_calib" -> classifierCalib,
     "t_classifier_val" -> classifierVal,
+    "t_classifier_val_q" -> classifierValQ,
     "t_fingerprint" -> fingerprint,
     "m_multimodal_meta" -> multimodal,
     "m_frame_sample" -> frameSample,
@@ -4499,6 +4864,12 @@ object LlmData {
       // train-calibrated integer cut
       case (f :: Nil, c :: Nil) =>
         Map("t_classifier_val" -> classifierValSql(f, c))
+      case _ => Map.empty[String, String]
+    }) ++ (classifierValQStash.values.toList match {
+      // the quality-composite-seed validation replay interpolates its
+      // own train-split fit (word+stat-token stream)
+      case f :: Nil =>
+        Map("t_classifier_val_q" -> classifierValQSql(f))
       case _ => Map.empty[String, String]
     })
 

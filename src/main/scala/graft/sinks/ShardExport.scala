@@ -90,8 +90,11 @@ object ShardExport {
     val next = currentVersion(root).getOrElse(0L) + 1L
     val snap = Paths.get(root, s"v_$next").toString
 
-    val assigned = assign(docs, textCol, idCol, shardSize, nShards)
-      .localCheckpoint()
+    // capture the checkpoint's backing RDD for release — Dataset
+    // .unpersist is a no-op on a localCheckpoint'd frame (blocks live
+    // on an internal RDD the CacheManager never saw)
+    val (assigned, ckptRdds) = graft.operators.Dedup.withNewPersistentRdds(
+      assign(docs, textCol, idCol, shardSize, nShards).localCheckpoint())
     try {
       // one bounded file per shard, rows already in training order
       assigned.select(col("shard"), col("pos_in_shard"),
@@ -100,7 +103,7 @@ object ShardExport {
         .sortWithinPartitions("shard", "pos_in_shard")
         .write.partitionBy("shard").parquet(s"$snap/data")
       manifest(assigned, idCol, sourceCol).write.parquet(s"$snap/manifest")
-    } finally assigned.unpersist()
+    } finally ckptRdds.foreach(_.unpersist(blocking = false))
 
     val tmp = Paths.get(root, "_CURRENT.tmp")
     Files.write(tmp, s"$next\n".getBytes(StandardCharsets.UTF_8))

@@ -162,6 +162,106 @@ object ValProbe {
       spark.stop(); return
     }
 
+    // ---- r18 mode: QUALITY-COMPOSITE seed (the verdict-2 "better
+    // seed" rung) ---------------------------------------------------
+    // The lang-agreement seed's Bayes ceiling is ≈0.54 because the
+    // generator's lang column is ~independent of the text (r17
+    // ceiling probe). The DCLM-style next seed is the output of a
+    // STRONGER FILTER the model should distill: here the full
+    // t_filter_chain verdict with the language stage on T.langId
+    // (deterministic IN TEXT — the gate chain's metadata-lang stage
+    // would re-import the unlearnable column), i.e.
+    //   label = [n_tok >= 20] ∧ [langId(text) = 'en']
+    //         ∧ [qualityScore >= 0.5] ∧ [dup-2gram coverage <= 0.2].
+    // Every stage is an existing oracle-replayable formula
+    // (filterChainSql), so a floor earned here can gate. This mode
+    // measures label rate + val AUC/cutAcc of the word-hash family
+    // on the composite seed at the gate split.
+    if (args.lift(1).contains("seed2")) {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val comp = (n >= 20) && (T.langId(col("text")) === "en") &&
+        (T.qualityScore(col("text")) >= 0.5d) &&
+        (round(T.repetitionStats(toks, 2, 2).getField("dup_covered")
+          .cast("double") / n, 6) <= 0.2d)
+      val docs2 = Tables.documents(spark, sf)
+        .withColumn("_lbl", when(comp, 1L).otherwise(0L))
+        .localCheckpoint(eager = true)
+      val tr2 = docs2.filter(vb =!= 0)
+      val vl2 = docs2.filter(vb === 0)
+      val rate = docs2.agg(avg(col("_lbl"))).head().getDouble(0)
+      println(f"SEED2 labelRate=$rate%.4f nTrain=${tr2.count()} nVal=${vl2.count()}")
+
+      def evalSeed(d: Int, epochs: Int, bigrams: Boolean): Unit = {
+        val t0 = System.nanoTime()
+        val fit = Classifier.fit(tr2, "doc_id", "text", "_lbl",
+          d = d, epochs = epochs, lr = 8.0, trainMod = 1, bigrams = bigrams)
+        val lg = T.classifierMargin(col("text"), fit.weightSeq, fit.bias,
+          bigrams = bigrams)
+        val cut = Classifier.calibrateCut(
+          tr2.select(lg.as("m"), col("_lbl").as("y")), "m", "y")
+        val rows = vl2.select(lg.as("m"), col("_lbl").cast("long").as("y"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val auc = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+          .sum / (pos.length.toDouble * neg.length)
+        val cutAcc = rows.count { case (m, y) =>
+          (math.floor(m * 10).toLong >= cut) == (y == 1L) }.toDouble / rows.length
+        val base = math.max(pos.length, neg.length).toDouble / rows.length
+        println(f"SEED2 d=$d%5d ep=$epochs%3d bi=$bigrams%5s | " +
+          f"valAUC=$auc%.4f cut=$cut%3d cutAcc=$cutAcc%.4f base=$base%.4f " +
+          f"trainLossFinal=${fit.losses.last}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      evalSeed(8192, 16, bigrams = true)
+      evalSeed(8192, 24, bigrams = true)
+      evalSeed(16384, 16, bigrams = true)
+      evalSeed(8192, 16, bigrams = false)
+
+      // engineered-feature rungs (the r17 oracle-feature discipline):
+      // the composite filter reads LENGTH, repetition coverage and
+      // ratio statistics the length-normalized word bag cannot
+      // express — quantize those statistics into categorical tokens
+      // and append them to the word stream. A jump isolates the
+      // word-only ceiling as feature starvation, not task noise.
+      def evalSeedF(d: Int, epochs: Int, label: String,
+                    feats: org.apache.spark.sql.Column): Unit = {
+        val t0 = System.nanoTime()
+        val fit = Classifier.fit(tr2, "doc_id", "text", "_lbl",
+          d = d, epochs = epochs, lr = 8.0, trainMod = 1, bigrams = false,
+          featsCol = Some(feats))
+        val lg = T.classifierLogit(feats, fit.weightSeq, fit.bias)
+        val rows = vl2.select(lg.as("m"), col("_lbl").cast("long").as("y"))
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val auc = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+          .sum / (pos.length.toDouble * neg.length)
+        println(f"SEED2F $label%-12s d=$d%5d ep=$epochs%3d | valAUC=$auc%.4f " +
+          f"trainLossFinal=${fit.losses.last}%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+      val dupCov = round(T.repetitionStats(toks, 2, 2).getField("dup_covered")
+        .cast("double") / n, 6)
+      val statToks = array(
+        concat(lit("len:"), least(floor(log(2.0, n.cast("double"))),
+          lit(12.0)).cast("long").cast("string")),
+        concat(lit("rep:"), least(floor(dupCov * 10.0), lit(10.0))
+          .cast("long").cast("string")),
+        concat(lit("q:"), least(floor(T.qualityScore(col("text")) * 10.0),
+          lit(10.0)).cast("long").cast("string")),
+        concat(lit("g:"), T.langId(col("text"))))
+      evalSeedF(8192, 16, "stats-only", statToks)
+      evalSeedF(8192, 16, "word+stats",
+        concat(T.classifierFeatures(col("text")), statToks))
+      evalSeedF(8192, 24, "word+stats",
+        concat(T.classifierFeatures(col("text")), statToks))
+      spark.stop(); return
+    }
+
     // r16 grid: the fused kernel made capacity cheap — probe the wider
     // hash tables the r15 verdict asked for (args override: d,ep,lr
     // triples as "4096:16:8,16384:16:8")

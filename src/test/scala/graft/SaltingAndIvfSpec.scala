@@ -244,4 +244,36 @@ class SaltingAndIvfSpec extends SparkSpec {
       .filter(col("k") =!= col("a")).count()
     assert(mism == 0L)
   }
+
+  test("CellScores kernel == literal-inlined probe-score algebra") {
+    // same pseudo-random geometry as the NearestCell pin (incl. the
+    // mirrored-centroid tie rows): the probe path consumes BOTH
+    // fields, so parity is on the full (cs, qd) table per cell
+    val dim = 16
+    def vec(seed: Long): Array[Float] = {
+      var st = seed
+      Array.fill(dim) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 40).toInt % 1000) / 500.0f - 1.0f
+      }
+    }
+    val rows = (0L until 300L).map(i => (i, vec(i))) ++
+      Seq((300L, Array.fill(dim)(0.0f)))
+    val df = rows.toDF("id", "v")
+    val cents: Array[Array[Double]] =
+      (0 until 23).map(j => vec(2000L + j).map(_.toDouble)).toArray ++
+        Array(Array.fill(dim)(0.5d), Array.fill(dim)(-0.5d))
+    val kernel = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.CellScores(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")),
+        cents.map(_.toIndexedSeq).toIndexedSeq))
+    val algebra = array(cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      val d = graft.functions.VectorFunctions.dot(col("v"), array(c.map(lit): _*))
+      struct(round(lit(c2) - lit(2.0) * d, 6).as("cs"), d.as("qd"))
+    }: _*)
+    val mism = df.select(kernel.as("k"), algebra.as("a"))
+      .filter(col("k") =!= col("a")).count()
+    assert(mism == 0L, "CellScores/algebra mismatch")
+  }
 }

@@ -5,7 +5,9 @@ file so scale-wall regressions get the same round-over-round
 discipline as the sf0.1 bench.
 
 Usage: tools/bench_nx_assemble.py <bench-log> <prior-campaign.json> \
-       <out.json> <campaign-note> [adjudications.json]
+       <out.json> <campaign-note> [adjudications.json] [data-string]
+(data-string overrides the default "data" field of the output —
+pass it when the board was run at a volume other than 100 x sf0.1.)
 The bench log's LAST '{"metric":...}' line is the JSON; BENCH_local
 is not used (the log survives nohup, the cwd file may be clobbered by
 later 1x runs).
@@ -42,8 +44,9 @@ movers = {k for k in nq if k in pq and abs(nq[k] - pq[k]) > 0.5
 missing = sorted(movers - set(adj))
 if missing:
     for k in missing:
+        ratio = f"{nq[k]/pq[k]:.2f}x" if pq[k] else "infx"
         print(f"UNADJUDICATED {k}: {pq[k]:.2f} -> {nq[k]:.2f} s "
-              f"({nq[k]/pq[k]:.2f}x)", file=sys.stderr)
+              f"({ratio})", file=sys.stderr)
     sys.exit(f"refusing to write {out_p}: {len(missing)} mover(s) >=1.4x "
              "lack an adjudications entry (pass a JSON map as argv[5])")
 # labeled diff keeps the sharper 1.5x + 0.5s buckets for reading
