@@ -3638,7 +3638,8 @@ object LlmData {
     * cannot cancel). */
   private def attachVideoPayload(s: SparkSession, d: String,
                                  fourcc: String = "PNG ",
-                                 imgFormat: String = "png") = {
+                                 imgFormat: String = "png",
+                                 gradient: Boolean = false) = {
     import org.apache.spark.sql.{Dataset, Encoders}
     val ids: Dataset[Long] = Tables.documents(s, d)
       .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
@@ -3662,11 +3663,19 @@ object LlmData {
           val g = ((id * 11 + i * 31L) % 256).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            while (x < w) {
+              // gradient mode: a clip-free horizontal ramp g%64 +
+              // slope·x (slope 1..3, max 63 + 3·38 < 255) whose frame
+              // mean is CLOSED-FORM (g%64 + slope·(w−1)/2) — pins the
+              // lossy decode on spatial content, not just the DC of a
+              // flat field
+              val v = if (gradient) (g % 64) + (id % 3 + 1).toInt * x else g
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
             y += 1
           }
           val buf = new java.io.ByteArrayOutputStream()
@@ -3751,6 +3760,36 @@ object LlmData {
         (abs(col("mean_byte") -
           ((col("doc_id") * 11 + col("frame_idx") * 31) % 256)
             .cast("double")) <= 3.0).as("in_band"))
+      .join(meta, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // ------------------------------------------- m_video_mjpeg_grad
+  // The lossy banded verdict on NON-CONSTANT frames (r18 — the r17
+  // stretch): a flat-gray frame proves only the DC path, so this key
+  // re-runs the MJPEG pipeline on clip-free horizontal RAMPS (g%64 +
+  // slope·x, slope = doc_id%3+1) whose true frame mean is closed-form
+  // g%64 + slope·(w−1)/2. JPEG preserves the mean through the
+  // per-block DC (quantization error well under a gray level at the
+  // encoder's default tables; AC truncation does not shift a mean),
+  // so the same ±3 band pins the decoder on spatial content: a
+  // decoder that mis-walks the raster (stride bugs, column clipping,
+  // channel-order slips) shifts the ramp mean out of band where a
+  // flat field would hide it. Oracle: lossless container fields exact
+  // + literal-TRUE in_band (the videoMjpeg discipline).
+  private val videoMjpegGrad: Q = (s, d) => {
+    val media = attachVideoPayload(s, d, fourcc = "MJPG", imgFormat = "jpg",
+      gradient = true)
+    val meta = Multimodal.decodeVideo(media).toDF()
+      .select(col("doc_id"), col("fps_q"), col("duration_ms"))
+    val g0 = ((col("doc_id") * 11 + col("frame_idx") * 31) % 256) % 64
+    val meanTrue = g0.cast("double") +
+      (col("doc_id") % 3 + 1).cast("double") *
+        (col("width") - 1).cast("double") / 2.0d
+    Multimodal.frameSampleReal(media, stride = 2).toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"),
+        (abs(col("mean_byte") - meanTrue) <= 3.0).as("in_band"))
       .join(meta, "doc_id")
       .orderBy("doc_id", "frame_idx")
   }
@@ -4740,6 +4779,7 @@ object LlmData {
     "m_audio_real" -> audioReal,
     "m_video_real" -> videoReal,
     "m_video_mjpeg" -> videoMjpeg,
+    "m_video_mjpeg_grad" -> videoMjpegGrad,
     "m_frame_dup" -> frameDup,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
@@ -4789,6 +4829,7 @@ object LlmData {
     "_store_pqres" -> ((s, d) => { trainIvfPqResidual(s, d); () }),
     "_store_classifier" -> ((s, d) => { trainClassifier(s, d); () }),
     "_store_classifierval" -> ((s, d) => { trainClassifierVal(s, d); () }),
+    "_store_classifiervalq" -> ((s, d) => { trainClassifierValQ(s, d); () }),
     "_store_exacttopk" -> ((s, d) => { exactTop3(s, d); () }),
     "_store_exactfilt" -> ((s, d) => { exactFilteredTop3(s, d); () }),
     "_store_annindex" -> ((s, d) => { annIndexDir(s, d); () }),
@@ -4918,6 +4959,7 @@ object LlmData {
     "m_audio_real" -> audioRealSql,
     "m_video_real" -> videoRealSql,
     "m_video_mjpeg" -> videoMjpegSql,
+    "m_video_mjpeg_grad" -> videoMjpegSql,
     "m_frame_dup" -> frameDupSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,

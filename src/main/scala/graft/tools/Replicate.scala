@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * Rademacher diagonal — ScaleSmoke's scheme) so near-dup STRUCTURE
   * replicates N× instead of every replica near-duplicating the
   * original.
-  *   sbt "runMain graft.tools.Replicate [N] [sfDir] [outDir]"
-  */
+  *   sbt "runMain graft.tools.Replicate [N] [sfDir] [outDir] [tables]"
+  * `tables` (optional, comma list e.g. "documents,embeddings")
+  * restricts the build to the named fact tables — the 10000×-decade
+  * boards need only the doc/embedding corpora (the relational facts
+  * at that decade would not fit the disk), and a partial dir serves
+  * exactly the keys that read those tables. */
 object Replicate {
   val shift = 1000000000L
 
@@ -61,14 +65,22 @@ object Replicate {
     require(Paths.get(out).toAbsolutePath != Paths.get(sf).toAbsolutePath,
       s"outDir == sfDir ($out): would overwrite input parquet mid-read")
     Files.createDirectories(Paths.get(out))
-    def rep(name: String, src: DataFrame, f: (DataFrame, Int) => DataFrame, idCol: String): Unit = {
+    val wantTables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def rep(name: String, src: => DataFrame, f: (DataFrame, Int) => DataFrame, idCol: String): Unit = {
+      if (wantTables.exists(!_.contains(name))) return
       // Replicating an already-replicated dir would silently collide
       // key spaces across replicas; ids must sit below one shift band.
       val maxId = src.agg(max(col(idCol).cast("long"))).head.getLong(0)
       require(maxId < shift,
         s"$name.$idCol max=$maxId >= shift=$shift — input looks already replicated; replicate from the base sf dir")
-      (0 until n).map(i => f(src, i)).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // chunked append: a single n-way unionAll at n=10000 builds a
+      // 10000-deep left-leaning plan tree (analysis cost/stack); 100
+      // replicas per write keeps the plan shallow at any decade
+      (0 until n).grouped(100).zipWithIndex.foreach { case (chunk, ci) =>
+        chunk.map(i => f(src, i)).reduce(_ unionAll _)
+          .write.mode(if (ci == 0) "overwrite" else "append")
+          .parquet(s"$out/$name.parquet")
+      }
       println(s"REPLICATE $name x$n written")
     }
     rep("lineitem", graft.sources.Tables.lineitem(spark, sf), lineitem, "l_orderkey")
@@ -76,6 +88,7 @@ object Replicate {
     rep("events", graft.sources.Tables.events(spark, sf), events, "event_id")
     rep("documents", graft.sources.Tables.documents(spark, sf), documents, "doc_id")
     rep("embeddings", graft.sources.Tables.embeddings(spark, sf), embeddings, "vec_id")
+    if (wantTables.isEmpty)
     for (d <- Seq("region", "nation", "customer", "supplier", "part")) {
       val link = Paths.get(s"$out/$d.parquet")
       // A prior run may have left the dim target as a materialized

@@ -93,9 +93,14 @@ object StreamProbe {
     // versions scale with partitions × triggers — grid over provider
     // × shuffle-partition count at the rule mfpt, on cloned sessions
     // (per-session SQLConf; the stream reads it at start). The pair
-    // set must stay invariant across every config.
+    // set must stay invariant across every config. Pass "nogrid" as
+    // arg 3 to skip it (the 1000×-decade attribution needs only the
+    // floor/staging/replay split — the grid re-runs the replay 5×,
+    // and the provider question was settled at 100×: RocksDB ≈ HDFS,
+    // fewer partitions buy ~9%).
     val ruleMfpt = graft.streaming.StreamingPipeline
       .autoFilesPerTrigger(parts.length)
+    if (!args.lift(2).contains("nogrid")) {
     val rocks = "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
     for ((label, provider, nPart) <- Seq(
@@ -127,6 +132,7 @@ object StreamProbe {
       println(f"PROBE store=$label%-9s mfpt=$ruleMfpt wall=" +
         f"${(System.nanoTime() - t3) / 1e9}%7.1f s " +
         f"triggers>=$triggers n_pairs=$pairs")
+    }
     }
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
