@@ -52,6 +52,28 @@ object Classifier {
     math.max(-8.0, math.min(8.0, s))
   }
 
+  /** Corpus size above which [[autoTrainMod]] starts sampling the
+    * training set. 2²³ (dyadic) sits ABOVE every committed proof
+    * scale — the 1000× campaign corpus is 5M docs — so engaging the
+    * lever changes NO published weight at sf0.01/100×/1000×; it
+    * first bites at the 10000× decade (50M docs → S=6, ~8.3M
+    * training docs) and bounds epoch cost at any corpus size from
+    * there on (at 100 TB the fit is a fixed-size job, not a
+    * corpus-sized one). */
+  val AutoTrainCap = 8388608L // 2^23
+
+  /** Self-scaling training modulus — the kmeans `trainMod` hash-
+    * sample discipline made automatic for the classifier family:
+    * 1 (full batch) while the corpus holds ≤ `cap` docs, else the
+    * smallest S with ~n/S ≤ cap. Deterministic given n (and the
+    * xxhash64 doc-id sample in [[fit]] is deterministic given S), so
+    * the trained-literal oracle replay is unaffected: the weights
+    * interpolate as dyadic literals exactly as before. */
+  def autoTrainMod(n: Long, cap: Long = AutoTrainCap): Int = {
+    require(cap > 0, s"autoTrainMod: cap must be positive, got $cap")
+    math.max(1L, (n + cap - 1) / cap).toInt
+  }
+
   /** Fit the D-bucket logistic head on `docs`. `labelCol` must be a
     * 0/1 integer column (the deterministic in-corpus seed label —
     * e.g. "stored lang agrees with the n-gram detector"). Text is

@@ -798,6 +798,17 @@ object LlmData {
       case (rc :: Nil, b :: Nil) =>
         Map("s_reindex_topk" -> ivfPqTopKAltSql(rc, b))
       case _ => Map.empty[String, String]
+    }) ++
+    // val-bucket-first replay of the quality-composite validation:
+    // same interpolated fit, documents scan pre-filtered to vb=0
+    // (see classifierValQSql's src note) — the generic replay's
+    // exploded token join over ALL docs drove a DuckDB temp spill
+    // past the disk at 100× under campaign load
+    (classifierValQStash.values.toList match {
+      case f :: Nil => Map("t_classifier_val_q" -> classifierValQSql(f,
+        "(SELECT * FROM documents WHERE TRY_CAST('0x' || " +
+        "substr(md5('cvsplit:' || text), 1, 15) AS BIGINT) % 5 = 0)"))
+      case _ => Map.empty[String, String]
     })
 
   // ------------------------------------------------------ s_knn_degree
@@ -2404,8 +2415,13 @@ object LlmData {
     def build = {
       val docs = Tables.documents(s, d).withColumn("_lbl",
         graft.operators.Classifier.langAgreeLabel(col("text"), col("lang")))
+      // trainMod: auto — full batch at every committed proof scale
+      // (the 2^23 cap clears the 1000x corpus), hash-sampled above it
+      // (the 100 TB bound; the count is a footer-only scan)
       graft.operators.Classifier.fit(docs, "doc_id", "text", "_lbl",
-        d = classifierD, epochs = 16, lr = 8.0, trainMod = 1, bigrams = true)
+        d = classifierD, epochs = 16, lr = 8.0,
+        trainMod = graft.operators.Classifier.autoTrainMod(docs.count()),
+        bigrams = true)
     }
     mhKey(s, d) match {
       case Some(k) => classifierFitStash.getOrElseUpdate(k, build)
@@ -2574,9 +2590,12 @@ object LlmData {
     def build = {
       val docs = Tables.documents(s, d).withColumn("_lbl",
         graft.operators.Classifier.langAgreeLabel(col("text"), col("lang")))
+      // trainMod: auto on the PRE-split corpus count (footer-only;
+      // the 80% train side stays under the cap's order of magnitude)
       graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
         "doc_id", "text", "_lbl", d = classifierD, epochs = 16, lr = 8.0,
-        trainMod = 1, bigrams = true)
+        trainMod = graft.operators.Classifier.autoTrainMod(docs.count()),
+        bigrams = true)
     }
     mhKey(s, d) match {
       case Some(k) => classifierValStash.getOrElseUpdate(k, build)
@@ -2809,7 +2828,8 @@ object LlmData {
       val docs = Tables.documents(s, d).withColumn("_lbl", qcLabel)
       graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
         "doc_id", "text", "_lbl", d = classifierD, epochs = 16, lr = 8.0,
-        trainMod = 1, bigrams = false, featsCol = Some(qcToks))
+        trainMod = graft.operators.Classifier.autoTrainMod(docs.count()),
+        bigrams = false, featsCol = Some(qcToks))
     }
     mhKey(s, d) match {
       case Some(k) => classifierValQStash.getOrElseUpdate(k, build)
@@ -2876,17 +2896,23 @@ object LlmData {
        | THEN 'es'
        | ELSE 'fr' END)""".stripMargin
 
-  private def classifierValQSql(fit: graft.operators.Classifier.Fit): String =
+  /** `src` swaps the documents scan (ALT overlay: the val bucket is
+    * decided per doc by the cvsplit hash and the output reads ONLY
+    * vb=0 rows, so pre-filtering the scan is replay-identical while
+    * cutting the exploded token join — the DuckDB spill driver at
+    * N×-volume — by the split factor). */
+  private def classifierValQSql(fit: graft.operators.Classifier.Fit,
+                                src: String = "documents"): String =
     s"""WITH n AS (SELECT doc_id, source, text,
        |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
-       |           ' +', ' ', 'g')) AS t FROM documents),
+       |           ' +', ' ', 'g')) AS t FROM $src),
        |ta AS (SELECT doc_id, string_split(t, ' ') AS a FROM n),
        |toks AS (SELECT doc_id, unnest(a) AS tok FROM ta
        |         UNION ALL
        |         SELECT doc_id, array_to_string(a[i:i+1], ' ') AS tok
        |         FROM (SELECT doc_id, a,
        |                unnest(generate_series(1, len(a) - 1)) AS i FROM ta)),
-       |rawt AS (SELECT doc_id, text, string_split(text, ' ') AS rt FROM documents),
+       |rawt AS (SELECT doc_id, text, string_split(text, ' ') AS rt FROM $src),
        |tg AS (SELECT doc_id, array_to_string(rt[i:i+1], ' ') AS g, i
        |       FROM (SELECT doc_id, rt, unnest(generate_series(1, len(rt)-1)) AS i FROM rawt)),
        |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),

@@ -150,6 +150,37 @@ class ClassifierSpec extends SparkSpec {
     assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
+  test("autoTrainMod: full batch through every committed proof scale, ceil above the cap") {
+    import Classifier.{autoTrainMod, AutoTrainCap}
+    // 1 at and below the cap — sf0.01 (5k), 100x (500k), 1000x (5M)
+    // all fit FULL-batch, so landing the lever changed no published
+    // weight at any proven scale
+    for (n <- Seq(1L, 5000L, 500000L, 5000000L, AutoTrainCap))
+      assert(autoTrainMod(n) == 1, s"n=$n")
+    // first engage: smallest S with ceil(n/S) <= cap
+    assert(autoTrainMod(AutoTrainCap + 1) == 2)
+    assert(autoTrainMod(50000000L) == 6)   // the 10000x corpus
+    assert(autoTrainMod(5000000000L) == 597) // a 100TB-ish corpus
+    // S is exactly ceil(n / cap)
+    for (n <- Seq(12345678L, 98765432L, 3L * AutoTrainCap))
+      assert(autoTrainMod(n) == ((n + AutoTrainCap - 1) / AutoTrainCap).toInt)
+  }
+
+  test("trainMod fit == full fit on the hash-selected subset (the sample is the ONLY effect)") {
+    // the 100TB bound must be pure sampling: training with trainMod=S
+    // is bit-identical to full-batch training on the pre-filtered
+    // xxhash64 slice — no hidden renormalization, no lr coupling
+    val s = 3
+    val sampled = Classifier.fit(docs, "doc_id", "text", "_lbl",
+      d = 128, epochs = 4, lr = 3.0, trainMod = s)
+    val manual = Classifier.fit(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(s)) === 0),
+      "doc_id", "text", "_lbl", d = 128, epochs = 4, lr = 3.0)
+    assert(sampled.weights.toSeq == manual.weights.toSeq)
+    assert(sampled.bias == manual.bias)
+    assert(sampled.losses.toSeq == manual.losses.toSeq)
+  }
+
   test("calibrateCut maximizes bucketed accuracy, lowest cut on ties") {
     import spark.implicits._
     // margins bucket to -2, 0, 1; positives concentrate at bucket >= 0
