@@ -1929,7 +1929,13 @@ object LlmData {
     val shortlist = IvfPqDefaults.shortlist
     // flat struct-lists (the ivfCellCtes parser-depth discipline),
     // but keeping each centroid / codebook row / offset row a LIST —
-    // the list-native kernels consume them whole
+    // the list-native kernels consume them whole.
+    // cellassign is ONE ROW PER VECTOR (list_min over a per-row
+    // list_transform of the centroid literal), NOT a v × centsl cross
+    // join into MIN(struct): at campaign cell counts the join form
+    // materializes n·k rows inside the hash aggregate — measured
+    // 108 GB RSS (OOM) at 2M × 1414 — while the per-row form streams
+    // at scan memory and finishes the same argmin in minutes
     val centList = cents.zipWithIndex.map { case (c, j) =>
       s"{'cell': $j, 'v': [${c.map(x => f"$x%.17e").mkString(",")}]}"
     }.mkString(",\n")
@@ -1947,10 +1953,14 @@ object LlmData {
     s"""WITH v AS (SELECT vec_id,
        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
+       |cents0 AS (SELECT [$centList] AS cl),
        |centsl AS (SELECT s.cell AS cell, s.v AS cv
-       |           FROM (SELECT unnest([$centList]) AS s)),
+       |           FROM (SELECT unnest(cl) AS s FROM cents0)),
        |cellsq AS (SELECT cell, list_sum(list_transform(cv, x -> x*x)) AS c2
        |           FROM centsl),
+       |csql AS (SELECT list_transform(cl,
+       |            s -> list_sum(list_transform(s.v, x -> x*x))) AS csq
+       |         FROM cents0),
        |bookl AS (SELECT s.m AS m, s.j AS j, s.v AS bv
        |          FROM (SELECT unnest([$bookList]) AS s)),
        |resoffl AS (SELECT s.cell AS cell, s.m AS m, s.j AS j, s.o AS off
@@ -1965,11 +1975,11 @@ object LlmData {
        |probes AS (SELECT qid, cell FROM proberanks WHERE prnk <= $nprobe),
        |pcells AS (SELECT DISTINCT cell FROM probes),
        |cellassign AS (SELECT a.vec_id,
-       |                 (MIN({'s': ROUND(cq.c2
-       |                         - 2*list_inner_product(a.e, c.cv), 6),
-       |                       'cell': c.cell})).cell AS cell
-       |               FROM v a, centsl c JOIN cellsq cq USING (cell)
-       |               GROUP BY a.vec_id),
+       |                 (list_min(list_transform(c0.cl, s ->
+       |                    {'s': ROUND(q.csq[s.cell+1]
+       |                            - 2*list_inner_product(a.e, s.v), 6),
+       |                     'cell': s.cell}))).cell AS cell
+       |               FROM v a, cents0 c0, csql q),
        |members AS (SELECT ca.vec_id, ca.cell, a.e
        |            FROM cellassign ca JOIN pcells USING (cell)
        |            JOIN v a ON a.vec_id = ca.vec_id),

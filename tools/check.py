@@ -18,6 +18,12 @@ skip = "--skip-verify" in args
 # a timed-out oracle reports TIMEOUT, distinct from FAIL)
 timeout = next((float(a.split("=", 1)[1]) for a in args
                 if a.startswith("--timeout=")), None)
+# --mem=N: DuckDB memory cap (e.g. --mem=40GB). Without it DuckDB
+# defaults to ~80% of RAM and a campaign-scale oracle can OOM-kill
+# the PROCESS (the kernel took a 108 GB replay at 1000x) instead of
+# spilling — a silent ERROR in the sweep, not a TIMEOUT.
+mem = next((a.split("=", 1)[1] for a in args
+            if a.startswith("--mem=")), None)
 only = [a for a in args if not a.startswith("--")]
 
 if not skip:
@@ -28,6 +34,8 @@ if not skip:
 
 import duckdb
 con = duckdb.connect()
+if mem:
+    con.execute(f"SET memory_limit='{mem}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # a table may be a single file (driver testdata) or a directory of
