@@ -24,6 +24,10 @@ timeout = next((float(a.split("=", 1)[1]) for a in args
 # spilling — a silent ERROR in the sweep, not a TIMEOUT.
 mem = next((a.split("=", 1)[1] for a in args
             if a.startswith("--mem=")), None)
+# --threads=N: DuckDB core cap (campaign sweeps run beside Spark
+# dumps; uncapped DuckDB grabs every core)
+threads = next((a.split("=", 1)[1] for a in args
+                if a.startswith("--threads=")), None)
 only = [a for a in args if not a.startswith("--")]
 
 if not skip:
@@ -36,6 +40,8 @@ import duckdb
 con = duckdb.connect()
 if mem:
     con.execute(f"SET memory_limit='{mem}'")
+if threads:
+    con.execute(f"SET threads={int(threads)}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # a table may be a single file (driver testdata) or a directory of

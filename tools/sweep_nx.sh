@@ -38,7 +38,8 @@ while read -r key; do
   # tally (the r13 accounting trap). FAIL/TIMEOUT lines win; the
   # PASS summary is kept only when it actually lists the key.
   out=$(timeout 1000 python3 tools/check.py "$SFDIR" "$DUMP" \
-    --skip-verify --alts --timeout=900 --mem=40GB "$key" 2>&1 |
+    --skip-verify --alts --timeout=900 --mem=${SWEEP_MEM:-40GB} \
+    ${SWEEP_THREADS:+--threads=$SWEEP_THREADS} "$key" 2>&1 |
     grep -E "^PASS|^FAIL|^ROWS-ONLY|^TIMEOUT")
   bad=$(grep -E "^FAIL|^TIMEOUT" <<< "$out" | paste -sd' | ' -)
   [ -n "$bad" ] && out="$bad" || out=$(paste -sd' | ' - <<< "$out")
