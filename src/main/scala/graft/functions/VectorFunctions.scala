@@ -34,6 +34,19 @@ object VectorFunctions {
       ColumnBridge.expression(v),
       cents.map(_.toIndexedSeq).toIndexedSeq, replayExact))
 
+  /** Two-level (hierarchical) nearest-cell assignment: group argmin
+    * over ~√k group centroids, then cell argmin restricted to the
+    * winning group's members — O(√k) per row instead of O(k); see
+    * graft.plans.TwoLevelCell for the semantics contract. */
+  def twoLevelCell(v: Column, groupCents: Seq[Seq[Double]],
+                   members: Seq[Seq[Int]], cents: Seq[Seq[Double]],
+                   replayExact: Boolean): Column =
+    ColumnBridge.column(graft.plans.TwoLevelCell(
+      ColumnBridge.expression(v),
+      groupCents.map(_.toIndexedSeq).toIndexedSeq,
+      members.map(_.toIndexedSeq).toIndexedSeq,
+      cents.map(_.toIndexedSeq).toIndexedSeq, replayExact))
+
   /** Reference composition (CodegenFallback path) — kept for
     * cross-checking the custom expression in tests. */
   def dotHof(a: Column, b: Column): Column =

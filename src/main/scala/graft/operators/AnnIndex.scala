@@ -204,9 +204,16 @@ object AnnIndex {
               targetCells: Option[Int] = None): IndexMeta = {
     val spark = df.sparkSession
     val old = loadMeta(spark, dir)
-    val ncells = targetCells.getOrElse(Similarity.autoCells(df.count()))
+    val nRows = df.count()
+    val ncells = targetCells.getOrElse(Similarity.autoCells(nRows))
+    // r19: Lloyd sample bounded at ~256 vectors/cell (boundedTrainMod
+    // — identical to the base mod through every ≤100× proof scale, so
+    // no published training changed; at the N× decades it caps the
+    // per-iteration training scan, which with the two-level assignment
+    // kernel removes the r18 board's n·√n reindex growth law)
+    val effMod = Similarity.boundedTrainMod(nRows, ncells, trainMod)
     val cents = Similarity.kmeansCentroids(df, old.idCol, vecCol,
-      k = ncells, iters = iters, trainMod = trainMod)
+      k = ncells, iters = iters, trainMod = effMod)
     write(df, old.idCol, vecCol, dir, table, cents, old.books,
       old.numBuckets)
   }
@@ -241,10 +248,12 @@ object AnnIndex {
     val old = loadMeta(spark, dir)
     val nRows = df.count()
     val ncells = targetCells.getOrElse(Similarity.autoCells(nRows))
+    // same Lloyd-sample bound as [[reindex]] (r19)
+    val effMod = Similarity.boundedTrainMod(nRows, ncells, trainMod)
     val cents = Similarity.kmeansCentroids(df, old.idCol, vecCol,
-      k = ncells, iters = iters, trainMod = trainMod)
+      k = ncells, iters = iters, trainMod = effMod)
     val (drift, freshBooks) = Similarity.bookDriftDetail(df, old.idCol,
-      vecCol, cents, old.books, iters = iters, trainMod = trainMod)
+      vecCol, cents, old.books, iters = iters, trainMod = effMod)
     val retrain = drift >= Similarity.BookDriftThreshold
     val books = if (retrain) freshBooks else old.books
     val meta = write(df, old.idCol, vecCol, dir, table, cents, books,

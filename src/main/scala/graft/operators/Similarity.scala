@@ -148,7 +148,9 @@ object Similarity {
                   cacheKey: Option[String] = None): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters, trainMod, cacheKey)
     def assign = df.select(col(idCol), col(vecCol).as("_v"))
-      .select(col(idCol), assignExpr(cents).cast("long").as("cell"))
+      .select(col(idCol),
+        cellAssignOn(col("_v"), cents, replayExact = true)
+          .cast("long").as("cell"))
     cacheKey match {
       // trained cell assignments go through the session store like the
       // minhash signatures — one training run per (session, corpus)
@@ -214,6 +216,114 @@ object Similarity {
     graft.functions.VectorFunctions.nearestCell(
       v, cs.toSeq.map(_.toSeq), replayExact)
 
+  /** Cell counts past this go HIERARCHICAL: [[cellAssignOn]] swaps
+    * the flat O(k)-per-row argmin for the two-level group→cell scan
+    * (r19 — the executable form of [[autoCells]]' "go hierarchical"
+    * doctrine, and the removal of the r18 10,000× board's one
+    * super-linear law: the √n-cell re-code pass was O(n·√n) flat,
+    * O(n·n^¼) two-level). 32 keeps every pinned small-k gate (8-cell
+    * IVF, ks≤16 PQ codebooks) on the exact flat argmin byte-for-byte,
+    * while the sf0.01 reindex (autoCells(2000)=45 cells) exercises
+    * the two-level path INSIDE the driver gate. */
+  val TwoLevelThreshold = 32
+
+  /** CELL assignment with the hierarchy rule applied: flat argmin at
+    * ≤ [[TwoLevelThreshold]] cells (byte-identical to the pre-r19
+    * path), two-level above it. The grouping is a deterministic pure
+    * function of the centroid table ([[groupCells]]), recomputed
+    * identically by the oracle-SQL builder — both engines replay the
+    * same assignment rule at every cell count. */
+  private[graft] def cellAssignOn(v: Column, cs: Array[Array[Double]],
+                                  replayExact: Boolean): Column =
+    if (cs.length <= TwoLevelThreshold) assignExprOn(v, cs, replayExact)
+    else {
+      val (gc, mem) = groupCells(cs)
+      graft.functions.VectorFunctions.twoLevelCell(
+        v, gc.toSeq.map(_.toSeq), mem.toSeq.map(_.toSeq),
+        cs.toSeq.map(_.toSeq), replayExact)
+    }
+
+  /** Deterministic driver-side grouping of a trained centroid table
+    * into ⌈√k⌉ groups for the two-level assignment: a small pure-Scala
+    * Lloyd over the k centroid vectors themselves (k·√k·dim flops —
+    * milliseconds at any √n cell count). Strided init (cells 0, k/g,
+    * 2k/g, …), exact squared-L2 argmin with ties to the lower group
+    * index, index-ordered mean recomputation, empty groups keep their
+    * previous center; groups left empty after the final assignment
+    * are DROPPED (so stage 2 always has members), and each group's
+    * member list ascends by global cell id (the in-group tie policy).
+    * Everything is a deterministic fold in cell-index order — the
+    * oracle builder calls THIS function on the stashed centroids and
+    * interpolates identical literals. */
+  def groupCells(cents: Array[Array[Double]],
+                 iters: Int = 3): (Array[Array[Double]], Array[Array[Int]]) = {
+    val k = cents.length
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dim = cents(0).length
+    var gc: Array[Array[Double]] =
+      Array.tabulate(g)(i => cents((i.toLong * k / g).toInt).clone())
+    val assign = new Array[Int](k)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < k) {
+        var best = Double.PositiveInfinity
+        var bestG = 0
+        var j = 0
+        while (j < g) {
+          var d2 = 0.0d
+          var i = 0
+          while (i < dim) {
+            val d = cents(c)(i) - gc(j)(i); d2 += d * d; i += 1
+          }
+          if (d2 < best) { best = d2; bestG = j }
+          j += 1
+        }
+        assign(c) = bestG
+        c += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      var c = 0
+      while (c < k) {
+        val j = assign(c)
+        var i = 0
+        while (i < dim) { sums(j)(i) += cents(c)(i); i += 1 }
+        counts(j) += 1
+        c += 1
+      }
+      gc = Array.tabulate(g) { j =>
+        if (counts(j) == 0) gc(j)
+        else { val s = sums(j); Array.tabulate(dim)(i => s(i) / counts(j)) }
+      }
+    }
+    // the member partition must reflect assignment against the
+    // RETURNED group centroids (the loop updates means after its
+    // assignment pass) — one final pass closes the gap
+    assignAll()
+    val kept = (0 until g).filter(j => assign.contains(j))
+    val remap = kept.zipWithIndex.toMap
+    val members = Array.fill(kept.length)(List.newBuilder[Int])
+    var c = 0
+    while (c < k) { members(remap(assign(c))) += c; c += 1 }
+    (kept.map(gc).toArray, members.map(_.result().toArray))
+  }
+
+  /** Lloyd-sample bound for √n-cell trainings (the _store_pq
+    * hash-sample discipline applied to the coarse quantizer): cap the
+    * training sample at ~`perCell` vectors per centroid — FAISS-range
+    * practice — so reindex training rows stay O(k·perCell) instead of
+    * O(n/trainMod). Returns the base mod untouched until the cap
+    * binds (n > perCell·k·base), so every committed proof scale
+    * through 100× trains on the identical sample; the bound first
+    * engages at the 1000× decade. */
+  def boundedTrainMod(n: Long, k: Int, base: Int,
+                      perCell: Int = 256): Int =
+    math.max(base,
+      math.ceil(n.toDouble / (perCell.toLong * k)).toInt)
+
   /** The pre-r17 literal-inlined Column-algebra form — the semantic
     * cross-check [[assignExprOn]]'s native kernel is spec-pinned
     * against (the dotHof discipline). */
@@ -252,7 +362,7 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("cell",
-        assignExpr(centroids, replayExact = false))
+        cellAssignOn(col("_v"), centroids, replayExact = false))
       val means = assigned
         .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -491,7 +601,7 @@ object Similarity {
     val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
     df.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("_vd"),
-        assignExprOn(col(vecCol), cents, replayExact = true)
+        cellAssignOn(col(vecCol), cents, replayExact = true)
           .cast("int").as("_cell"))
       .select(col(idCol),
         zip_with(col("_vd"), element_at(centArr, col("_cell") + 1),
@@ -562,7 +672,7 @@ object Similarity {
     // carryCols (metadata the index serves filtered searches with —
     // AnnIndex metaCols) ride the row-local projection untouched
     val stage1Raw = df.select(col(idCol) +:
-        assignExprOn(col(vecCol), cents, replayExact = true)
+        cellAssignOn(col(vecCol), cents, replayExact = true)
           .cast("long").as("cell") +:
         (dcCols.toSeq ++ carryCols.map(col)): _*)
     val stage1 = stage1Raw.mapPartitions(it => it)(
@@ -794,7 +904,7 @@ object Similarity {
   def assignCellsLiteral(df: DataFrame, idCol: String, vecCol: String,
                          cents: Array[Array[Double]]): DataFrame =
     df.select(col(idCol),
-      assignExprOn(col(vecCol), cents, replayExact = true)
+      cellAssignOn(col(vecCol), cents, replayExact = true)
         .cast("long").as("cell"))
 
   /** Broadcast per-query ADC lookup tables: lut_m[j] = ⟨q_slice_m,

@@ -116,6 +116,62 @@ object NearestCellUtil {
     bestJ
   }
 
+  /** Two-level nearest-cell ([[TwoLevelCell]]'s scan): stage 1 picks
+    * the nearest GROUP centroid (same round₆/strict-< ascending-index
+    * discipline as [[nearest]]), stage 2 runs the cell argmin
+    * RESTRICTED to that group's member cells — members are stored in
+    * ascending global-id order, so the strict-< scan keeps the
+    * lowest-global-id tie policy within the group. Per-row cost
+    * O(g + k/g) instead of O(k). */
+  def twoLevelNearest(arr: ArrayData, isFloat: Boolean,
+                      groupCents: Array[Array[Double]],
+                      g2: Array[Double],
+                      members: Array[Array[Int]],
+                      cents: Array[Array[Double]],
+                      c2: Array[Double], replayExact: Boolean): Int = {
+    // stage 1: group argmin
+    var best = Double.PositiveInfinity
+    var bestG = 0
+    var j = 0
+    while (j < groupCents.length) {
+      val c = groupCents(j)
+      val n = math.min(arr.numElements(), c.length)
+      var acc = 0.0d
+      var i = 0
+      if (isFloat) {
+        while (i < n) { acc += arr.getFloat(i).toDouble * c(i); i += 1 }
+      } else {
+        while (i < n) { acc += arr.getDouble(i) * c(i); i += 1 }
+      }
+      var s = g2(j) - 2.0d * acc
+      if (replayExact) s = round6(s)
+      if (s < best) { best = s; bestG = j }
+      j += 1
+    }
+    // stage 2: cell argmin restricted to the winning group's members
+    val mem = members(bestG)
+    best = Double.PositiveInfinity
+    var bestCell = if (mem.length > 0) mem(0) else 0
+    var mIdx = 0
+    while (mIdx < mem.length) {
+      val cell = mem(mIdx)
+      val c = cents(cell)
+      val n = math.min(arr.numElements(), c.length)
+      var acc = 0.0d
+      var i = 0
+      if (isFloat) {
+        while (i < n) { acc += arr.getFloat(i).toDouble * c(i); i += 1 }
+      } else {
+        while (i < n) { acc += arr.getDouble(i) * c(i); i += 1 }
+      }
+      var s = c2(cell) - 2.0d * acc
+      if (replayExact) s = round6(s)
+      if (s < best) { best = s; bestCell = cell }
+      mIdx += 1
+    }
+    bestCell
+  }
+
   /** Per-cell (round₆(c²_j − 2·⟨v,c_j⟩), ⟨v,c_j⟩) score table —
     * [[CellScores]]' scan. Same widening/summation/round discipline
     * as [[nearest]]; the raw dot rides along because the probe path
@@ -289,5 +345,82 @@ case class CellScores(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): CellScores =
+    copy(child = newChild)
+}
+
+/** Hierarchical (two-level) nearest-cell assignment — the executable
+  * form of the autoCells scaladoc's "past wide cell counts, go
+  * hierarchical": stage 1 argmins over ~√k GROUP centroids, stage 2
+  * argmins over the winning group's member cells only, cutting the
+  * per-row coding cost from O(k) to O(√k). At the √n reindex rule
+  * that turns the full re-code pass from O(n·√n) into O(n·n^¼) — the
+  * r18 10,000× board's one super-linear growth law, removed.
+  *
+  * SEMANTICS, not an approximation of [[NearestCell]]: the index's
+  * assignment function IS this deterministic two-level rule when the
+  * cell count exceeds Similarity.TwoLevelThreshold (a vector whose
+  * globally-nearest cell lives outside its nearest GROUP lands in the
+  * best cell of its group — standard coarse-quantizer behavior, cf.
+  * the inverted-multi-index family). Both engines replay the same
+  * rule: the grouping is a deterministic driver-side function of the
+  * centroid table (Similarity.groupCells), so the oracle SQL rebuilds
+  * the identical (groupCents, members) literals from the stashed
+  * centroids. Same round₆/strict-< discipline as [[NearestCell]] in
+  * both stages; members ascend by global id so in-group ties keep the
+  * lowest-id policy. Group/member/centroid tables ride
+  * `ctx.addReferenceObj`; IndexedSeq fields for CSE canonicalization
+  * (the ClassifierMargin lesson). */
+case class TwoLevelCell(child: Expression,
+                        groupCents: IndexedSeq[IndexedSeq[Double]],
+                        members: IndexedSeq[IndexedSeq[Int]],
+                        cents: IndexedSeq[IndexedSeq[Double]],
+                        replayExact: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "two_level_cell"
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"two_level_cell requires an array<float|double> child, got $other")
+  }
+
+  @transient private lazy val gArr: Array[Array[Double]] =
+    groupCents.map(_.toArray).toArray
+  @transient private lazy val g2Arr: Array[Double] =
+    gArr.map(c => c.map(x => x * x).sum)
+  @transient private lazy val memArr: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val c2Arr: Array[Double] =
+    centArr.map(c => c.map(x => x * x).sum)
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellUtil.twoLevelNearest(v.asInstanceOf[ArrayData],
+      elemType == FloatType, gArr, g2Arr, memArr, centArr, c2Arr,
+      replayExact)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gRef = ctx.addReferenceObj("gcents", gArr, "double[][]")
+    val g2Ref = ctx.addReferenceObj("g2s", g2Arr, "double[]")
+    val mRef = ctx.addReferenceObj("members", memArr, "int[][]")
+    val cRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2s", c2Arr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.NearestCellUtil.twoLevelNearest(
+         |  $v, ${elemType == FloatType}, $gRef, $g2Ref, $mRef, $cRef, $c2Ref, $replayExact);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelCell =
     copy(child = newChild)
 }

@@ -397,6 +397,39 @@ object LlmData {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY id1, id2""".stripMargin
 
+  /** ALT (volume-tractable) twin of [[simhashNeardupSql]] for N×
+    * campaigns (r19): the canonical all-pairs scan is O(n²) — 2.5e13
+    * comparisons at 1000× — but the result set is IDENTICAL to the
+    * Manku block-bucket join the Spark plan runs: at hamming ≤ 3
+    * over 4 16-bit blocks, pigeonhole guarantees some block is
+    * untouched, so every qualifying pair shares ≥1 exact block key.
+    * The ALT replays exactly that: per-block bucket equi-join →
+    * hamming filter BEFORE the distinct (the filter is per-row cheap;
+    * deduping the ≤4× multiplicity afterward touches only true
+    * pairs). Same algebra, not an approximation — validated
+    * bit-identical to the canonical at sf0.01 by the campaign
+    * tooling. */
+  private val simhashNeardupAltSql =
+    s"""$simhashCtes,
+      |blocks AS (
+      |  SELECT doc_id, simhash, sh, unnest(generate_series(0, 3)) AS blk
+      |  FROM signed
+      |),
+      |keyed AS (
+      |  SELECT doc_id, simhash, blk,
+      |    CAST((sh // CAST(POWER(2, blk * 16) AS HUGEINT)) % 65536 AS BIGINT)
+      |      AS bkey
+      |  FROM blocks
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |  FROM keyed a JOIN keyed b
+      |    ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |)
+      |SELECT id1, id2, hamming FROM cand ORDER BY id1, id2""".stripMargin
+
   // ------------------------------------------------- d_neardup_venn
   // Near-dup DETECTOR AGREEMENT report — the diagnostic a curation
   // run reads before picking thresholds: the pair-level Venn of the
@@ -788,7 +821,8 @@ object LlmData {
     "d_embedding_neardup_s" -> embNearDupSAltSql,
     "d_semdedup" -> semDedupAltSql,
     "s_knn_degree" -> knnDegreeAltSql,
-    "d_substr_long" -> substrLongAltSql) ++
+    "d_substr_long" -> substrLongAltSql,
+    "d_simhash_neardup" -> simhashNeardupAltSql) ++
     // the reindexed-search ALT interpolates the SAME stashed
     // re-trained centroids + residual books as the generic replay
     // (populated when the query ran — Verify dumps oracles after
@@ -797,18 +831,36 @@ object LlmData {
     ((reindexCents.values.toList, residBooksStash.values.toList) match {
       case (rc :: Nil, b :: Nil) =>
         Map("s_reindex_topk" -> ivfPqTopKAltSql(rc, b))
-      case _ => Map.empty[String, String]
+      case (rcs, bs) =>
+        // r18 advice: a silently-suppressed ALT sends the N× sweep to
+        // the generic oracle that is KNOWN to exceed budget at volume
+        // — name the suppression so the resulting TIMEOUT/ERROR reads
+        // back to its cause
+        if (rcs.size > 1 || bs.size > 1)
+          System.err.println("[oracleAlt] s_reindex_topk ALT SUPPRESSED: " +
+            s"ambiguous stash (${rcs.size} reindex trainings, " +
+            s"${bs.size} residual books in this JVM) — the sweep will " +
+            "fall back to the generic replay")
+        Map.empty[String, String]
     }) ++
     // val-bucket-first replay of the quality-composite validation:
     // same interpolated fit, documents scan pre-filtered to vb=0
     // (see classifierValQSql's src note) — the generic replay's
     // exploded token join over ALL docs drove a DuckDB temp spill
     // past the disk at 100× under campaign load
-    (classifierValQStash.values.toList match {
-      case f :: Nil => Map("t_classifier_val_q" -> classifierValQSql(f,
-        "(SELECT * FROM documents WHERE TRY_CAST('0x' || " +
-        "substr(md5('cvsplit:' || text), 1, 15) AS BIGINT) % 5 = 0)"))
-      case _ => Map.empty[String, String]
+    ((classifierValQStash.values.toList,
+        classifierValQCutStash.values.toList) match {
+      case (f :: Nil, c :: Nil) =>
+        Map("t_classifier_val_q" -> classifierValQSql(f, c,
+          "(SELECT * FROM documents WHERE TRY_CAST('0x' || " +
+          "substr(md5('cvsplit:' || text), 1, 15) AS BIGINT) % 5 = 0)"))
+      case (fs, cs) =>
+        if (fs.size > 1 || cs.size > 1)
+          System.err.println("[oracleAlt] t_classifier_val_q ALT " +
+            s"SUPPRESSED: ambiguous stash (${fs.size} fits, ${cs.size} " +
+            "cuts in this JVM) — the sweep will fall back to the " +
+            "generic all-docs replay")
+        Map.empty[String, String]
     })
 
   // ------------------------------------------------------ s_knn_degree
@@ -1843,23 +1895,80 @@ object LlmData {
       s"""SELECT s.cell AS cell, unnest(s.v) AS c,
          |        unnest(generate_series(1, ${cents(0).length})) AS i
          |        FROM (SELECT unnest([$centList]) AS s)""".stripMargin
-    s"""cellc AS ($centCtes),
-       |cellsq AS (SELECT cell, SUM(c*c) AS c2 FROM cellc GROUP BY cell),
-       |celld AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
-       |          FROM flat f JOIN cellc ct ON f.i = ct.i
-       |          GROUP BY f.vec_id, ct.cell),
-       |cellassign AS (SELECT vec_id, cell FROM (
-       |            SELECT d.vec_id, d.cell,
-       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
-       |            FROM celld d JOIN cellsq cq USING (cell)) WHERE r = 1),
-       |proberanks AS (SELECT d.vec_id AS qid, d.cell,
-       |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
-       |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS prnk
-       |            FROM celld d JOIN cellsq cq USING (cell)
-       |            WHERE d.vec_id < 10),
-       |qcdots AS (SELECT vec_id AS qid, cell, dc FROM celld
-       |           WHERE vec_id < 10)""".stripMargin
+    if (cents.length <= Similarity.TwoLevelThreshold)
+      s"""cellc AS ($centCtes),
+         |cellsq AS (SELECT cell, SUM(c*c) AS c2 FROM cellc GROUP BY cell),
+         |celld AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+         |          FROM flat f JOIN cellc ct ON f.i = ct.i
+         |          GROUP BY f.vec_id, ct.cell),
+         |cellassign AS (SELECT vec_id, cell FROM (
+         |            SELECT d.vec_id, d.cell,
+         |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
+         |            FROM celld d JOIN cellsq cq USING (cell)) WHERE r = 1),
+         |proberanks AS (SELECT d.vec_id AS qid, d.cell,
+         |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS prnk
+         |            FROM celld d JOIN cellsq cq USING (cell)
+         |            WHERE d.vec_id < 10),
+         |qcdots AS (SELECT vec_id AS qid, cell, dc FROM celld
+         |           WHERE vec_id < 10)""".stripMargin
+    else {
+      // r19 TWO-LEVEL branch (cells > Similarity.TwoLevelThreshold —
+      // the reindex oracle): cellassign replays the hierarchical rule
+      // the engine's TwoLevelCell kernel computes — group argmin over
+      // the ⌈√k⌉ grouping literals (Similarity.groupCells on the SAME
+      // stashed centroids, so both engines see identical doubles),
+      // then the cell argmin restricted to the winning group's
+      // members. celld (all cells) survives for the QUERY side only
+      // (proberanks/qcdots rank every cell — |Q|-bounded), which also
+      // cuts this replay's heaviest intermediate from n·k to
+      // n·(√k + k/√k) join tuples.
+      val (gc, members) = Similarity.groupCells(cents)
+      val gList = gc.zipWithIndex.map { case (c, j) =>
+        s"{'grp': $j, 'v': [${c.map(x => f"$x%.17e").mkString(",")}]}"
+      }.mkString(",\n")
+      val memPairs = members.zipWithIndex.flatMap { case (mem, j) =>
+        mem.map(cell => s"($cell, $j)")
+      }.mkString(",\n")
+      s"""cellc AS ($centCtes),
+         |cellsq AS (SELECT cell, SUM(c*c) AS c2 FROM cellc GROUP BY cell),
+         |gcellc AS (SELECT s.grp AS grp, unnest(s.v) AS c,
+         |        unnest(generate_series(1, ${cents(0).length})) AS i
+         |        FROM (SELECT unnest([$gList]) AS s)),
+         |gcellsq AS (SELECT grp, SUM(c*c) AS g2 FROM gcellc GROUP BY grp),
+         |gcelld AS (SELECT f.vec_id, gt.grp, SUM(f.x * gt.c) AS dc
+         |           FROM flat f JOIN gcellc gt ON f.i = gt.i
+         |           GROUP BY f.vec_id, gt.grp),
+         |gassign AS (SELECT vec_id, grp FROM (
+         |            SELECT d.vec_id, d.grp,
+         |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                ORDER BY ROUND(gq.g2 - 2*d.dc, 6) ASC, d.grp ASC) AS r
+         |            FROM gcelld d JOIN gcellsq gq USING (grp)) WHERE r = 1),
+         |cellgrp(cell, grp) AS (VALUES $memPairs),
+         |celldm AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+         |           FROM flat f
+         |           JOIN gassign ga ON ga.vec_id = f.vec_id
+         |           JOIN cellgrp cg ON cg.grp = ga.grp
+         |           JOIN cellc ct ON ct.cell = cg.cell AND f.i = ct.i
+         |           GROUP BY f.vec_id, ct.cell),
+         |cellassign AS (SELECT vec_id, cell FROM (
+         |            SELECT d.vec_id, d.cell,
+         |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS r
+         |            FROM celldm d JOIN cellsq cq USING (cell)) WHERE r = 1),
+         |celld AS (SELECT f.vec_id, ct.cell, SUM(f.x * ct.c) AS dc
+         |          FROM flat f JOIN cellc ct ON f.i = ct.i
+         |          WHERE f.vec_id < 10
+         |          GROUP BY f.vec_id, ct.cell),
+         |proberanks AS (SELECT d.vec_id AS qid, d.cell,
+         |              ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |                ORDER BY ROUND(cq.c2 - 2*d.dc, 6) ASC, d.cell ASC) AS prnk
+         |            FROM celld d JOIN cellsq cq USING (cell)
+         |            WHERE d.vec_id < 10),
+         |qcdots AS (SELECT vec_id AS qid, cell, dc FROM celld
+         |           WHERE vec_id < 10)""".stripMargin
+    }
   }
 
   private def ivfPqCtes(cents: Array[Array[Double]],
@@ -1950,6 +2059,51 @@ object LlmData {
       (om, m) <- oc.zipWithIndex
       (o, j) <- om.zipWithIndex
     } yield f"{'cell': $cell, 'm': $m, 'j': $j, 'o': $o%.17e}").mkString(",\n")
+    // r19: cellassign replays the engine's assignment RULE for this
+    // cell count — two-level (group argmin over the groupCells
+    // literals, then the member-restricted cell argmin) past
+    // Similarity.TwoLevelThreshold, flat argmin at-or-under it. The
+    // two-level form is also the cheaper replay: √k + k/√k terms per
+    // row instead of k.
+    val cellAssignCte =
+      if (cents.length <= Similarity.TwoLevelThreshold)
+        s"""cellassign AS (SELECT a.vec_id,
+           |                 (list_min(list_transform(c0.cl, s ->
+           |                    {'s': ROUND(q.csq[s.cell+1]
+           |                            - 2*list_inner_product(a.e, s.v), 6),
+           |                     'cell': s.cell}))).cell AS cell
+           |               FROM v a, cents0 c0, csql q),""".stripMargin
+      else {
+        val (gc, members) = Similarity.groupCells(cents)
+        val gList = gc.zipWithIndex.map { case (c, j) =>
+          s"{'grp': $j, 'v': [${c.map(x => f"$x%.17e").mkString(",")}]}"
+        }.mkString(",\n")
+        // per-group member sublists carrying each member's GLOBAL cell
+        // id and centroid — indexed by the assigned group (grp+1)
+        val memList = members.map { mem =>
+          "[" + mem.map { cell =>
+            s"{'cell': $cell, 'v': [${cents(cell).map(x => f"$x%.17e").mkString(",")}]}"
+          }.mkString(",\n") + "]"
+        }.mkString(",\n")
+        s"""gcents0 AS (SELECT [$gList] AS gl),
+           |gsql AS (SELECT list_transform(gl,
+           |            s -> list_sum(list_transform(s.v, x -> x*x))) AS gsq
+           |         FROM gcents0),
+           |gassign AS (SELECT a.vec_id,
+           |              (list_min(list_transform(g0.gl, s ->
+           |                 {'s': ROUND(gq.gsq[s.grp+1]
+           |                         - 2*list_inner_product(a.e, s.v), 6),
+           |                  'grp': s.grp}))).grp AS grp
+           |            FROM v a, gcents0 g0, gsql gq),
+           |mem0 AS (SELECT [$memList] AS ml),
+           |cellassign AS (SELECT a.vec_id,
+           |                 (list_min(list_transform(m0.ml[ga.grp+1], s ->
+           |                    {'s': ROUND(q.csq[s.cell+1]
+           |                            - 2*list_inner_product(a.e, s.v), 6),
+           |                     'cell': s.cell}))).cell AS cell
+           |               FROM v a JOIN gassign ga ON ga.vec_id = a.vec_id,
+           |                    mem0 m0, csql q),""".stripMargin
+      }
     s"""WITH v AS (SELECT vec_id,
        |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
@@ -1974,12 +2128,7 @@ object LlmData {
        |                 ORDER BY s ASC, cell ASC) AS prnk FROM qdist),
        |probes AS (SELECT qid, cell FROM proberanks WHERE prnk <= $nprobe),
        |pcells AS (SELECT DISTINCT cell FROM probes),
-       |cellassign AS (SELECT a.vec_id,
-       |                 (list_min(list_transform(c0.cl, s ->
-       |                    {'s': ROUND(q.csq[s.cell+1]
-       |                            - 2*list_inner_product(a.e, s.v), 6),
-       |                     'cell': s.cell}))).cell AS cell
-       |               FROM v a, cents0 c0, csql q),
+       |$cellAssignCte
        |members AS (SELECT ca.vec_id, ca.cell, a.e
        |            FROM cellassign ca JOIN pcells USING (cell)
        |            JOIN v a ON a.vec_id = ca.vec_id),
@@ -2600,11 +2749,15 @@ object LlmData {
     def build = {
       val docs = Tables.documents(s, d).withColumn("_lbl",
         graft.operators.Classifier.langAgreeLabel(col("text"), col("lang")))
-      // trainMod: auto on the PRE-split corpus count (footer-only;
-      // the 80% train side stays under the cap's order of magnitude)
-      graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
+      // trainMod: auto on the TRAIN-side count (r19, r18 advice —
+      // the pre-split count engaged the sampler when n just cleared
+      // 2^23 even though the 80% train frame was still under the cap,
+      // discarding training data; S=1 at every committed proof scale
+      // either way, so no published weight moved)
+      val trainDocs = docs.filter(valBucket =!= 0)
+      graft.operators.Classifier.fit(trainDocs,
         "doc_id", "text", "_lbl", d = classifierD, epochs = 16, lr = 8.0,
-        trainMod = graft.operators.Classifier.autoTrainMod(docs.count()),
+        trainMod = graft.operators.Classifier.autoTrainMod(trainDocs.count()),
         bigrams = true)
     }
     mhKey(s, d) match {
@@ -2836,9 +2989,11 @@ object LlmData {
   private def trainClassifierValQ(s: SparkSession, d: String): graft.operators.Classifier.Fit = {
     def build = {
       val docs = Tables.documents(s, d).withColumn("_lbl", qcLabel)
-      graft.operators.Classifier.fit(docs.filter(valBucket =!= 0),
+      // train-side autoTrainMod — same r19 fix as trainClassifierVal
+      val trainDocs = docs.filter(valBucket =!= 0)
+      graft.operators.Classifier.fit(trainDocs,
         "doc_id", "text", "_lbl", d = classifierD, epochs = 16, lr = 8.0,
-        trainMod = graft.operators.Classifier.autoTrainMod(docs.count()),
+        trainMod = graft.operators.Classifier.autoTrainMod(trainDocs.count()),
         bigrams = false, featsCol = Some(qcToks))
     }
     mhKey(s, d) match {
@@ -2847,8 +3002,31 @@ object LlmData {
     }
   }
 
+  // the calibrated operating cut for the quality-composite gate
+  // (r19 — the t_classifier_val discipline carried to the seed whose
+  // floor the task actually supports): chosen on TRAIN only,
+  // interpolated into the oracle as an integer-bucket literal
+  private val classifierValQCutStash =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  graft.operators.Dedup.onClearStore(() => classifierValQCutStash.clear())
+
+  private def trainClassifierValQCut(s: SparkSession, d: String): Long = {
+    def build = {
+      val fit = trainClassifierValQ(s, d)
+      val logit = T.classifierLogit(qcToks, fit.weightSeq, fit.bias)
+      graft.operators.Classifier.calibrateCut(
+        Tables.documents(s, d).filter(valBucket =!= 0)
+          .select(logit.as("m"), qcLabel.as("y")), "m", "y")
+    }
+    mhKey(s, d) match {
+      case Some(k) => classifierValQCutStash.getOrElseUpdate(k, build)
+      case None => build
+    }
+  }
+
   private val classifierValQ: Q = (s, d) => {
     val fit = trainClassifierValQ(s, d)
+    val cut = trainClassifierValQCut(s, d)
     val logit = T.classifierLogit(qcToks, fit.weightSeq, fit.bias)
     val v = Tables.documents(s, d)
       .filter(valBucket === 0)
@@ -2860,6 +3038,11 @@ object LlmData {
       .agg(count(lit(1)).as("n_val"),
         sum(when((col("lg") >= 0.0d) === (col("lbl") === 1L), 1L)
           .otherwise(0L)).as("n_correct"),
+        // the CALIBRATED decision (integer-space, hash-exact): keep
+        // iff floor(margin·10) ≥ the train-side cut
+        sum(when((floor(col("lg") * 10.0d).cast("long") >= cut)
+            === (col("lbl") === 1L), 1L)
+          .otherwise(0L)).as("n_cut_correct"),
         sum(col("lbl")).as("n_pos"))
     // AUC rank-sum over the margin-frequency frame — the
     // t_classifier_val machinery verbatim (ShardedWindow prefix sum,
@@ -2879,8 +3062,18 @@ object LlmData {
       .select(col("source"), col("n_val"), col("n_correct"),
         (col("n_correct").cast("double") / col("n_val").cast("double"))
           .as("accuracy"),
+        lit(cut).as("cut_bucket"),
+        (col("n_cut_correct").cast("double") / col("n_val").cast("double"))
+          .as("cut_accuracy"),
         (greatest(col("n_pos"), col("n_val") - col("n_pos")).cast("double")
           / col("n_val").cast("double")).as("base_rate"),
+        // the calibrated cut must at least match the majority-class
+        // guesser on unseen docs — exact integer compare (the
+        // t_classifier_val gate verdict, now on the supported seed)
+        when(col("n_cut_correct").cast("double") >=
+            greatest(col("n_pos"), col("n_val") - col("n_pos"))
+              .cast("double"), 1L)
+          .otherwise(0L).as("cut_beats_base"),
         when(col("tp") * col("tn") > 0L,
           col("contrib") / (col("tp").cast("double") * col("tn").cast("double")))
           .as("auc"),
@@ -2912,6 +3105,7 @@ object LlmData {
     * cutting the exploded token join — the DuckDB spill driver at
     * N×-volume — by the split factor). */
   private def classifierValQSql(fit: graft.operators.Classifier.Fit,
+                                cut: Long,
                                 src: String = "documents"): String =
     s"""WITH n AS (SELECT doc_id, source, text,
        |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -2969,6 +3163,8 @@ object LlmData {
        |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_val,
        |         CAST(SUM(CASE WHEN (logit >= 0) = (y = 1)
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |         CAST(SUM(CASE WHEN (CAST(FLOOR(logit * 10) AS BIGINT) >= $cut)
+       |           = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_correct,
        |         CAST(SUM(y) AS BIGINT) AS n_pos
        |        FROM v2 GROUP BY source),
        |mf AS (SELECT source, logit AS m, CAST(SUM(y) AS BIGINT) AS np,
@@ -2984,8 +3180,14 @@ object LlmData {
        |         FROM cum GROUP BY source)
        |SELECT a.source, a.n_val, a.n_correct,
        |  CAST(a.n_correct AS DOUBLE) / CAST(a.n_val AS DOUBLE) AS accuracy,
+       |  CAST($cut AS BIGINT) AS cut_bucket,
+       |  CAST(a.n_cut_correct AS DOUBLE) / CAST(a.n_val AS DOUBLE)
+       |    AS cut_accuracy,
        |  CAST(GREATEST(a.n_pos, a.n_val - a.n_pos) AS DOUBLE)
        |    / CAST(a.n_val AS DOUBLE) AS base_rate,
+       |  CAST(CASE WHEN CAST(a.n_cut_correct AS DOUBLE)
+       |    >= CAST(GREATEST(a.n_pos, a.n_val - a.n_pos) AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS cut_beats_base,
        |  CASE WHEN u.tp * u.tn > 0
        |    THEN u.contrib / (CAST(u.tp AS DOUBLE) * CAST(u.tn AS DOUBLE))
        |    END AS auc,
@@ -3675,7 +3877,8 @@ object LlmData {
   private def attachVideoPayload(s: SparkSession, d: String,
                                  fourcc: String = "PNG ",
                                  imgFormat: String = "png",
-                                 gradient: Boolean = false) = {
+                                 gradient: Boolean = false,
+                                 vertical: Boolean = false) = {
     import org.apache.spark.sql.{Dataset, Encoders}
     val ids: Dataset[Long] = Tables.documents(s, d)
       .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
@@ -3708,7 +3911,13 @@ object LlmData {
               // mean is CLOSED-FORM (g%64 + slope·(w−1)/2) — pins the
               // lossy decode on spatial content, not just the DC of a
               // flat field
-              val v = if (gradient) (g % 64) + (id % 3 + 1).toInt * x else g
+              // vertical mode (r19): slope runs along y — the row-stride
+              // twin of the horizontal ramp (max 63 + 3·30 < 255, still
+              // clip-free); mean = g%64 + slope·(h−1)/2
+              val v =
+                if (gradient && vertical) (g % 64) + (id % 3 + 1).toInt * y
+                else if (gradient) (g % 64) + (id % 3 + 1).toInt * x
+                else g
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }
@@ -3845,6 +4054,30 @@ object LlmData {
       | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------ m_video_mjpeg_gradv
+  // The VERTICAL-ramp twin (r19 — the r18 stretch): v = g%64 +
+  // slope·y, mean = g%64 + slope·(h−1)/2. The horizontal ramp pins
+  // column walks (stride-by-x bugs); a vertical slope catches
+  // row-stride bugs symmetrically — a decoder that drops/duplicates
+  // raster ROWS shifts this mean while leaving the horizontal key in
+  // band. Same ±3 banded verdict, same literal-TRUE oracle.
+  private val videoMjpegGradV: Q = (s, d) => {
+    val media = attachVideoPayload(s, d, fourcc = "MJPG", imgFormat = "jpg",
+      gradient = true, vertical = true)
+    val meta = Multimodal.decodeVideo(media).toDF()
+      .select(col("doc_id"), col("fps_q"), col("duration_ms"))
+    val g0 = ((col("doc_id") * 11 + col("frame_idx") * 31) % 256) % 64
+    val meanTrue = g0.cast("double") +
+      (col("doc_id") % 3 + 1).cast("double") *
+        (col("height") - 1).cast("double") / 2.0d
+    Multimodal.frameSampleReal(media, stride = 2).toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"),
+        (abs(col("mean_byte") - meanTrue) <= 3.0).as("in_band"))
+      .join(meta, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+  }
 
   // ------------------------------------------------- m_frame_dup
   // CROSS-MODAL real-pixel dedup UNDER THE ORACLE (the r15 stretch
@@ -4816,6 +5049,7 @@ object LlmData {
     "m_video_real" -> videoReal,
     "m_video_mjpeg" -> videoMjpeg,
     "m_video_mjpeg_grad" -> videoMjpegGrad,
+    "m_video_mjpeg_gradv" -> videoMjpegGradV,
     "m_frame_dup" -> frameDup,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
@@ -4942,11 +5176,13 @@ object LlmData {
       case (f :: Nil, c :: Nil) =>
         Map("t_classifier_val" -> classifierValSql(f, c))
       case _ => Map.empty[String, String]
-    }) ++ (classifierValQStash.values.toList match {
+    }) ++ ((classifierValQStash.values.toList,
+        classifierValQCutStash.values.toList) match {
       // the quality-composite-seed validation replay interpolates its
-      // own train-split fit (word+stat-token stream)
-      case f :: Nil =>
-        Map("t_classifier_val_q" -> classifierValQSql(f))
+      // own train-split fit (word+stat-token stream) plus the
+      // train-calibrated integer cut (r19)
+      case (f :: Nil, c :: Nil) =>
+        Map("t_classifier_val_q" -> classifierValQSql(f, c))
       case _ => Map.empty[String, String]
     })
 
@@ -4996,6 +5232,7 @@ object LlmData {
     "m_video_real" -> videoRealSql,
     "m_video_mjpeg" -> videoMjpegSql,
     "m_video_mjpeg_grad" -> videoMjpegSql,
+    "m_video_mjpeg_gradv" -> videoMjpegSql,
     "m_frame_dup" -> frameDupSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,

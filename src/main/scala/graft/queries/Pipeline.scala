@@ -1098,14 +1098,25 @@ object Pipeline {
       .option("pathGlobFilter", "*.parquet")
       .parquet(streamDir)
     val name = "graft_stream_sessions"
+    // r19: PARQUET sink, not memory — the memory sink collects every
+    // emitted session onto the driver (fine at gate scale; ~80M rows
+    // at 1000× blew spark.driver.maxResultSize, then the heap). A
+    // file sink keeps the emission distributed at ANY volume — the
+    // posture every 100-TB streaming job needs — and the read-back is
+    // a plain scan; rows are identical, so the batch oracle is
+    // untouched.
+    val sinkDir = s"$streamDir/_sessions_out"
     val q = graft.streaming.StreamingPipeline
       .sessionize(stream, gapMs = gapMs, watermark = "30 minutes")
-      .writeStream.format("memory").queryName(name)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$streamDir/_sessions_ckpt")
+      .queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val wSeq = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("start_ms")
-    s.table(name)
+    s.read.parquet(sinkDir)
       .filter(col("start_ms") < sentinelMs)
       .withColumn("session_seq", row_number().over(wSeq).cast("long"))
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")

@@ -276,4 +276,87 @@ class SaltingAndIvfSpec extends SparkSpec {
       .filter(col("k") =!= col("a")).count()
     assert(mism == 0L, "CellScores/algebra mismatch")
   }
+
+  test("groupCells: deterministic partition of the cell table — " +
+       "ascending members, no empty groups, stable across calls") {
+    val dim = 16
+    def vec(seed: Long): Array[Double] = {
+      var st = seed
+      Array.fill(dim) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 40).toInt % 1000) / 500.0 - 1.0
+      }
+    }
+    val cents = (0 until 90).map(j => vec(5000L + j)).toArray
+    val (gc, members) = Similarity.groupCells(cents)
+    val (gc2, members2) = Similarity.groupCells(cents)
+    assert(gc.map(_.toSeq).toSeq == gc2.map(_.toSeq).toSeq &&
+      members.map(_.toSeq).toSeq == members2.map(_.toSeq).toSeq,
+      "groupCells is not deterministic")
+    assert(members.forall(_.nonEmpty), "empty group survived the drop")
+    assert(members.forall(m => m.sameElements(m.sorted)),
+      "member lists must ascend by global cell id (the in-group tie policy)")
+    assert(members.flatMap(_.toSeq).sorted.toSeq == cents.indices.toSeq,
+      "members must partition the cell table exactly")
+    assert(gc.length == members.length && gc.length <= math.ceil(
+      math.sqrt(cents.length.toDouble)).toInt)
+  }
+
+  test("TwoLevelCell kernel == composed group-then-restricted flat argmin " +
+       "(both replay modes, incl. tie geometry)") {
+    // the two-level SEMANTICS pin: stage 1 must equal a flat
+    // NearestCell over the group centroids, stage 2 a flat
+    // NearestCell over the winning group's member centroids with the
+    // local winner mapped back to its global id — composed from the
+    // already-parity-pinned kernel, so the chain back to the literal
+    // algebra is closed
+    val dim = 16
+    def vecF(seed: Long): Array[Float] = {
+      var st = seed
+      Array.fill(dim) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 40).toInt % 1000) / 500.0f - 1.0f
+      }
+    }
+    val rows = (0L until 400L).map(i => (i, vecF(i))) ++
+      Seq((400L, Array.fill(dim)(0.0f)))               // tie row
+    val df = rows.toDF("id", "v")
+    val cents: Array[Array[Double]] =
+      (0 until 60).map(j => vecF(9000L + j).map(_.toDouble)).toArray ++
+        Array(Array.fill(dim)(0.5d), Array.fill(dim)(-0.5d)) // mirror pair
+    val (gc, members) = Similarity.groupCells(cents)
+    for (exact <- Seq(true, false)) {
+      val kernel = graft.functions.VectorFunctions.twoLevelCell(
+        col("v"), gc.toSeq.map(_.toSeq), members.toSeq.map(_.toSeq),
+        cents.toSeq.map(_.toSeq), replayExact = exact)
+      val grpExpr = graft.functions.VectorFunctions.nearestCell(
+        col("v"), gc.toSeq.map(_.toSeq), replayExact = exact)
+      // composed reference: per group, the flat argmin over member
+      // centroids mapped to global ids, selected by the group argmin
+      val composed = members.indices.foldLeft(lit(-1)) { (acc, g) =>
+        val local = graft.functions.VectorFunctions.nearestCell(
+          col("v"), members(g).map(c => cents(c).toSeq).toSeq,
+          replayExact = exact)
+        val globalId = element_at(
+          array(members(g).map(lit): _*), local + 1)
+        when(grpExpr === g, globalId).otherwise(acc)
+      }
+      val mism = df.select(kernel.as("k"), composed.as("a"))
+        .filter(col("k") =!= col("a")).count()
+      assert(mism == 0L, s"TwoLevelCell/composed mismatch (replayExact=$exact)")
+    }
+  }
+
+  test("boundedTrainMod: identity through the ≤100× proof scales, caps past them") {
+    import Similarity.boundedTrainMod
+    // the gate scales: sf0.01 reindex (n=2000, k=45) and 100×
+    // (n=200k, k=448) keep the base mod — no published training moved
+    assert(boundedTrainMod(2000L, 45, 5) == 5)
+    assert(boundedTrainMod(200000L, 448, 5) == 5)
+    // the bound engages at the campaign decades
+    assert(boundedTrainMod(2000000L, 1415, 5) == 6)    // 1000×
+    assert(boundedTrainMod(20000000L, 4473, 5) == 18)  // 10,000×
+    // sample stays ~perCell·k as n grows at fixed k
+    assert(boundedTrainMod(1L << 30, 1000, 5) == 4195)
+  }
 }

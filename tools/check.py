@@ -7,7 +7,7 @@ names, and exact values (sorted by all columns, column-name order).
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
 """
-import json, math, sys, subprocess, glob, os
+import json, math, re, sys, subprocess, glob, os
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -24,6 +24,13 @@ timeout = next((float(a.split("=", 1)[1]) for a in args
 # spilling — a silent ERROR in the sweep, not a TIMEOUT.
 mem = next((a.split("=", 1)[1] for a in args
             if a.startswith("--mem=")), None)
+# validate BEFORE the per-key loop: a malformed value (e.g. "40G B",
+# a stray quote) otherwise crashes inside SET memory_limit with a
+# DuckDB traceback per key, far from its cause (r18 advice)
+if mem is not None and not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B",
+                                        mem.strip()):
+    sys.exit(f"config error: --mem={mem!r} is not a DuckDB memory "
+             "size (expected e.g. 40GB, 1.5GiB)")
 # --threads=N: DuckDB core cap (campaign sweeps run beside Spark
 # dumps; uncapped DuckDB grabs every core)
 threads = next((a.split("=", 1)[1] for a in args
@@ -38,6 +45,11 @@ if not skip:
 
 import duckdb
 con = duckdb.connect()
+# per-process spill dir: concurrent sweeps sharing the cwd-relative
+# default ".tmp" delete each other's temp blocks mid-query (r19 —
+# p_queue_rotate failed on a vanished temp block while another lane's
+# DuckDB cleaned up)
+con.execute(f"SET temp_directory='/tmp/duckdb_tmp_{os.getpid()}'")
 if mem:
     con.execute(f"SET memory_limit='{mem}'")
 if threads:
@@ -70,6 +82,13 @@ if "--alts" in args and os.path.exists(f"{out}/oracle_alt.json"):
 # sf0.01, where the walk is cheap.
 CLOSURE = {"d_sem_clusters": "d_semdedup", "d_dup_clusters": "d_minhash_lsh"}
 
+# d_dedup_apply's oracle embeds the same recursive walk (its kept set
+# is "docs that are not a non-keeper cluster member") — at N× volume
+# derive the drop set from the SAME union-find over the pair oracle
+# and project the surviving corpus directly (r19; the canonical SQL
+# stays in oracle_sql.json for the sf0.01 driver gate).
+CLOSURE_APPLY = {"d_dedup_apply": "d_minhash_lsh"}
+
 class OracleTimeout(Exception):
     pass
 
@@ -88,8 +107,8 @@ def run_oracle(sql):
     finally:
         t.cancel()
 
-def closure_want(pair_key):
-    import pandas as pd
+def closure_find(pair_key):
+    """Union-find over the pair oracle's output; returns (find, nodes)."""
     pairs = run_oracle(oracle[pair_key])
     parent = {}
     def find(x):
@@ -104,8 +123,62 @@ def closure_want(pair_key):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # root stays the component MIN
     nodes = sorted(set(pairs["id1"].tolist()) | set(pairs["id2"].tolist()))
+    return find, nodes
+
+def closure_want(pair_key):
+    import pandas as pd
+    find, nodes = closure_find(pair_key)
     return pd.DataFrame({"id": nodes,
                          "cluster": [find(n) for n in nodes]}).astype("int64")
+
+def closure_apply_want(pair_key):
+    find, nodes = closure_find(pair_key)
+    drops = sorted(n for n in nodes if find(n) != n)
+    drop_list = ", ".join(str(d) for d in drops) or "NULL"
+    return con.execute(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        f"WHERE doc_id NOT IN ({drop_list}) ORDER BY doc_id").df()
+
+# Outputs past this row count skip the pandas value-by-value compare
+# (100M-row frames OOM/underspeed python) for a DuckDB-side multiset
+# hash: row count + SUM(hash(cols sorted by name)) on both sides,
+# with column names AND DuckDB types still compared via DESCRIBE —
+# the same count+typed-value-hash standard the driver gate applies,
+# exact up to 64-bit hash collisions (~1e-4 at 1e8 rows). (r19 — the
+# p_envelope key's 100M-row envelope frame at 1000×.)
+BIGHASH_ROWS = 5_000_000
+
+def bighash_verdict(name, pdir, sql):
+    gd = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+    wd = run_oracle(f"DESCRIBE ({sql})")
+    gt = dict(zip(gd["column_name"], gd["column_type"]))
+    wt = dict(zip(wd["column_name"], wd["column_type"]))
+    if sorted(gt) != sorted(wt):
+        return f"columns differ: spark={sorted(gt)} oracle={sorted(wt)}"
+    mism = [(c, gt[c], wt[c]) for c in sorted(gt) if gt[c] != wt[c]]
+    if mism:
+        return f"dtype differ: {mism}"
+    # float columns hash via (+0): -0.0 and 0.0 are == (the pandas
+    # path and the driver gate treat them equal) but hash differently
+    # bitwise; +0 canonicalizes -0.0 → 0.0 and passes NaN through
+    cols = ", ".join(
+        f'("{c}" + 0)' if gt[c] in ("DOUBLE", "FLOAT") else f'"{c}"'
+        for c in sorted(gt))
+    # the hash sum is HUGEINT — fetch as VARCHAR (pandas would coerce
+    # a HUGEINT column to float64 and silently lose low bits)
+    gn, gh = con.execute(
+        f"SELECT COUNT(*), CAST(SUM(hash({cols})) AS VARCHAR) "
+        f"FROM read_parquet('{pdir}/*.parquet')").fetchone()
+    row = run_oracle(
+        f"SELECT CAST(COUNT(*) AS VARCHAR) AS n, "
+        f"CAST(SUM(hash({cols})) AS VARCHAR) AS h FROM ({sql})")
+    wn, wh = row["n"].iloc[0], row["h"].iloc[0]
+    if int(gn) != int(wn):
+        return f"rowcount differ: spark={gn} oracle={wn}"
+    if str(gh) != str(wh):
+        return f"multiset hash differ over {gn} rows"
+    return None
 
 fails, passes, rows_only, timeouts = [], [], [], []
 names = only or sorted(os.listdir(out))
@@ -116,12 +189,28 @@ for name in names:
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
         fails.append((name, "no parquet written")); continue
+    nrows = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
+    if (nrows > BIGHASH_ROWS and name in oracle
+            and name not in CLOSURE and name not in CLOSURE_APPLY):
+        try:
+            bad = bighash_verdict(name, pdir, oracle[name])
+        except OracleTimeout as e:
+            timeouts.append((name, str(e))); continue
+        except Exception as e:
+            fails.append((name, f"oracle SQL error: {e}")); continue
+        print(f"BIGHASH: {name} rows={nrows} (count+typed-hash compare)")
+        if bad: fails.append((name, bad))
+        else: passes.append(name)
+        continue
     got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
     if name not in oracle:
         rows_only.append((name, len(got))); continue
     try:
         if name in CLOSURE:
             want = closure_want(CLOSURE[name])
+        elif name in CLOSURE_APPLY:
+            want = closure_apply_want(CLOSURE_APPLY[name])
         else:
             want = run_oracle(oracle[name])
     except OracleTimeout as e:
