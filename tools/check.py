@@ -89,6 +89,11 @@ CLOSURE = {"d_sem_clusters": "d_semdedup", "d_dup_clusters": "d_minhash_lsh"}
 # stays in oracle_sql.json for the sf0.01 driver gate).
 CLOSURE_APPLY = {"d_dedup_apply": "d_minhash_lsh"}
 
+# d_cluster_purity: same walk, different projection — clusters from
+# the union-find, then the per-cluster source-purity aggregation over
+# the documents table (the canonical SQL's cs/r stages verbatim).
+CLOSURE_PURITY = {"d_cluster_purity": "d_minhash_lsh"}
+
 class OracleTimeout(Exception):
     pass
 
@@ -138,6 +143,27 @@ def closure_apply_want(pair_key):
     return con.execute(
         "SELECT doc_id, lang, n_chars FROM documents "
         f"WHERE doc_id NOT IN ({drop_list}) ORDER BY doc_id").df()
+
+def closure_purity_want(pair_key):
+    import pandas as pd
+    find, nodes = closure_find(pair_key)
+    cl = pd.DataFrame({"id": nodes,
+                       "cluster": [find(n) for n in nodes]}).astype("int64")
+    con.register("walk_clusters", cl)
+    return con.execute("""
+        WITH cs AS (SELECT w.cluster, d.source, COUNT(*) AS c
+                    FROM walk_clusters w JOIN documents d ON d.doc_id = w.id
+                    GROUP BY w.cluster, d.source),
+        r AS (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY c DESC, source DESC) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_sources
+              FROM cs)
+        SELECT cluster, n_docs, n_sources, source AS top_source,
+         FLOOR(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS top_frac
+        FROM r WHERE rn = 1 ORDER BY cluster""").df()
 
 # Outputs past this row count skip the pandas value-by-value compare
 # (100M-row frames OOM/underspeed python) for a DuckDB-side multiset
@@ -192,7 +218,8 @@ for name in names:
     nrows = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{pdir}/*.parquet')").fetchone()[0]
     if (nrows > BIGHASH_ROWS and name in oracle
-            and name not in CLOSURE and name not in CLOSURE_APPLY):
+            and name not in CLOSURE and name not in CLOSURE_APPLY
+            and name not in CLOSURE_PURITY):
         try:
             bad = bighash_verdict(name, pdir, oracle[name])
         except OracleTimeout as e:
@@ -211,6 +238,8 @@ for name in names:
             want = closure_want(CLOSURE[name])
         elif name in CLOSURE_APPLY:
             want = closure_apply_want(CLOSURE_APPLY[name])
+        elif name in CLOSURE_PURITY:
+            want = closure_purity_want(CLOSURE_PURITY[name])
         else:
             want = run_oracle(oracle[name])
     except OracleTimeout as e:
