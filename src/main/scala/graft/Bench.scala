@@ -15,6 +15,12 @@ object Bench {
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // load disclosure (r19 verdict #6): the 1-minute system load at
+    // bench start, BEFORE this JVM adds its own — a board timed under
+    // campaign load (the r19 _store drift) is self-describing instead
+    // of needing a prose caveat. ≲ cpus/4 reads as idle at local[32].
+    val load1Start = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -133,7 +139,7 @@ object Bench {
       val (big, fast) = times.partition(_._2 >= cutoff)
       val qs = big.map { case (k, v) => "\"" + k + "\":" + s2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"n_window_nopart":$windowNoPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"queries":$qs,"n_fast":${fast.size},"fast_total":${s2(fast.map(_._2).sum)},"n_window_nopart":$windowNoPart,"load1_start":${s2(load1Start)},"sf":"$sfDir"}"""
     }
     // Adaptive cutoff: raise the per-query reporting threshold until
     // the line fits the driver's 2000-char stdout tail with headroom

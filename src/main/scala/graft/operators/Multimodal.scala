@@ -516,6 +516,66 @@ object Multimodal {
     }(Encoders.product[VideoFrame])
   }
 
+  case class VideoFrameMoments(doc_id: Long, n_frames: Int, frame_idx: Int,
+                               width: Int, height: Int, mean_byte: Double,
+                               slope_x: Double, slope_y: Double)
+
+  /** [[frameSampleReal]] plus FIRST MOMENTS of the decoded luminance
+    * along each raster axis: slope_x = cov(v, x)/var(x) and slope_y =
+    * cov(v, y)/var(y) over the decoded pixels (v = per-pixel channel
+    * mean; var(x) = (w²−1)/12 closed-form for the uniform grid). A
+    * pixel-multiset statistic like mean_byte is PERMUTATION-INVARIANT
+    * — a decode that transposes x/y (or otherwise re-orders the
+    * raster without dropping pixels) is invisible to it — while the
+    * first moments are order-sensitive: transposition maps
+    * (slope_x, slope_y) → (slope_y·var(y)/var(x)·…, swapped axes), so
+    * a ramp with distinct per-axis slopes pins the walk direction.
+    * Same row-local mapPartitions decode as frameSampleReal — one
+    * extra multiply-accumulate per pixel, no shuffle. */
+  def frameMomentsReal(media: Dataset[MediaRecord],
+                       stride: Int): Dataset[VideoFrameMoments] = {
+    require(stride > 0, s"frameMomentsReal: stride must be > 0, got $stride")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val avi = parseAvi(r.doc_id, r.payload)
+        val n = avi.frames.length
+        avi.frames.iterator.zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (bytes, idx) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null,
+              s"undecodable frame $idx payload for doc ${r.doc_id}")
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var sumX = 0L; var sumY = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val s3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                sum += s3; sumX += s3.toLong * x; sumY += s3.toLong * y
+                x += 1
+              }
+              y += 1
+            }
+            val np = w.toLong * h
+            val mean = if (np == 0) 0.0 else sum.toDouble / (3.0 * np)
+            def slope(mom: Long, dim: Int): Double =
+              if (dim <= 1 || np == 0) 0.0
+              else {
+                val cov = mom.toDouble / (3.0 * np) - mean * (dim - 1) / 2.0
+                cov / ((dim.toDouble * dim - 1) / 12.0)
+              }
+            VideoFrameMoments(r.doc_id, n, idx, w, h,
+              math.floor(mean * 100 + 0.5) / 100,
+              slope(sumX, w), slope(sumY, h))
+          }.toVector.iterator
+      }
+    }(Encoders.product[VideoFrameMoments])
+  }
+
   /** Audio chunking (stubbed demux) — frameSample's audio twin: an
     * "audio" doc yields one row per fixed-duration chunk (the window
     * shape ASR/feature pipelines consume), the last chunk truncated

@@ -375,6 +375,79 @@ object LlmData {
       |SELECT doc_id, simhash, CAST(sh % 65536 AS BIGINT) AS band16
       |FROM signed ORDER BY doc_id""".stripMargin
 
+  /** STAGED-FOLD twin of [[simhashCtes]] for N× campaigns (r20 — the
+    * r19 verdict's "chunked-fold ALT" branch): the canonical CTE
+    * pays the interpreted FNV-1a HUGEINT fold once per TOKEN
+    * INSTANCE (~400M at 1000×; >1800 s measured solo) and then
+    * explodes 64 bit-rows per instance (~25B rows). This twin is the
+    * SAME algebra restaged for a vectorized engine:
+    *  (1) fold only the DISTINCT vocabulary (zipf: ~100× fewer
+    *      folds), join hashes back to per-doc token counts;
+    *  (2) split the unsigned 64-bit hash into two BIGINT halves and
+    *      compute the 64 per-bit vote sums as 64 AGGREGATE COLUMNS
+    *      over cheap BIGINT shift/mask ops — one vectorized pass,
+    *      zero row explosion;
+    *  (3) reassemble the simhash from the 64 signs closed-form.
+    * Token multiplicity is preserved via the per-(doc, tok) count,
+    * so repeated tokens vote with their multiplicity exactly as
+    * SimHashUtil folds them. Validated hash-identical to the
+    * canonical form at sf0.01 by the campaign tooling. */
+  private val simhashCtesStaged: String = {
+    val votes = (0 until 64).map { b =>
+      val half = if (b < 32) "hlo" else "hhi"
+      val sh = b % 32
+      s"SUM(CASE WHEN (($half >> $sh) & 1) = 1 THEN c ELSE -c END) AS c$b"
+    }.mkString(",\n      ")
+    val assemble = (0 until 64).map { b =>
+      s"(CASE WHEN c$b > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(b)}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" +\n      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      |),
+      |vhash AS (
+      |  SELECT tok, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(1, octet_length(encode(tok))),
+      |        i -> TRY_CAST('0x' || substr(hex(encode(tok)), 2*i-1, 2) AS BIGINT)::HUGEINT)),
+      |    (h, b) -> (((h // 256) * 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |  ) AS h FROM (SELECT DISTINCT tok FROM toks)
+      |),
+      |dtok AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY doc_id, tok
+      |),
+      |dh AS (
+      |  SELECT d.doc_id,
+      |    CAST(v.h % 4294967296::HUGEINT AS BIGINT) AS hlo,
+      |    CAST(v.h // 4294967296::HUGEINT AS BIGINT) AS hhi,
+      |    d.c
+      |  FROM dtok d JOIN vhash v USING (tok)
+      |),
+      |counts AS (
+      |  SELECT doc_id,
+      |      $votes
+      |  FROM dh GROUP BY doc_id
+      |),
+      |sim AS (
+      |  SELECT doc_id,
+      |    $assemble AS sh
+      |  FROM counts
+      |),
+      |signed AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN sh >= 9223372036854775808::HUGEINT
+      |         THEN sh - 18446744073709551616::HUGEINT ELSE sh END AS BIGINT) AS simhash,
+      |    sh
+      |  FROM sim
+      |)""".stripMargin
+  }
+
+  private val simhashAltSql =
+    s"""$simhashCtesStaged
+      |SELECT doc_id, simhash, CAST(sh % 65536 AS BIGINT) AS band16
+      |FROM signed ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ d_simhash_neardup
   // SimHash hamming-ball near-dup pairs (Dedup.simhashNearDup — the
   // Manku WWW'07 block-split design): 4 16-bit blocks give the
@@ -408,9 +481,11 @@ object LlmData {
     * deduping the ≤4× multiplicity afterward touches only true
     * pairs). Same algebra, not an approximation — validated
     * bit-identical to the canonical at sf0.01 by the campaign
-    * tooling. */
+    * tooling. r20: rides [[simhashCtesStaged]] — the r19 block-bucket
+    * rewrite removed the JOIN wall but left the per-instance FNV fold
+    * (>1800 s solo at 5M docs); the staged fold removes that too. */
   private val simhashNeardupAltSql =
-    s"""$simhashCtes,
+    s"""$simhashCtesStaged,
       |blocks AS (
       |  SELECT doc_id, simhash, sh, unnest(generate_series(0, 3)) AS blk
       |  FROM signed
@@ -822,6 +897,7 @@ object LlmData {
     "d_semdedup" -> semDedupAltSql,
     "s_knn_degree" -> knnDegreeAltSql,
     "d_substr_long" -> substrLongAltSql,
+    "d_simhash" -> simhashAltSql,
     "d_simhash_neardup" -> simhashNeardupAltSql) ++
     // the reindexed-search ALT interpolates the SAME stashed
     // re-trained centroids + residual books as the generic replay
@@ -835,8 +911,10 @@ object LlmData {
         // r18 advice: a silently-suppressed ALT sends the N× sweep to
         // the generic oracle that is KNOWN to exceed budget at volume
         // — name the suppression so the resulting TIMEOUT/ERROR reads
-        // back to its cause
-        if (rcs.size > 1 || bs.size > 1)
+        // back to its cause. r19 advice: warn on ANY non-empty stash
+        // that misses the 1:1 pattern (an asymmetric stash — 1 fit /
+        // 0 cuts — suppressed silently before), printing both sizes.
+        if (rcs.nonEmpty || bs.nonEmpty)
           System.err.println("[oracleAlt] s_reindex_topk ALT SUPPRESSED: " +
             s"ambiguous stash (${rcs.size} reindex trainings, " +
             s"${bs.size} residual books in this JVM) — the sweep will " +
@@ -855,7 +933,7 @@ object LlmData {
           "(SELECT * FROM documents WHERE TRY_CAST('0x' || " +
           "substr(md5('cvsplit:' || text), 1, 15) AS BIGINT) % 5 = 0)"))
       case (fs, cs) =>
-        if (fs.size > 1 || cs.size > 1)
+        if (fs.nonEmpty || cs.nonEmpty)  // r19 advice: any asymmetry
           System.err.println("[oracleAlt] t_classifier_val_q ALT " +
             s"SUPPRESSED: ambiguous stash (${fs.size} fits, ${cs.size} " +
             "cuts in this JVM) — the sweep will fall back to the " +
@@ -2625,18 +2703,24 @@ object LlmData {
        |      TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
        |           ' +', ' ', 'g')) AS t FROM documents),
        |ta AS (SELECT doc_id, string_split(t, ' ') AS a FROM n),
+       |-- bigrams via list_transform + staged DISTINCT-vocab md5
+       |-- (r20): the unnest-then-slice form duplicated the token
+       |-- array per position row and md5'd every instance — the
+       |-- DuckDB spill wall at campaign volume (see classifierValQSql)
        |toks AS (SELECT doc_id, unnest(a) AS tok FROM ta
        |         UNION ALL
-       |         SELECT doc_id, array_to_string(a[i:i+1], ' ') AS tok
-       |         FROM (SELECT doc_id, a,
-       |                unnest(generate_series(1, len(a) - 1)) AS i FROM ta)),
+       |         SELECT doc_id, unnest(list_transform(
+       |             generate_series(1, len(a) - 1),
+       |             i -> a[i] || ' ' || a[i+1])) AS tok FROM ta),
        |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
        |        unnest([${fit.weights.map(x => f"$x%.17e").mkString(",")}]) AS w),
+       |vh AS (SELECT tok,
+       |        (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |          % $classifierD) AS b
+       |       FROM (SELECT DISTINCT tok FROM toks)),
        |feat AS (SELECT toks.doc_id, SUM(wt.w) AS sw,
        |          CAST(COUNT(*) AS DOUBLE) AS ntok
-       |         FROM toks JOIN wt
-       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
-       |               % $classifierD) = wt.b
+       |         FROM toks JOIN vh USING (tok) JOIN wt ON vh.b = wt.b
        |         GROUP BY toks.doc_id),
        |lg AS (SELECT n.doc_id, n.source,
        |        feat.sw / feat.ntok + ${f"${fit.bias}%.17e"} AS logit
@@ -3113,12 +3197,19 @@ object LlmData {
        |ta AS (SELECT doc_id, string_split(t, ' ') AS a FROM n),
        |toks AS (SELECT doc_id, unnest(a) AS tok FROM ta
        |         UNION ALL
-       |         SELECT doc_id, array_to_string(a[i:i+1], ' ') AS tok
-       |         FROM (SELECT doc_id, a,
-       |                unnest(generate_series(1, len(a) - 1)) AS i FROM ta)),
+       |         -- bigram list built IN PLACE (r20): the (a, i)
+       |         -- unnest-then-slice form duplicated the whole token
+       |         -- array per position row — quadratic bytes, the
+       |         -- DuckDB disk-spill wall at 1000× — where a
+       |         -- list_transform emits one list per doc
+       |         SELECT doc_id, unnest(list_transform(
+       |             generate_series(1, len(a) - 1),
+       |             i -> a[i] || ' ' || a[i+1])) AS tok FROM ta),
        |rawt AS (SELECT doc_id, text, string_split(text, ' ') AS rt FROM $src),
-       |tg AS (SELECT doc_id, array_to_string(rt[i:i+1], ' ') AS g, i
-       |       FROM (SELECT doc_id, rt, unnest(generate_series(1, len(rt)-1)) AS i FROM rawt)),
+       |tg AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(rt) - 1),
+       |          i -> rt[i] || ' ' || rt[i+1])) AS g,
+       |        unnest(generate_series(1, len(rt) - 1)) AS i FROM rawt),
        |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
        |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
        |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
@@ -3141,11 +3232,16 @@ object LlmData {
        |allt AS (SELECT doc_id, tok FROM toks UNION ALL SELECT doc_id, tok FROM stok),
        |wt AS (SELECT unnest(generate_series(0, ${classifierD - 1})) AS b,
        |        unnest([${fit.weights.map(x => f"$x%.17e").mkString(",")}]) AS w),
+       |-- staged fold (r20, the simhash-ALT discipline): md5 once per
+       |-- DISTINCT token, not per instance — zipf makes the vocab
+       |-- ~100× smaller than the exploded stream at campaign volume
+       |vh AS (SELECT tok,
+       |        (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+       |          % $classifierD) AS b
+       |       FROM (SELECT DISTINCT tok FROM allt)),
        |feat AS (SELECT allt.doc_id, SUM(wt.w) AS sw,
        |          CAST(COUNT(*) AS DOUBLE) AS ntok
-       |         FROM allt JOIN wt
-       |           ON (TRY_CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
-       |               % $classifierD) = wt.b
+       |         FROM allt JOIN vh USING (tok) JOIN wt ON vh.b = wt.b
        |         GROUP BY allt.doc_id),
        |lg AS (SELECT n.doc_id, n.source,
        |        feat.sw / feat.ntok + ${f"${fit.bias}%.17e"} AS logit
@@ -3878,7 +3974,8 @@ object LlmData {
                                  fourcc: String = "PNG ",
                                  imgFormat: String = "png",
                                  gradient: Boolean = false,
-                                 vertical: Boolean = false) = {
+                                 vertical: Boolean = false,
+                                 plane: Boolean = false) = {
     import org.apache.spark.sql.{Dataset, Encoders}
     val ids: Dataset[Long] = Tables.documents(s, d)
       .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
@@ -3914,8 +4011,20 @@ object LlmData {
               // vertical mode (r19): slope runs along y — the row-stride
               // twin of the horizontal ramp (max 63 + 3·30 < 255, still
               // clip-free); mean = g%64 + slope·(h−1)/2
+              // plane mode (r20): BOTH axes ramp at once — v = g%64 +
+              // sx·x + sy·y with DISTINCT slope laws sx = id%2+1,
+              // sy = id%3+1 (max 63 + 2·38 + 3·30 = 229, clip-free;
+              // mean = g%64 + sx·(w−1)/2 + sy·(h−1)/2). The one raster
+              // bug neither single-axis ramp catches alone is x/y
+              // TRANSPOSITION (it maps each axis onto the other, so
+              // either lone ramp stays in band on the transposed walk
+              // whenever the mean survives the axis swap); with sx≠sy
+              // a transposed decode shifts this mean by
+              // (sx−sy)·(h−w)/2 — out of band for most (id, geometry).
               val v =
-                if (gradient && vertical) (g % 64) + (id % 3 + 1).toInt * y
+                if (plane) (g % 64) + (id % 2 + 1).toInt * x +
+                  (id % 3 + 1).toInt * y
+                else if (gradient && vertical) (g % 64) + (id % 3 + 1).toInt * y
                 else if (gradient) (g % 64) + (id % 3 + 1).toInt * x
                 else g
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
@@ -4078,6 +4187,58 @@ object LlmData {
       .join(meta, "doc_id")
       .orderBy("doc_id", "frame_idx")
   }
+
+  // ------------------------------------------ m_video_mjpeg_plane
+  // The 2-D ramp (r20 — the r19 stretch): v = g%64 + sx·x + sy·y with
+  // DISTINCT slope laws sx = id%2+1, sy = id%3+1 — one key subsuming
+  // both single-axis gradient twins (the mean pins column AND row
+  // clips/drops at once: mean = g%64 + sx·(w−1)/2 + sy·(h−1)/2), PLUS
+  // the surface neither twin can carry: mean_byte is a pixel-MULTISET
+  // statistic, so a decode that TRANSPOSES the raster (or re-orders
+  // it without dropping pixels) leaves every mean-based verdict in
+  // band. The per-axis first moments from frameMomentsReal are
+  // order-sensitive — slope_x ≈ sx, slope_y ≈ sy on a faithful walk,
+  // SWAPPED on a transposed one — and with sx ≠ sy on 2/3 of docs the
+  // swap is an off-by-≥1 slope error against a ±0.5 band (JPEG's
+  // low-frequency ramp error measured ≪ 0.1 slope units). Oracle:
+  // lossless container fields exact + literal-TRUE verdicts (the
+  // videoMjpeg discipline).
+  private val videoMjpegPlane: Q = (s, d) => {
+    val media = attachVideoPayload(s, d, fourcc = "MJPG", imgFormat = "jpg",
+      plane = true)
+    val meta = Multimodal.decodeVideo(media).toDF()
+      .select(col("doc_id"), col("fps_q"), col("duration_ms"))
+    val g0 = ((col("doc_id") * 11 + col("frame_idx") * 31) % 256) % 64
+    val sx = (col("doc_id") % 2 + 1).cast("double")
+    val sy = (col("doc_id") % 3 + 1).cast("double")
+    val meanTrue = g0.cast("double") +
+      sx * (col("width") - 1).cast("double") / 2.0d +
+      sy * (col("height") - 1).cast("double") / 2.0d
+    Multimodal.frameMomentsReal(media, stride = 2).toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"),
+        (abs(col("mean_byte") - meanTrue) <= 3.0).as("in_band"),
+        (abs(col("slope_x") - sx) <= 0.5).as("sx_ok"),
+        (abs(col("slope_y") - sy) <= 0.5).as("sy_ok"))
+      .join(meta, "doc_id")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val videoMjpegPlaneSql =
+    """WITH v AS (SELECT doc_id,
+      |    CAST(doc_id % 32 + 8 AS INTEGER) AS width,
+      |    CAST(doc_id % 24 + 8 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames,
+      |    (doc_id % 4 + 1) * 1000 AS rate
+      |  FROM documents),
+      |f AS (SELECT doc_id, width, height, n_frames, rate,
+      |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM v)
+      |SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+      | width, height, TRUE AS in_band, TRUE AS sx_ok, TRUE AS sy_ok,
+      | FLOOR(CAST(rate AS DOUBLE) / 100 * 1000 + 0.5) / 1000 AS fps_q,
+      | CAST(n_frames AS BIGINT) * 100 * 1000 // rate AS duration_ms
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ------------------------------------------------- m_frame_dup
   // CROSS-MODAL real-pixel dedup UNDER THE ORACLE (the r15 stretch
@@ -5050,6 +5211,7 @@ object LlmData {
     "m_video_mjpeg" -> videoMjpeg,
     "m_video_mjpeg_grad" -> videoMjpegGrad,
     "m_video_mjpeg_gradv" -> videoMjpegGradV,
+    "m_video_mjpeg_plane" -> videoMjpegPlane,
     "m_frame_dup" -> frameDup,
     "d_dedup_apply" -> dedupApply,
     "d_contamination" -> contamination,
@@ -5233,6 +5395,7 @@ object LlmData {
     "m_video_mjpeg" -> videoMjpegSql,
     "m_video_mjpeg_grad" -> videoMjpegSql,
     "m_video_mjpeg_gradv" -> videoMjpegSql,
+    "m_video_mjpeg_plane" -> videoMjpegPlaneSql,
     "m_frame_dup" -> frameDupSql,
     "d_dedup_apply" -> dedupApplySql,
     "d_contamination" -> contaminationSql,

@@ -1106,8 +1106,9 @@ object Pipeline {
     // a plain scan; rows are identical, so the batch oracle is
     // untouched.
     val sinkDir = s"$streamDir/_sessions_out"
-    val q = graft.streaming.StreamingPipeline
+    val sessions = graft.streaming.StreamingPipeline
       .sessionize(stream, gapMs = gapMs, watermark = "30 minutes")
+    val q = sessions
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", s"$streamDir/_sessions_ckpt")
@@ -1116,7 +1117,10 @@ object Pipeline {
     q.processAllAvailable(); q.stop()
     val wSeq = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("start_ms")
-    s.read.parquet(sinkDir)
+    // explicit schema on the read-back (r19 advice): a zero-session
+    // run leaves sinkDir with no part files and schema inference
+    // throws where the old memory sink returned an empty table
+    s.read.schema(sessions.schema).parquet(sinkDir)
       .filter(col("start_ms") < sentinelMs)
       .withColumn("session_seq", row_number().over(wSeq).cast("long"))
       .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")

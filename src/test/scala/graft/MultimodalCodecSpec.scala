@@ -345,6 +345,45 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(keeper == Set(1L))
   }
 
+  test("frameMomentsReal: per-axis slopes recovered on a 2-D ramp; transposed raster swaps them where the mean cannot see it") {
+    // v = 20 + 2x + 3y on 24×12 (max 20+46+33 = 99, clip-free) — and
+    // its TRANSPOSE on 12×24 (v = 20 + 2y + 3x): identical pixel
+    // MULTISETS, so mean_byte is blind to the swap; the first moments
+    // are not. JPEG's low-frequency ramp error keeps the slope
+    // estimate well inside ±0.15 (the gate band is ±0.5).
+    def planeJpeg(w: Int, h: Int, sx: Int, sy: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 20 + sx * x + sy * y
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, avi(24, 12, 10, 1, Seq(planeJpeg(24, 12, 2, 3))), 0, 0),
+      MediaRecord(2L, avi(12, 24, 10, 1, Seq(planeJpeg(12, 24, 3, 2))), 0, 0)))(
+      Encoders.product[MediaRecord])
+    val out = Multimodal.frameMomentsReal(ds, stride = 1).collect()
+      .map(f => f.doc_id -> f).toMap
+    val a = out(1L); val b = out(2L)
+    // faithful walk: slopes land on the generator's laws
+    assert(math.abs(a.slope_x - 2.0) <= 0.15, s"slope_x ${a.slope_x}")
+    assert(math.abs(a.slope_y - 3.0) <= 0.15, s"slope_y ${a.slope_y}")
+    // the transposed twin: SAME pixel multiset (mean_byte agrees —
+    // 20 + 2·(24−1)/2 + 3·(12−1)/2 = 59.5 both ways, within JPEG
+    // noise), but the moments come back swapped
+    assert(math.abs(a.mean_byte - b.mean_byte) <= 1.0,
+      s"means should agree: ${a.mean_byte} vs ${b.mean_byte}")
+    assert(math.abs(b.slope_x - 3.0) <= 0.15 &&
+      math.abs(b.slope_y - 2.0) <= 0.15,
+      s"transposed slopes: ${b.slope_x}, ${b.slope_y}")
+    // geometry + mean surface matches frameSampleReal's contract
+    assert(a.width == 24 && a.height == 12 && a.n_frames == 1)
+    assert(math.abs(a.mean_byte - 59.5) <= 3.0)
+  }
+
   test("an undecodable video payload fails fast with the doc id") {
     val bad = spark.createDataset(Seq(
       MediaRecord(9L, Array[Byte](82, 73, 70, 70), 4, 4)))(Encoders.product[MediaRecord])

@@ -26,11 +26,16 @@ mem = next((a.split("=", 1)[1] for a in args
             if a.startswith("--mem=")), None)
 # validate BEFORE the per-key loop: a malformed value (e.g. "40G B",
 # a stray quote) otherwise crashes inside SET memory_limit with a
-# DuckDB traceback per key, far from its cause (r18 advice)
-if mem is not None and not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B",
-                                        mem.strip()):
+# DuckDB traceback per key, far from its cause (r18 advice). The
+# pattern mirrors what DuckDB itself accepts (r19 advice: the first
+# cut was case-sensitive and rejected '40gb', '1G', '80%', plain
+# byte counts): unit suffix optional (bare bytes), B optional after
+# the magnitude letter, percent-of-RAM form, any case.
+if mem is not None and not re.fullmatch(
+        r"[0-9]+(\.[0-9]+)?\s*([KMGTP]i?B?|B|%)?", mem.strip(),
+        re.IGNORECASE):
     sys.exit(f"config error: --mem={mem!r} is not a DuckDB memory "
-             "size (expected e.g. 40GB, 1.5GiB)")
+             "size (expected e.g. 40GB, 1.5GiB, 80%, or bytes)")
 # --threads=N: DuckDB core cap (campaign sweeps run beside Spark
 # dumps; uncapped DuckDB grabs every core)
 threads = next((a.split("=", 1)[1] for a in args
@@ -139,10 +144,14 @@ def closure_want(pair_key):
 def closure_apply_want(pair_key):
     find, nodes = closure_find(pair_key)
     drops = sorted(n for n in nodes if find(n) != n)
-    drop_list = ", ".join(str(d) for d in drops) or "NULL"
+    # empty drop set: `NOT IN (NULL)` is NULL for every row (zero
+    # rows back) where the canonical SQL's NOT IN (empty subquery)
+    # keeps ALL documents — skip the predicate entirely (r19 advice)
+    where = (f"WHERE doc_id NOT IN ({', '.join(str(d) for d in drops)}) "
+             if drops else "")
     return con.execute(
         "SELECT doc_id, lang, n_chars FROM documents "
-        f"WHERE doc_id NOT IN ({drop_list}) ORDER BY doc_id").df()
+        f"{where}ORDER BY doc_id").df()
 
 def closure_purity_want(pair_key):
     import pandas as pd
@@ -187,10 +196,28 @@ def bighash_verdict(name, pdir, sql):
         return f"dtype differ: {mism}"
     # float columns hash via (+0): -0.0 and 0.0 are == (the pandas
     # path and the driver gate treat them equal) but hash differently
-    # bitwise; +0 canonicalizes -0.0 → 0.0 and passes NaN through
-    cols = ", ".join(
-        f'("{c}" + 0)' if gt[c] in ("DOUBLE", "FLOAT") else f'"{c}"'
-        for c in sorted(gt))
+    # bitwise; +0 canonicalizes -0.0 → 0.0 and passes NaN through.
+    # Nested floats need the same treatment (r19 advice): a LIST of
+    # float canonicalizes element-wise via list_transform; deeper
+    # float-bearing nests (struct/map) have no cheap rewrite — report
+    # them as unsupported-by-bighash rather than risk a false
+    # sign-of-zero hash FAIL the pandas path would accept.
+    def hash_expr(c):
+        t = gt[c]
+        if t in ("DOUBLE", "FLOAT"):
+            return f'("{c}" + 0)'
+        if t in ("DOUBLE[]", "FLOAT[]"):
+            return f'list_transform("{c}", x -> x + 0)'
+        if "DOUBLE" in t or "FLOAT" in t:
+            raise ValueError(
+                f"column {c} type {t}: nested float beyond LIST is not "
+                "bighash-safe (-0.0 vs 0.0); compare this key below "
+                f"{BIGHASH_ROWS} rows or add a flattening ALT oracle")
+        return f'"{c}"'
+    try:
+        cols = ", ".join(hash_expr(c) for c in sorted(gt))
+    except ValueError as e:
+        return str(e)
     # the hash sum is HUGEINT — fetch as VARCHAR (pandas would coerce
     # a HUGEINT column to float64 and silently lose low bits)
     gn, gh = con.execute(
