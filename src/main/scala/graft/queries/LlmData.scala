@@ -396,7 +396,7 @@ object LlmData {
     val votes = (0 until 64).map { b =>
       val half = if (b < 32) "hlo" else "hhi"
       val sh = b % 32
-      s"SUM(CASE WHEN (($half >> $sh) & 1) = 1 THEN c ELSE -c END) AS c$b"
+      s"SUM(CASE WHEN (($half >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS c$b"
     }.mkString(",\n      ")
     val assemble = (0 until 64).map { b =>
       s"(CASE WHEN c$b > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(b)}::HUGEINT ELSE 0::HUGEINT END)"
@@ -413,16 +413,16 @@ object LlmData {
       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
       |  ) AS h FROM (SELECT DISTINCT tok FROM toks)
       |),
-      |dtok AS (
-      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM toks GROUP BY doc_id, tok
-      |),
+      |-- per-INSTANCE join (not a (doc, tok) pre-group: that hash
+      |-- table over ~400M strings was itself the disk-spill wall at
+      |-- 1000x) — the build side is the small vocab, instances
+      |-- stream through and each vote is ±1 with its multiplicity
+      |-- carried by row count
       |dh AS (
-      |  SELECT d.doc_id,
+      |  SELECT t.doc_id,
       |    CAST(v.h % 4294967296::HUGEINT AS BIGINT) AS hlo,
-      |    CAST(v.h // 4294967296::HUGEINT AS BIGINT) AS hhi,
-      |    d.c
-      |  FROM dtok d JOIN vhash v USING (tok)
+      |    CAST(v.h // 4294967296::HUGEINT AS BIGINT) AS hhi
+      |  FROM toks t JOIN vhash v USING (tok)
       |),
       |counts AS (
       |  SELECT doc_id,
@@ -3417,10 +3417,14 @@ object LlmData {
       |uni AS (
       |  SELECT w, COUNT(*) AS c1
       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-      |starts AS (
-      |  SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks),
+      |-- bigram lists built IN PLACE (r20): the unnest-then-slice form
+      |-- duplicates the token array per position row — the DuckDB
+      |-- disk-spill wall at 1000× (it crashed the r18 wide lane)
       |bg AS (
-      |  SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS s FROM starts),
+      |  SELECT doc_id,
+      |   unnest(list_transform(generate_series(1, len(t)-1), i -> t[i])) AS w1,
+      |   unnest(list_transform(generate_series(1, len(t)-1),
+      |     i -> t[i] || ' ' || t[i+1])) AS s FROM toks),
       |c2 AS (SELECT s, COUNT(*) AS c2 FROM bg GROUP BY s)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       | FLOOR(SUM(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
@@ -4399,15 +4403,20 @@ object LlmData {
   private val repetitionSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
-      |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+      |-- n-gram lists built IN PLACE (r20, the disk-spill fix — see
+      |-- bigramNllSql)
+      |bg AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
       |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
       |top AS (SELECT doc_id, g AS top_bigram, c AS top_cnt
       |        FROM (SELECT doc_id, g, c,
       |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
       |              FROM bgc) WHERE rn = 1),
-      |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, i
-      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)),
+      |tg AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(t)-2),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g,
+      |        unnest(generate_series(1, len(t)-2)) AS i FROM toks),
       |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
       |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+2)) AS pos
@@ -4502,8 +4511,13 @@ object LlmData {
 
   private val filterChainSql =
     """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
-      |tg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, i
-      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+      |-- bigram lists built IN PLACE (r20, the disk-spill fix — see
+      |-- bigramNllSql; THIS oracle's array-per-position form spilled
+      |-- 26GB+ at 5M docs and took the r18 wide lane's disk with it)
+      |tg AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(t)-1),
+      |          i -> t[i] || ' ' || t[i+1])) AS g,
+      |        unnest(generate_series(1, len(t)-1)) AS i FROM toks),
       |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
       |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
