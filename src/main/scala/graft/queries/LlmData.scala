@@ -3206,24 +3206,18 @@ object LlmData {
        |             generate_series(1, len(a) - 1),
        |             i -> a[i] || ' ' || a[i+1])) AS tok FROM ta),
        |rawt AS (SELECT doc_id, text, string_split(text, ' ') AS rt FROM $src),
-       |tg AS (SELECT doc_id,
-       |        unnest(list_transform(generate_series(1, len(rt) - 1),
-       |          i -> rt[i] || ' ' || rt[i+1])) AS g,
-       |        unnest(generate_series(1, len(rt) - 1)) AS i FROM rawt),
-       |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
-       |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
-       |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
-       |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
-       |        GROUP BY doc_id),
+       |-- ROW-LOCAL dup coverage (r20 dupCovCtes — the (doc, gram)
+       |-- hash-aggregate replay spilled past the disk at 1000×)
+       |${dupCovCtes("w", "rawt", "rt", 2)},
        |stats AS (SELECT r.doc_id,
        |   len(rt) AS ntokr,
-       |   ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / len(rt), 6) AS dupcov,
+       |   ROUND(CAST(wcov.nc AS DOUBLE) / len(rt), 6) AS dupcov,
        |   ROUND(LEAST(1.0, CAST(len(rt) AS DOUBLE)/100.0)*0.3
        |    + CAST(len(regexp_extract_all(r.text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
        |       / len(rt) * 0.3
        |    + CAST(len(regexp_extract_all(r.text, '[A-Za-z]')) AS DOUBLE) / length(r.text) * 0.4, 6) AS q,
        |   ${langIdCaseSql("r.text")} AS lid
-       |  FROM rawt r LEFT JOIN cov USING (doc_id)),
+       |  FROM rawt r JOIN wcov USING (doc_id)),
        |stok AS (SELECT doc_id, unnest([
        |   'len:' || CAST(LEAST(length(bin(ntokr)) - 1, 12) AS VARCHAR),
        |   'rep:' || CAST(LEAST(CAST(FLOOR(dupcov * 10.0) AS BIGINT), 10) AS VARCHAR),
@@ -3687,7 +3681,7 @@ object LlmData {
       | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
       | ROUND(CAST(SUM(CAST(ROUND(
       |    LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.3
-      |    + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
+      |    + CAST(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
       |       / len(string_split(text,' ')) * 0.3
       |    + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6)
       |   AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
@@ -4400,36 +4394,67 @@ object LlmData {
       .orderBy("doc_id")
   }
 
+  /** ROW-LOCAL duplicate-k-gram coverage CTE chain (r20): the
+    * unnest + GROUP BY (doc_id, gram) + self-join replay spilled
+    * ~30-60GB of string hash tables at 5M docs (DuckDB side — it took
+    * the r18 wide lane's disk down and t_repetition's r20 re-check
+    * with it). This emits the SAME exact interval-union semantics as
+    * pure list lambdas over each row — sort the row's gram list, find
+    * runs ≥ 2, union their [i, i+k−1] spans — zero aggregation state,
+    * mirroring the Spark side's RepetitionStats row-local fold.
+    * Emits CTEs `${p}g/${p}s/${p}r/${p}d/${p}cov`; read
+    * `${p}cov(doc_id, nc)`. `srcRel` must expose doc_id and the
+    * token-list column `tCol`. */
+  private def dupCovCtes(p: String, srcRel: String, tCol: String,
+                         k: Int): String = {
+    val gram = (0 until k).map(j => s"$tCol[i+$j]").mkString(" || ' ' || ")
+    val span = (0 until k).map(j => s"i+$j").mkString(", ")
+    s"""${p}g AS (SELECT doc_id, list_transform(
+       |    generate_series(1, len($tCol)-${k - 1}), i -> $gram) AS gl
+       |  FROM $srcRel),
+       |${p}s AS (SELECT doc_id, gl, list_sort(gl) AS sl FROM ${p}g),
+       |${p}r AS (SELECT doc_id, gl, sl,
+       |   list_filter(generate_series(1, len(sl)),
+       |     i -> i = 1 OR sl[i] <> sl[i-1]) AS st FROM ${p}s),
+       |${p}d AS (SELECT doc_id, gl,
+       |   list_transform(list_filter(generate_series(1, len(st)),
+       |       j -> COALESCE(st[j+1], len(sl)+1) - st[j] >= 2),
+       |     j -> sl[st[j]]) AS ds FROM ${p}r),
+       |${p}cov AS (SELECT doc_id,
+       |   len(list_distinct(flatten(list_transform(
+       |     list_filter(generate_series(1, len(gl)),
+       |       i -> list_contains(ds, gl[i])),
+       |     i -> [$span])))) AS nc FROM ${p}d)""".stripMargin
+  }
+
   private val repetitionSql =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
-      |-- n-gram lists built IN PLACE (r20, the disk-spill fix — see
-      |-- bigramNllSql)
-      |bg AS (SELECT doc_id, unnest(list_transform(
-      |         generate_series(1, len(t)-1),
-      |         i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
-      |top AS (SELECT doc_id, g AS top_bigram, c AS top_cnt
-      |        FROM (SELECT doc_id, g, c,
-      |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
-      |              FROM bgc) WHERE rn = 1),
-      |tg AS (SELECT doc_id,
-      |        unnest(list_transform(generate_series(1, len(t)-2),
-      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g,
-      |        unnest(generate_series(1, len(t)-2)) AS i FROM toks),
-      |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
-      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
-      |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+2)) AS pos
-      |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
-      |        GROUP BY doc_id)
+      |-- top bigram ROW-LOCALLY (r20, the dupCovCtes discipline): sort
+      |-- the row's bigram list, run-length it; the first max in sorted
+      |-- order IS the (count DESC, gram ASC) tie-break - no (doc, gram)
+      |-- hash-aggregate state at any corpus size
+      |bgl AS (SELECT doc_id, list_sort(list_transform(
+      |    generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS sl
+      |  FROM toks),
+      |bst AS (SELECT doc_id, sl,
+      |   list_filter(generate_series(1, len(sl)),
+      |     i -> i = 1 OR sl[i] <> sl[i-1]) AS st FROM bgl),
+      |blen AS (SELECT doc_id, sl, st,
+      |   list_transform(generate_series(1, len(st)),
+      |     j -> COALESCE(st[j+1], len(sl)+1) - st[j]) AS lens FROM bst),
+      |top AS (SELECT doc_id,
+      |   CASE WHEN len(lens) = 0 THEN ''
+      |        ELSE sl[st[list_position(lens, list_max(lens))]] END AS top_bigram,
+      |   COALESCE(list_max(lens), 0) AS top_cnt FROM blen),
+      |${dupCovCtes("c", "toks", "t", 3)}
       |SELECT b.doc_id, b.n_tokens,
-      | COALESCE(top.top_bigram, '') AS top_bigram,
-      | COALESCE(top.top_cnt, 0) AS top_cnt,
-      | ROUND(COALESCE(top.top_cnt, 0) * 2.0 / b.n_tokens, 6) AS top_bigram_frac,
-      | ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_trigram_frac
+      | top.top_bigram, top.top_cnt,
+      | ROUND(top.top_cnt * 2.0 / b.n_tokens, 6) AS top_bigram_frac,
+      | ROUND(CAST(ccov.nc AS DOUBLE) / b.n_tokens, 6) AS dup_trigram_frac
       |FROM base b
-      | LEFT JOIN top USING (doc_id)
-      | LEFT JOIN cov USING (doc_id)
+      | JOIN top USING (doc_id)
+      | JOIN ccov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- d_substr_dup
@@ -4510,28 +4535,20 @@ object LlmData {
   }
 
   private val filterChainSql =
-    """WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
-      |-- bigram lists built IN PLACE (r20, the disk-spill fix — see
-      |-- bigramNllSql; THIS oracle's array-per-position form spilled
-      |-- 26GB+ at 5M docs and took the r18 wide lane's disk with it)
-      |tg AS (SELECT doc_id,
-      |        unnest(list_transform(generate_series(1, len(t)-1),
-      |          i -> t[i] || ' ' || t[i+1])) AS g,
-      |        unnest(generate_series(1, len(t)-1)) AS i FROM toks),
-      |dup AS (SELECT doc_id, g FROM tg GROUP BY doc_id, g HAVING COUNT(*) >= 2),
-      |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS nc
-      |        FROM (SELECT tg.doc_id, unnest(generate_series(tg.i, tg.i+1)) AS pos
-      |              FROM tg JOIN dup ON tg.doc_id = dup.doc_id AND tg.g = dup.g)
-      |        GROUP BY doc_id),
+    s"""WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+      |-- ROW-LOCAL dup coverage (r20 dupCovCtes; the unnest + dup-join
+      |-- replay of THIS oracle spilled 26GB+ at 5M docs and took the
+      |-- r18 wide lane's disk with it)
+      |${dupCovCtes("f", "toks", "t", 2)},
       |flags AS (SELECT doc_id,
       |   (len(t) >= 20) AS p1,
       |   (lang = 'en') AS p2,
       |   (ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE)/100.0)*0.3
-      |    + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
+      |    + CAST(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
       |       / len(t) * 0.3
       |    + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6) >= 0.5) AS p3,
-      |   (ROUND(CAST(COALESCE(cov.nc, 0) AS DOUBLE) / len(t), 6) <= 0.2) AS p4
-      |  FROM toks LEFT JOIN cov USING (doc_id)),
+      |   (ROUND(CAST(fcov.nc AS DOUBLE) / len(t), 6) <= 0.2) AS p4
+      |  FROM toks JOIN fcov USING (doc_id)),
       |agg AS (SELECT COUNT(*) AS c0,
       |  COUNT(*) FILTER (WHERE p1) AS c1,
       |  COUNT(*) FILTER (WHERE p1 AND p2) AS c2,
