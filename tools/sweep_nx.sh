@@ -47,6 +47,14 @@ while read -r key; do
   # empty grep — log it as ERROR so it can't read as a silent pass
   [ -z "$out" ] && out="ERROR (check.py produced no verdict line)"
   echo "$key :: $out" >> "$LOG"
+  # reap per-process DuckDB spill dirs whose owner died: a killed or
+  # OOM'd check.py leaves its temp_directory behind (16GB+ each at
+  # 1000x — two of these took the disk down in r20) and DuckDB only
+  # cleans up on graceful close
+  for d in /tmp/duckdb_tmp_*; do
+    pid=${d##*_}
+    [ -d "$d" ] && ! kill -0 "$pid" 2>/dev/null && rm -rf "$d"
+  done
 done < "$ORDER"
 rm -f "$ORDER"
 echo SWEEP_DONE >> "$LOG"
