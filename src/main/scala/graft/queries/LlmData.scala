@@ -401,28 +401,31 @@ object LlmData {
     val assemble = (0 until 64).map { b =>
       s"(CASE WHEN c$b > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(b)}::HUGEINT ELSE 0::HUGEINT END)"
     }.mkString(" +\n      ")
-    s"""WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
-      |),
-      |vhash AS (
+    s"""WITH vhash AS (
       |  SELECT tok, list_reduce(
       |    list_prepend(14695981039346656037::HUGEINT,
       |      list_transform(generate_series(1, octet_length(encode(tok))),
       |        i -> TRY_CAST('0x' || substr(hex(encode(tok)), 2*i-1, 2) AS BIGINT)::HUGEINT)),
       |    (h, b) -> (((h // 256) * 256 + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT)
       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-      |  ) AS h FROM (SELECT DISTINCT tok FROM toks)
+      |  ) AS h FROM (SELECT DISTINCT tok FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents))
       |),
       |-- per-INSTANCE join (not a (doc, tok) pre-group: that hash
       |-- table over ~400M strings was itself the disk-spill wall at
       |-- 1000x) — the build side is the small vocab, instances
       |-- stream through and each vote is ±1 with its multiplicity
-      |-- carried by row count
+      |-- carried by row count. The token stream is INLINED in both
+      |-- consumers, never a shared CTE: DuckDB materializes a
+      |-- multiply-referenced CTE, and ~400M token-instance strings
+      |-- materialized IS the disk wall (re-splitting the scan twice
+      |-- is cheap; holding it once is not).
       |dh AS (
       |  SELECT t.doc_id,
       |    CAST(v.h % 4294967296::HUGEINT AS BIGINT) AS hlo,
       |    CAST(v.h // 4294967296::HUGEINT AS BIGINT) AS hhi
-      |  FROM toks t JOIN vhash v USING (tok)
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents) t JOIN vhash v USING (tok)
       |),
       |counts AS (
       |  SELECT doc_id,
