@@ -53,8 +53,15 @@ con = duckdb.connect()
 # per-process spill dir: concurrent sweeps sharing the cwd-relative
 # default ".tmp" delete each other's temp blocks mid-query (r19 —
 # p_queue_rotate failed on a vanished temp block while another lane's
-# DuckDB cleaned up)
-con.execute(f"SET temp_directory='/tmp/duckdb_tmp_{os.getpid()}'")
+# DuckDB cleaned up). --no-spill disables the temp dir entirely (r20):
+# DuckDB's external join partitions BOTH sides to disk once the build
+# exceeds its per-operator budget — a campaign-decade oracle can write
+# 35GB+ of temp and take the shared disk down; with spilling off it
+# either fits the memory cap or fails with a clean OOM error.
+if "--no-spill" in args:
+    con.execute("SET temp_directory=''")
+else:
+    con.execute(f"SET temp_directory='/tmp/duckdb_tmp_{os.getpid()}'")
 if mem:
     con.execute(f"SET memory_limit='{mem}'")
 if threads:
