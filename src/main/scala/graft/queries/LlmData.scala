@@ -3684,7 +3684,7 @@ object LlmData {
       | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
       | ROUND(CAST(SUM(CAST(ROUND(
       |    LEAST(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)*0.3
-      |    + CAST(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|are)\\b')) AS DOUBLE)
+      |    + CAST(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|are)\b')) AS DOUBLE)
       |       / len(string_split(text,' ')) * 0.3
       |    + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.4, 6)
       |   AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality

@@ -20,6 +20,21 @@ class EntrySpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
+  test("no BUILT oracle string carries a double-escaped regex class") {
+    // The same source literal (`\\b`) reaches DuckDB as either `\b`
+    // (s-interpolated string) or a dead `\\b` (plain triple-quoted
+    // string) depending on enclosing syntax — r20's t_corpus_stats
+    // regression. DuckDB sees the BUILT string, so scan that: a
+    // two-backslash prefix on a regex class char is always a bug here
+    // (no oracle legitimately matches a literal backslash).
+    val classes = "bBsSdDwW".map(c => "\\\\" + c)
+    val bad = (SparkEntry.oracleSql ++ SparkEntry.oracleAltSql).collect {
+      case (name, sql) if classes.exists(sql.contains) =>
+        name -> classes.filter(sql.contains).mkString(",")
+    }
+    assert(bad.isEmpty, s"double-escaped regex class in built oracle: $bad")
+  }
+
   test("Tables.normalizeEvents handles every ts parquet annotation") {
     // The test-data generator has drifted between INT64 TIMESTAMP(NANOS)
     // (surfaced as LongType via nanosAsLong) and TIMESTAMP_MICROS
