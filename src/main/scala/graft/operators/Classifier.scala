@@ -106,25 +106,50 @@ object Classifier {
         graft.plans.ClassifierFeatures(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(baseToks)))
       else baseToks)
-    // (doc, bucket, cnt, y, inv_ntok): the in-doc pre-agg collapses
-    // token repeats before anything shuffles; inv_ntok folds the
-    // feature normalization into one per-doc constant
-    // the feature frame and each epoch's residual frame are scoped to
-    // this fit — capture the checkpoints' backing RDDs and release
-    // them when their epoch (or the fit) is done; Dataset.unpersist
-    // is a no-op on a localCheckpoint'd frame (it only uncaches the
-    // CacheManager entry, which a checkpoint never had), so without
-    // the RDD handle 16 epochs of residual blocks linger until
+    // (doc, bucket, cnt, y, ntok): the in-doc pre-agg collapses token
+    // repeats before anything shuffles. ONE exchange builds the frame
+    // (r21): hash-repartition the raw (id, y, text) rows by doc FIRST
+    // — tokenization then runs at full core count even when the source
+    // scan is a single split (the sf-bench parquet is one row group),
+    // and because hash(_id) clusters every downstream key set
+    // containing _id, the groupBy and the epoch-loop's groupBy/join
+    // all reuse this partitioning with no further exchange. _ntok is
+    // the feature-stream LENGTH, read off the token array row-locally
+    // (identical to the old sum-of-counts-over-window by definition —
+    // every token lands in exactly one bucket), which removes the
+    // full-frame Window sort the old build paid.
+    // Partition count is SIZE-adaptive (guide §2.2 — partitions sized
+    // by input bytes, not core count): a kilobyte gate corpus stays at
+    // ONE partition, where the 17-epoch loop's per-stage floor is a
+    // single tiny task (a 32-way fan-out of the same corpus measured
+    // 2× SLOWER end-to-end — scheduling dominated the compute), while
+    // a decade-scale corpus fans out toward the session's
+    // shuffle-partition ceiling. Explicit N, because a column-only
+    // repartition is an AQE coalesce target and epochs then lose the
+    // layout entirely.
+    // the feature frame is scoped to this fit — capture the
+    // checkpoint's backing RDDs and release them when the fit is
+    // done; Dataset.unpersist is a no-op on a localCheckpoint'd frame
+    // (it only uncaches the CacheManager entry, which a checkpoint
+    // never had), so without the RDD handle the blocks linger until
     // ContextCleaner GC
+    val nPart = {
+      val ceiling = docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val bytes = graft.sources.Tables.planBytes(sample)
+      ((bytes / Similarity.trainPartitionBytes(docs)) + 1)
+        .min(ceiling.toLong).max(1L).toInt
+    }
     val (feat, featRdds) = Dedup.withNewPersistentRdds(sample
+      .repartition(nPart, col(idCol))
       .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"),
-        explode(toks).as("_tok"))
-      .groupBy(col("_id"), col("_y"),
+        toks.as("_ta"))
+      .select(col("_id"), col("_y"),
+        size(col("_ta")).cast("double").as("_ntok"),
+        explode(col("_ta")).as("_tok"))
+      .groupBy(col("_id"), col("_y"), col("_ntok"),
         TextFunctions.featureBucket(col("_tok"), d).as("_b"))
       .agg(count(lit(1)).cast("double").as("_cnt"))
-      .withColumn("_ntok", sum(col("_cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_id")))
-      .repartition(col("_id"))
       .localCheckpoint(eager = true))
     try {
     val n = feat.select(count_distinct(col("_id"))).head().getLong(0)

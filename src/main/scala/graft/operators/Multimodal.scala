@@ -95,17 +95,17 @@ object Multimodal {
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         // channel sums accumulate UNDIVIDED (a per-pixel (r+g+b)/3 in
         // int arithmetic truncates up to 2/3 per pixel and biases the
-        // mean low); one exact division by 3n at the end
+        // mean low); one exact division by 3n at the end. Bulk getRGB:
+        // identical ARGB ints to the per-pixel call (same ColorModel
+        // conversion), without w·h method dispatches.
+        val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+          img.getWidth)
         var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          i += 1
         }
         val n = img.getWidth.toLong * img.getHeight
         val mean = if (n == 0) 0.0 else sum.toDouble / (3.0 * n)
@@ -492,20 +492,24 @@ object Multimodal {
             require(img != null,
               s"undecodable frame $idx payload for doc ${r.doc_id}")
             val digest = java.security.MessageDigest.getInstance("MD5")
+            // bulk getRGB (identical ints to per-pixel; see
+            // decodeImage) + ONE digest.update over the assembled
+            // byte stream — same bytes in the same order, so the fp
+            // is unchanged, without 3·w·h per-byte update calls
+            val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+              null, 0, img.getWidth)
+            val stream = new Array[Byte](3 * px.length)
             var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                digest.update((rgb >> 16).toByte)
-                digest.update((rgb >> 8).toByte)
-                digest.update(rgb.toByte)
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              stream(3 * i) = (rgb >> 16).toByte
+              stream(3 * i + 1) = (rgb >> 8).toByte
+              stream(3 * i + 2) = rgb.toByte
+              i += 1
             }
+            digest.update(stream)
             val np = img.getWidth.toLong * img.getHeight
             val mean = if (np == 0) 0.0 else sum.toDouble / (3.0 * np)
             VideoFrame(r.doc_id, n, idx, img.getWidth, img.getHeight,
@@ -548,12 +552,14 @@ object Multimodal {
             require(img != null,
               s"undecodable frame $idx payload for doc ${r.doc_id}")
             val w = img.getWidth; val h = img.getHeight
+            // bulk getRGB (identical ints; see decodeImage)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sum = 0L; var sumX = 0L; var sumY = 0L
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = px(y * w + x)
                 val s3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
                 sum += s3; sumX += s3.toLong * x; sumY += s3.toLong * y
                 x += 1

@@ -338,16 +338,47 @@ object Similarity {
     array_min(array(scored: _*)).getField("j")
   }
 
+  /** Per-task input-byte target for training fan-out (guide §2.2's
+    * "size partitions by bytes" applied to CPU-bound sample passes).
+    * Overridable per session via `graft.train.partitionBytes` for
+    * deployments whose per-byte assignment cost differs (huge cell
+    * counts make rows more expensive → lower it). */
+  private[operators] def trainPartitionBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.train.partitionBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+
   private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                              k: Int, iters: Int, trainMod: Int): Array[Array[Double]] = {
     val base = df.select(col(idCol), col(vecCol).as("_v"))
+    // r21 fan-out, SIZE-adaptive (guide §2.2: partitions sized by
+    // bytes, not core count): when the source arrives in fewer splits
+    // than the sample's volume warrants (the sf-bench parquet is ONE
+    // row group → every Lloyd pass ran a single task), hash-spread
+    // the SAMPLE before checkpointing it — the assignment pass (k·dim
+    // dots per row, the expensive half of every iteration) is
+    // embarrassingly parallel. Derived from input bytes/trainMod so a
+    // kilobyte gate corpus stays at its natural single partition
+    // (32-way task scheduling would cost more than the compute — the
+    // measured r21 regression), while an N×-decade sample fans out to
+    // the session's cores. Scoped to the training sample (1/trainMod
+    // of rows, bounded by autoTrainMod at scale); the identity
+    // whenever the corpus already lands in enough splits.
+    val filtered = base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
+    val targetParts = {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      val scanBytes = graft.sources.Tables.planBytes(base)
+      ((scanBytes / math.max(1, trainMod) / trainPartitionBytes(df)) + 1)
+        .min(cores.toLong).max(1L).toInt
+    }
+    val spread = if (targetParts > filtered.rdd.getNumPartitions)
+      filtered.repartition(targetParts, col(idCol)) else filtered
     // the sample checkpoint is scoped to this training run — capture
-    // its backing RDD and release it before returning (Dataset
-    // .unpersist would be a no-op on a checkpoint; see
-    // Dedup.withNewPersistentRdds)
-    val (sample, sampleRdds) = Dedup.withNewPersistentRdds(
-      base.filter(pmod(xxhash64(col(idCol)), lit(trainMod)) === 0)
-        .localCheckpoint(eager = true))
+    // its backing RDD (off its own plan node — precise under the
+    // concurrent subspace trainings) and release it before returning
+    // (Dataset.unpersist would be a no-op on a checkpoint)
+    val sample = spread.localCheckpoint(eager = true)
+    val sampleRdds =
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdds(sample)
     try {
 
     def collectVecs(d: DataFrame, c: String): Array[Array[Double]] =
@@ -360,19 +391,26 @@ object Similarity {
     var centroids: Array[Array[Double]] =
       collectVecs(sample.orderBy(md5(col(idCol).cast("string"))).limit(k), "_v")
 
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("cell",
         cellAssignOn(col("_v"), centroids, replayExact = false))
-      val means = assigned
+      // ONE aggregation per iteration (was two — the second groupBy
+      // only assembled (pos, m) pairs into arrays, a k·dim-row job
+      // the driver does in microseconds): collect the per-(cell, pos)
+      // means — k·dim rows, kilobytes at any corpus scale — and
+      // assemble the centroid arrays driver-side. The per-element
+      // value is the same sum/count division the engine computed.
+      val rows = assigned
         .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(col("x").cast("double")) / count(lit(1))).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("centroid"))
-        .orderBy("cell")
-      val updated = means.collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .collect()
+      val updated = rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+        val arr = new Array[Double](dim)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        cell -> arr
+      }
       // empty cells keep their previous centroid (standard Lloyd fix)
       centroids = centroids.indices
         .map(j => updated.getOrElse(j, centroids(j))).toArray
@@ -517,12 +555,30 @@ object Similarity {
                   trainMod: Int = 4,
                   cacheKey: Option[String] = None): Array[Array[Array[Double]]] = {
     val sd = dim / m
-    Array.tabulate(m) { sub =>
-      val sliced = df.select(col(idCol),
-        slice(col(vecCol), sub * sd + 1, sd).as(vecCol))
-      kmeansCentroids(sliced, idCol, vecCol, k = ks, iters = iters,
-        trainMod = trainMod, cacheKey = cacheKey.map(ck => s"$ck|pq$sub"))
+    // r21: the m subspace trainings are INDEPENDENT Lloyd runs (each
+    // its own memo key, its own sample slice) — submit them as
+    // concurrent Spark jobs instead of m sequential chains of
+    // iters-each tiny jobs. Each run's own math is untouched
+    // (identical plans per subspace), so every book trains to the
+    // same values as the sequential loop; only the wall-clock
+    // overlaps. Spark job submission is thread-safe; the memo is a
+    // TrieMap keyed per subspace.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val trainings = (0 until m).map { sub =>
+      Future {
+        // active session is THREAD-LOCAL: without this the capture
+        // in Dedup.withNewPersistentRdds sees no session from a pool
+        // thread and the sample checkpoint would leak
+        org.apache.spark.sql.SparkSession.setActiveSession(df.sparkSession)
+        val sliced = df.select(col(idCol),
+          slice(col(vecCol), sub * sd + 1, sd).as(vecCol))
+        kmeansCentroids(sliced, idCol, vecCol, k = ks, iters = iters,
+          trainMod = trainMod, cacheKey = cacheKey.map(ck => s"$ck|pq$sub"))
+      }
     }
+    Await.result(Future.sequence(trainings), Duration.Inf).toArray
   }
 
   /** PQ code assignment: (id, code_0 … code_{m-1}) — each subspace

@@ -3839,11 +3839,28 @@ object LlmData {
     * (⌊w/2⌋·g1 + (w−⌊w/2⌋)·g2)/w, so the decoded feature is checkable
     * to the digit (flat fields alone would not prove per-pixel
     * accumulation). */
-  private def attachImagePayload(s: SparkSession, d: String) = {
-    import org.apache.spark.sql.{Dataset, Encoders}
-    val ids: Dataset[Long] = Tables.documents(s, d)
+  /** doc_id stream for the media generators, FANNED OUT to the
+    * session's core count when the source scan yields fewer splits
+    * (guide §2.5 input skew: a single-row-group parquet caps scan
+    * parallelism at ONE task, and everything downstream of these ids
+    * is CPU-heavy row-local codec work — encode + decode ran
+    * single-threaded on a 32-core session). Ids-only exchange: the
+    * media payloads are generated AFTER the repartition, so no media
+    * byte ever shuffles; at scale, where the corpus already arrives
+    * in >= cores splits, the condition makes this the identity. */
+  private def mediaIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import org.apache.spark.sql.Encoders
+    val ids = Tables.documents(s, d)
       .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
       .map(_.longValue())(Encoders.scalaLong)
+    val cores = s.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < cores) ids.repartition(cores) else ids
+  }
+
+  private def attachImagePayload(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.Encoders
+    val ids = mediaIds(s, d)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // one init per partition
       it.map { id =>
@@ -3852,16 +3869,20 @@ object LlmData {
         val wl = w / 2
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // one bulk raster write (identical stored ints to per-pixel
+        // setRGB on TYPE_INT_RGB; avoids w·h ColorModel dispatches)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val g = if (x < wl) g1 else g2
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            px(y * w + x) = (g << 16) | (g << 8) | g
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val buf = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", buf)
         Multimodal.MediaRecord(id, buf.toByteArray, w, h)
@@ -3895,10 +3916,8 @@ object LlmData {
     * — mean_amp per chunk is EXACTLY a_c/32768 (a power-of-two
     * division: exact in binary both engines). */
   private def attachAudioPayload(s: SparkSession, d: String) = {
-    import org.apache.spark.sql.{Dataset, Encoders}
-    val ids: Dataset[Long] = Tables.documents(s, d)
-      .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
-      .map(_.longValue())(Encoders.scalaLong)
+    import org.apache.spark.sql.Encoders
+    val ids = mediaIds(s, d)
     ids.mapPartitions { it =>
       it.map { id =>
         val n = (id % 10 + 1).toInt
@@ -3977,10 +3996,8 @@ object LlmData {
                                  gradient: Boolean = false,
                                  vertical: Boolean = false,
                                  plane: Boolean = false) = {
-    import org.apache.spark.sql.{Dataset, Encoders}
-    val ids: Dataset[Long] = Tables.documents(s, d)
-      .select(col("doc_id")).as[java.lang.Long](Encoders.LONG)
-      .map(_.longValue())(Encoders.scalaLong)
+    import org.apache.spark.sql.Encoders
+    val ids = mediaIds(s, d)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       def u32(v: Long): Array[Byte] =
@@ -4000,6 +4017,9 @@ object LlmData {
           val g = ((id * 11 + i * 31L) % 256).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk raster write, as in attachImagePayload (identical
+          // stored ints; one setRGB call instead of w·h)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
@@ -4028,11 +4048,12 @@ object LlmData {
                 else if (gradient && vertical) (g % 64) + (id % 3 + 1).toInt * y
                 else if (gradient) (g % 64) + (id % 3 + 1).toInt * x
                 else g
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              px(y * w + x) = (v << 16) | (v << 8) | v
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val buf = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, imgFormat, buf)
           buf.toByteArray

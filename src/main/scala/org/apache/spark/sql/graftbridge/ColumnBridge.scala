@@ -20,4 +20,22 @@ object ColumnBridge {
     case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
     case other => other.toString
   }
+
+  /** The persisted RDDs backing a `localCheckpoint`'d Dataset — the
+    * PRECISE handle for releasing its blocks. The global
+    * before/after diff of `getPersistentRDDs` (Dedup
+    * .withNewPersistentRdds) is wrong under concurrent trainings
+    * (r21: pqCodebooks runs subspace Lloyd trainings in parallel —
+    * one thread's diff would capture, and later unpersist, another
+    * thread's LIVE sample, whose lineage the checkpoint truncated);
+    * reading the RDD off the checkpoint's own LogicalRDD plan node
+    * captures exactly the blocks this frame owns. */
+  def checkpointRdds(ds: org.apache.spark.sql.Dataset[_])
+      : Seq[org.apache.spark.rdd.RDD[_]] = ds match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    case _ => Nil
+  }
 }
