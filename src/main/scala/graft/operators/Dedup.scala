@@ -636,7 +636,23 @@ object Dedup {
     // attribute, not a re-evaluated tokenizer: measured 13x on the
     // occurrence scan (6.5s -> 0.5s at sf0.1)
     val toksName = freeAlias(df, "graft_toks")
-    val withToks = df.select(col(idCol), split(col(textCol), " ").as(toksName))
+    // r21 fan-out, WORK-adaptive: gram building inflates each input
+    // byte ~k× (every token starts a k-token window string), so the
+    // per-task work target scales planBytes by k — a 584 KB corpus at
+    // k=50 is ~29 MB of gram construction, worth 8 tasks, while the
+    // same corpus at k=5 stays at its natural single split. Identity
+    // whenever the source already arrives in enough splits (100-TB
+    // posture unchanged); the exchange moved is the raw text, once,
+    // before the k× inflation (guide §3.3: explode after the move).
+    val spreadToks = {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      val parts = ((graft.sources.Tables.planBytes(df) * k / (4L << 20)) + 1)
+        .min(cores.toLong).max(1L).toInt
+      val t = df.select(col(idCol), split(col(textCol), " ").as(toksName))
+      if (parts > t.rdd.getNumPartitions) t.repartition(parts, col(idCol))
+      else t
+    }
+    val withToks = spreadToks
     val base = withToks
       .select(col(idCol), size(col(toksName)).cast("long").as("n_tokens"))
     val occ = withToks
