@@ -140,8 +140,16 @@ object Classifier {
       ((bytes / Similarity.trainPartitionBytes(docs)) + 1)
         .min(ceiling.toLong).max(1L).toInt
     }
-    val (feat, featRdds) = Dedup.withNewPersistentRdds(sample
-      .repartition(nPart, col(idCol))
+    // only repartition when it RAISES parallelism: a corpus already
+    // arriving in >= nPart splits tokenizes on its natural scan
+    // partitions (the 100× replicated dir lands in 100 — capping it
+    // at the derived count halved the busiest stage's cores), and
+    // the kilobyte gate corpus skips the exchange entirely
+    val spread =
+      if (nPart > sample.rdd.getNumPartitions)
+        sample.repartition(nPart, col(idCol))
+      else sample
+    val (feat, featRdds) = Dedup.withNewPersistentRdds(spread
       .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"),
         toks.as("_ta"))
       .select(col("_id"), col("_y"),
