@@ -17,8 +17,11 @@ import graft.functions.TextFunctions
   *  (1) a margin pass: per-doc Σ cnt·w[b] with the current weights as
   *      a broadcast literal array — the groupBy(doc) reuses the
   *      checkpointed partitioning, so no epoch re-shuffles the frame;
-  *  (2) a gradient pass: residuals (a 2-double-per-doc frame) join
-  *      back broadcast, then one partial agg onto D buckets.
+  *  (2) a gradient pass: residuals (a 3-double-per-doc frame, itself
+  *      hash(doc)-partitioned because it derives from the margin
+  *      groupBy) join back CO-PARTITIONED — a shuffled-hash join with
+  *      no exchange on either side and no per-document broadcast —
+  *      then one partial agg onto D buckets.
   * Driver state is D+1 doubles. Training on a hash-selected sample
   * (`trainMod`, the kmeans discipline) bounds epoch cost at any
   * corpus size; scoring stays the row-local fold it always was.
@@ -45,6 +48,23 @@ object Classifier {
                  losses: Array[Double]) {
     def weightSeq: Seq[Double] = weights.toSeq
   }
+
+  /** Dev instrumentation: when GRAFT_EXPLAIN_EPOCH names a directory,
+    * the first epoch's margin-pass and gradient-pass physical plans
+    * are dumped there (plans/r22 audit artifacts — the epoch loop is
+    * not a declared query, so its plans are not reachable through
+    * ExplainAudit). No effect when the env var is unset. */
+  private def explainEpoch(margins: org.apache.spark.sql.DataFrame,
+                           grads: org.apache.spark.sql.DataFrame): Unit =
+    sys.env.get("GRAFT_EXPLAIN_EPOCH").foreach { dir =>
+      def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      dump("classifier_epoch_margins.txt", margins)
+      dump("classifier_epoch_grads.txt", grads)
+    }
 
   private val Grid = 1048576.0 // 2^20
   private def snap(x: Double): Double = {
@@ -133,23 +153,33 @@ object Classifier {
     // (it only uncaches the CacheManager entry, which a checkpoint
     // never had), so without the RDD handle the blocks linger until
     // ContextCleaner GC
+    val ceiling = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val nPart = {
-      val ceiling = docs.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt
       val bytes = graft.sources.Tables.planBytes(sample)
-      ((bytes / Similarity.trainPartitionBytes(docs)) + 1)
-        .min(ceiling.toLong).max(1L).toInt
+      // WORK-adaptive (the gramFanout discipline): the checkpointed
+      // frame is re-read by every margin+gradient pass, so the fit's
+      // work is ~bytes × (epochs+1), not bytes — the per-task byte
+      // target divides by the pass count (divide, don't multiply:
+      // planBytes saturates at Long.MaxValue when stats are invalid
+      // and a multiply would overflow negative). A kilobyte gate
+      // corpus still lands at 1 partition; sf0.1's 584 KB corpus at
+      // 17 passes fans to 3 (measured below r21's 1-partition time);
+      // a decade corpus just reaches the session ceiling sooner.
+      val perTask = math.max(1L,
+        Similarity.trainPartitionBytes(docs) / (epochs + 1))
+      ((bytes / perTask) + 1).min(ceiling.toLong).max(1L).toInt
     }
     // only repartition when it RAISES parallelism: a corpus already
     // arriving in >= nPart splits tokenizes on its natural scan
     // partitions (the 100× replicated dir lands in 100 — capping it
     // at the derived count halved the busiest stage's cores), and
     // the kilobyte gate corpus skips the exchange entirely
+    val naturalSplits = sample.rdd.getNumPartitions
     val spread =
-      if (nPart > sample.rdd.getNumPartitions)
-        sample.repartition(nPart, col(idCol))
+      if (nPart > naturalSplits) sample.repartition(nPart, col(idCol))
       else sample
-    val (feat, featRdds) = Dedup.withNewPersistentRdds(spread
+    val aggd = spread
       .select(col(idCol).as("_id"), col(labelCol).cast("double").as("_y"),
         toks.as("_ta"))
       .select(col("_id"), col("_y"),
@@ -158,10 +188,38 @@ object Classifier {
       .groupBy(col("_id"), col("_y"), col("_ntok"),
         TextFunctions.featureBucket(col("_tok"), d).as("_b"))
       .agg(count(lit(1)).cast("double").as("_cnt"))
-      .localCheckpoint(eager = true))
+    // the checkpointed frame must be hash(_id)-partitioned on BOTH
+    // build paths — the 17-epoch loop's groupBy(_id) and gradient
+    // join ride that layout exchange-free (guide §2.4). On the
+    // repartitioned path the groupBy reuses the explicit hash(_id)
+    // exchange; on the natural-splits path the groupBy exchanged on
+    // all four keys (which does NOT satisfy clustering on _id alone —
+    // pre-r22 every epoch re-exchanged there), so pay ONE compact
+    // feature-frame exchange at build to buy 17 exchange-free epochs.
+    val keyed =
+      if (nPart > naturalSplits) aggd
+      else aggd.repartition(
+        math.max(1, math.min(naturalSplits, ceiling)), col("_id"))
+    // localCheckpointKeyed, not plain localCheckpoint: under AQE the
+    // checkpoint reports UnknownPartitioning and the epoch loop then
+    // re-exchanges the frame EVERY epoch (observed in the r22 before-
+    // plans) — the keyed wrapper re-labels the checkpoint with its
+    // true hash(_id) layout. Contract holds on both build paths: the
+    // last exchange below is an explicit-numPartitions repartition on
+    // _id (REPARTITION_BY_NUM — AQE never coalesces it) followed only
+    // by partition-local project/explode/agg.
+    val feat = org.apache.spark.sql.graftbridge.ColumnBridge
+      .localCheckpointKeyed(keyed, Seq("_id"))
+    val featRdds =
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdds(feat)
     try {
-    val n = feat.select(count_distinct(col("_id"))).head().getLong(0)
-    require(n > 0, "Classifier.fit: empty training frame")
+    // n (the training-doc count) rides epoch 0's combined aggregation
+    // as sentinel −3 (resid has exactly one row per doc) instead of a
+    // separate count_distinct job; the epochs == 0 edge (no gradient
+    // job at all) falls back to the explicit count.
+    var n = 0L
+    def requireN(): Unit =
+      require(n > 0, "Classifier.fit: empty training frame")
 
     var w = Array.fill(d)(0.0)
     var bias = 0.0
@@ -187,29 +245,66 @@ object Classifier {
           first(col("_ntok")).as("_ntok"))
       // residual r = σ(m) − y; r/ntok is the per-doc factor every
       // bucket gradient multiplies by its count
-      val (resid, residRdds) = Dedup.withNewPersistentRdds(
-        margins.select(col("_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("_m"))) - col("_y")).as("_r"),
-          (lit(1.0) / col("_ntok")).as("_inv"),
-          // logloss via the stable form ln(1+e^{-|m|}) + max(0, ∓m)
-          (log(lit(1.0) + exp(-abs(col("_m")))) +
-            when(col("_y") > 0.5, greatest(lit(0.0), -col("_m")))
-              .otherwise(greatest(lit(0.0), col("_m")))).as("_ll"))
-        .localCheckpoint(eager = true))
-      try {
-        val stats = resid.agg(sum(col("_ll")).as("ll"), sum(col("_r")).as("rb"))
-          .head()
-        losses += stats.getDouble(0) / n
-        if (e < epochs) {
-          val grads = feat.join(broadcast(resid.select("_id", "_r", "_inv")), "_id")
-            .groupBy("_b")
-            .agg(sum(col("_r") * col("_inv") * col("_cnt")).as("_g"))
-            .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-          w = w.indices.map(b =>
-            snap(w(b) - lr * grads.getOrElse(b, 0.0) / n)).toArray
-          bias = snap(bias - lr * (stats.getDouble(1) / n))
+      val residExpr = margins.select(col("_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("_m"))) - col("_y")).as("_r"),
+        (lit(1.0) / col("_ntok")).as("_inv"),
+        // logloss via the stable form ln(1+e^{-|m|}) + max(0, ∓m)
+        (log(lit(1.0) + exp(-abs(col("_m")))) +
+          when(col("_y") > 0.5, greatest(lit(0.0), -col("_m")))
+            .otherwise(greatest(lit(0.0), col("_m")))).as("_ll"))
+      if (e == epochs) {
+        // final evaluation: only the logloss of the trained weights is
+        // needed — one aggregation straight off the margin pass, no
+        // checkpoint, no gradient job
+        if (n == 0L) { // epochs == 0: no gradient job ever resolved n
+          n = feat.select(count_distinct(col("_id"))).head().getLong(0)
+          requireN()
         }
-      } finally residRdds.foreach(_.unpersist(blocking = false))
+        losses += residExpr.agg(sum(col("_ll"))).head().getDouble(0) / n
+      } else {
+        // keyed checkpoint again: resid physically inherits feat's
+        // hash(_id) layout (the margin pass is exchange-free), so the
+        // claim is true and the gradient join sees both sides
+        // co-partitioned
+        val resid = org.apache.spark.sql.graftbridge.ColumnBridge
+          .localCheckpointKeyed(residExpr, Seq("_id"))
+        val residRdds =
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdds(resid)
+        try {
+          // r22: plain CO-PARTITIONED join, not broadcast(resid) —
+          // resid derives from feat.groupBy(_id), so both sides land
+          // hash(_id) in feat's partition count and the shuffled-hash
+          // join (resid builds: 3 doubles/doc, the narrow side) zips
+          // partitions with NO exchange and NO per-epoch broadcast of
+          // a per-document frame (guide §3.1/§2.4 — the r21 verdict's
+          // one remaining 100-TB scale risk: resid is one row per
+          // training doc, broadcast 17× per fit by construction).
+          // The epoch's logloss/bias sums ride the SAME job as the
+          // bucket gradients (sentinel keys −1/−2 unioned into the
+          // partial agg onto the bucket grid — guide §1.2, remove
+          // passes): ONE aggregation job per epoch where r21 ran a
+          // separate stats job (3 jobs/epoch → 2; the stats collect
+          // was ~a third of the fit's local wall at the gate SFs).
+          val gradRows = feat.join(
+              resid.select("_id", "_r", "_inv").hint("shuffle_hash"), "_id")
+            .select(col("_b"),
+              (col("_r") * col("_inv") * col("_cnt")).as("_x"))
+          val combined = gradRows
+            .unionByName(resid.select(lit(-1L).as("_b"), col("_ll").as("_x")))
+            .unionByName(resid.select(lit(-2L).as("_b"), col("_r").as("_x")))
+            .unionByName(resid.select(lit(-3L).as("_b"), lit(1.0).as("_x")))
+            .groupBy("_b")
+            .agg(sum(col("_x")).as("_g"))
+          if (e == 0) explainEpoch(margins, combined)
+          val sums = combined
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          if (e == 0) { n = sums.getOrElse(-3L, 0.0).toLong; requireN() }
+          losses += sums(-1L) / n
+          w = w.indices.map(b =>
+            snap(w(b) - lr * sums.getOrElse(b.toLong, 0.0) / n)).toArray
+          bias = snap(bias - lr * (sums.getOrElse(-2L, 0.0) / n))
+        } finally residRdds.foreach(_.unpersist(blocking = false))
+      }
     }
     Fit(w, bias, losses.result())
     } finally featRdds.foreach(_.unpersist(blocking = false))

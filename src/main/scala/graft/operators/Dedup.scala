@@ -50,9 +50,16 @@ object Dedup {
     * which never saw the checkpoint's internal RDD — so RDD-id
     * claiming here is what makes release possible at all. Caveat: a
     * checkpoint created CONCURRENTLY on another thread during a build
-    * can be over-claimed; store builds are serial in every engine
-    * entry point (Verify/Bench/tests), and over-claiming degrades to
-    * the pre-r18 sweep behavior for that one frame. */
+    * can be over-claimed (r21+: pqCodebooks runs memoized subspace
+    * trainings in parallel). Over-claiming is harmless for those:
+    * every concurrent training's sample checkpoint is SCOPED — it
+    * self-releases via the precise ColumnBridge.checkpointRdds handle
+    * before its build returns — so by the time clearStore can run,
+    * the over-claimed id is already unpersisted and the release
+    * lookup is a no-op (ids are monotonic, never recycled). A
+    * LONG-LIVED frame checkpointed concurrently outside a store build
+    * would degrade to the pre-r18 sweep behavior for that one frame;
+    * no engine entry point does that today. */
   def trackOwned[T](build: => T): T = {
     val (out, fresh) = withNewPersistentRdds(build)
     fresh.foreach(r => ownedRddIds.add(r.id))
@@ -153,6 +160,20 @@ object Dedup {
     var a = base
     while (df.columns.contains(a)) a += "_"
     a
+  }
+
+  /** Work-adaptive fan-out for gram building (guide §2.2): partitions
+    * sized so each task constructs ~4 MB of k-gram strings — input
+    * bytes inflate ~k× (every token starts a k-token window), so the
+    * per-task BYTE target divides by k rather than the input bytes
+    * multiplying by k: `planBytes` saturates at Long.MaxValue when
+    * plan stats are invalid and the multiply overflowed negative,
+    * silently collapsing the fan-out to 1 task exactly when the input
+    * was unknown-large (r21 verdict #5). Division cannot overflow, so
+    * unknown-size inputs now clamp to `cores`. */
+  private[operators] def gramFanout(bytes: Long, k: Int, cores: Int): Int = {
+    val perTaskBytes = math.max(1L, (4L << 20) / math.max(1, k))
+    ((bytes / perTaskBytes) + 1).min(cores.toLong).max(1L).toInt
   }
 
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
@@ -640,28 +661,61 @@ object Dedup {
     // byte ~k× (every token starts a k-token window string), so the
     // per-task work target scales planBytes by k — a 584 KB corpus at
     // k=50 is ~29 MB of gram construction, worth 8 tasks, while the
-    // same corpus at k=5 stays at its natural single split. Identity
-    // whenever the source already arrives in enough splits (100-TB
-    // posture unchanged); the exchange moved is the raw text, once,
-    // before the k× inflation (guide §3.3: explode after the move).
-    val spreadToks = {
-      val cores = df.sparkSession.sparkContext.defaultParallelism
-      val parts = ((graft.sources.Tables.planBytes(df) * k / (4L << 20)) + 1)
-        .min(cores.toLong).max(1L).toInt
-      val t = df.select(col(idCol), split(col(textCol), " ").as(toksName))
-      if (parts > t.rdd.getNumPartitions) t.repartition(parts, col(idCol))
-      else t
-    }
-    val withToks = spreadToks
+    // same corpus at k=5 stays at its natural single split. The
+    // exchange moved is the raw text, once, before the k× inflation
+    // (guide §3.3: explode after the move).
+    // r22 single materialization (guide §2.4 exchange reuse): the
+    // token exchange is now UNCONDITIONAL — never below the natural
+    // split count, so the 100-TB posture keeps full scan parallelism
+    // — because base and occ both hang off the SAME Exchange node and
+    // ReuseExchange computes the scan+tokenize ONCE (pre-r22 each
+    // branch re-scanned and re-tokenized the corpus).
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = gramFanout(graft.sources.Tables.planBytes(df), k, cores)
+    // explicit isNotNull(id) ABOVE the shared exchange: the final
+    // LeftOuter join pushes isnotnull(id) into its right (coverage)
+    // branch only, which made that branch's copy of the token
+    // exchange canonically different from the base branch's — and
+    // ReuseExchange then re-scanned and re-tokenized the corpus for
+    // base (r22 plan audit). Hoisting the filter over BOTH branches
+    // restores one shared subtree. (idCol is the document key —
+    // non-null in every caller and in the oracle's corpus.)
+    val t = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as(toksName))
+    val withToks =
+      t.repartition(math.max(parts, t.rdd.getNumPartitions), col(idCol))
     val base = withToks
       .select(col(idCol), size(col(toksName)).cast("long").as("n_tokens"))
+    // occ shuffles ONCE on the gram hash and both consumers (the
+    // document-frequency count and the covered-position join) read
+    // the reused exchange — grams are built and hashed once, and the
+    // shuffle carries only (id, pos, h) rows, never gram strings.
+    // hash(h) satisfies the distinct's (id, h) clustering and the
+    // groupBy(h), so the freq branch adds NO further exchange.
     val occ = withToks
       .select(col(idCol),
         posexplode(graft.functions.TextFunctions.tokenNgrams(col(toksName), k))
           .as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
-    val freq = occ.select(col(idCol), col("h")).distinct()
-      .groupBy("h").agg(count(lit(1)).as("df_docs"))
+      // column-only repartition: starts at the session's shuffle-
+      // partition ceiling and stays an AQE coalesce target — a gate
+      // corpus's hash rows coalesce to one task while a decade corpus
+      // keeps the ceiling's width
+      .repartition(col("h"))
+    // two-level distinct-count, same values as select(id,h).distinct
+    // .groupBy(h).count: group (h,id) == distinct (id,h), and the
+    // level-2 count(_np) == count(1) because _np = min(pos) over a
+    // non-empty group of non-null positions is never null. min(pos)
+    // pins `pos` below this branch's copy of the shared occ exchange:
+    // pruned to (id, h), the copy canonicalizes differently from the
+    // coverage branch's (id, pos, h) one and ReuseExchange stops
+    // firing — grams were built twice (r22 plan audit). min, not
+    // count: NullPropagation folds count(non-nullable) to count(1)
+    // and re-prunes; and level 2 must CONSUME _np or the optimizer
+    // drops the unused aggregate and re-prunes the same way.
+    val freq = occ
+      .groupBy(col("h"), col(idCol)).agg(min(col("pos")).as("_np"))
+      .groupBy("h").agg(count(col("_np")).as("df_docs"))
       .filter(col("df_docs") >= minDocs)
     val covered = occ.join(freq.select("h"), "h")
       .groupBy(col(idCol))

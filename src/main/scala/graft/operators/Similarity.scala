@@ -408,7 +408,16 @@ object Similarity {
         .collect()
       val updated = rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
         val arr = new Array[Double](dim)
-        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        rs.foreach { r =>
+          val pos = r.getInt(1)
+          // dim comes from the FIRST sampled vector; a longer vector
+          // in the input (inconsistent embedding dims) must fail with
+          // the offending cell/pos named, not an opaque AIOOBE
+          require(pos < dim, s"trainCentroids: vector position $pos in " +
+            s"cell $cell exceeds the sampled dimension $dim — input " +
+            "vectors have inconsistent lengths")
+          arr(pos) = r.getDouble(2)
+        }
         cell -> arr
       }
       // empty cells keep their previous centroid (standard Lloyd fix)
@@ -563,22 +572,36 @@ object Similarity {
     // same values as the sequential loop; only the wall-clock
     // overlaps. Spark job submission is thread-safe; the memo is a
     // TrieMap keyed per subspace.
+    // r22 (guide §2.6 — "2-3 jobs in flight is plenty"): a DEDICATED
+    // fixed pool of 3 instead of ExecutionContext.global. The global
+    // pool sized itself to cores and ran all m trainings at once
+    // (m Lloyd chains fighting for executors on a busy cluster), its
+    // workers blocked on Spark actions (collect/head per iteration),
+    // and setActiveSession planted an inheritable thread-local
+    // session on SHARED pool threads that outlived this call. The
+    // private pool bounds in-flight trainings, owns its blocking, and
+    // dies with the call; setActiveSession remains required because
+    // trackOwned/memoized capture through getActiveSession on the
+    // worker thread (trainCentroids itself releases via the precise
+    // checkpointRdds capture). A failed training propagates out of
+    // Await.result as soon as Future.sequence sees it.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val trainings = (0 until m).map { sub =>
-      Future {
-        // active session is THREAD-LOCAL: without this the capture
-        // in Dedup.withNewPersistentRdds sees no session from a pool
-        // thread and the sample checkpoint would leak
-        org.apache.spark.sql.SparkSession.setActiveSession(df.sparkSession)
-        val sliced = df.select(col(idCol),
-          slice(col(vecCol), sub * sd + 1, sd).as(vecCol))
-        kmeansCentroids(sliced, idCol, vecCol, k = ks, iters = iters,
-          trainMod = trainMod, cacheKey = cacheKey.map(ck => s"$ck|pq$sub"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(3, m)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val trainings = (0 until m).map { sub =>
+        Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(df.sparkSession)
+          val sliced = df.select(col(idCol),
+            slice(col(vecCol), sub * sd + 1, sd).as(vecCol))
+          kmeansCentroids(sliced, idCol, vecCol, k = ks, iters = iters,
+            trainMod = trainMod, cacheKey = cacheKey.map(ck => s"$ck|pq$sub"))
+        }
       }
-    }
-    Await.result(Future.sequence(trainings), Duration.Inf).toArray
+      Await.result(Future.sequence(trainings), Duration.Inf).toArray
+    } finally pool.shutdown()
   }
 
   /** PQ code assignment: (id, code_0 … code_{m-1}) — each subspace

@@ -16,10 +16,15 @@ object ExplainAudit {
         "t_repetition", "d_substr_dup", "t_filter_chain", "d_semdedup",
         "p_scd2", "p_salted_agg", "d_bloom_contam", "t_zipf")
     val spark = graft.GraftSession.get()
+    // GRAFT_EXPLAIN_EXEC=1: execute the frame first so the printed
+    // plan is AQE's FINAL one (isFinalPlan=true) — ReusedExchange /
+    // coalesced reads only appear there, never in the static plan
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val plan = graft.SparkEntry.queries(n)(spark, sf)
-        .queryExecution.explainString(
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      if (exec) df.collect()
+      val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
       println(plan)
       val facts = plan.linesIterator.filter(l =>
