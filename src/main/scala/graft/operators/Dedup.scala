@@ -171,7 +171,7 @@ object Dedup {
     * silently collapsing the fan-out to 1 task exactly when the input
     * was unknown-large (r21 verdict #5). Division cannot overflow, so
     * unknown-size inputs now clamp to `cores`. */
-  private[operators] def gramFanout(bytes: Long, k: Int, cores: Int): Int = {
+  private[graft] def gramFanout(bytes: Long, k: Int, cores: Int): Int = {
     val perTaskBytes = math.max(1L, (4L << 20) / math.max(1, k))
     ((bytes / perTaskBytes) + 1).min(cores.toLong).max(1L).toInt
   }
