@@ -18,10 +18,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped memo of the ANALYZED base frame per
+    * (session, dir, table) — r22 fast-tail item (r21 verdict #5).
+    * Every `spark.read.parquet` call pays ~40-60 ms of driver-side
+    * file listing + parquet footer schema inference; query
+    * constructors call Tables on every invocation (the bench's
+    * min-of-2 constructs each query twice), so the read cost was paid
+    * ~450× per board. The memo reuses the analyzed LOGICAL PLAN only:
+    * every execution still scans the parquet files — no data, result,
+    * or intermediate is cached (plan reuse, not result caching).
+    * Safe because the catalogue dirs are immutable within a session
+    * (Replicate writes only to a NEW out dir; EntrySpec writes each
+    * variant once to a fresh dir before its first read). The size
+    * bound drops entries from stopped test sessions; re-reading after
+    * a clear just re-pays one listing. */
+  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.GraftSession.tune(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEvents(df) else df
+    if (frameMemo.size > 512) frameMemo.clear()
+    frameMemo.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeEvents(df) else df
+    })
   }
 
   /** Normalize events.parquet's `ts` — whose parquet annotation has
