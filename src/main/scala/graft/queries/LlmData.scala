@@ -3445,24 +3445,44 @@ object LlmData {
   // corpus totals ride a broadcast scalar frame — text never joins.
   private val dsirWeight: Q = (s, d) => {
     val B = 256L
-    val tb = Tables.documents(s, d)
+    // ONE corpus pass (r22, guide §1.2/§2.4): the raw-corpus and
+    // target-domain bucket counts are exact integer roll-ups of the
+    // finer per-(doc, bucket) aggregate, so cr/ct/dc no longer each
+    // re-scan + re-tokenize the corpus (and tots re-computed cr+ct a
+    // 4th/5th time) — dc is aggregated once behind a shared exchange
+    // and everything else rolls up from it. c1 rides dc as the
+    // per-bucket count restricted to target-domain docs
+    // (Σ_doc c1 = old ct, with ct=0 where no src1 doc hit the bucket
+    // — the old LEFT JOIN + COALESCE semantics, join-free).
+    val dc = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("w"))
       .select(col("doc_id"), col("source"),
         pmod(Dedup.shingleHash(col("w")), lit(B)).as("b"))
-    val cr = tb.groupBy("b").agg(count(lit(1)).as("cr"))
-    val ct = tb.filter(col("source") === "src1")
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val ratio = cr.join(ct, Seq("b"), "left_outer")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      // explicit isnotnull(b) ABOVE the shared subtree (b is a pmod of
+      // a hash of a generated token — never null): the ratio join
+      // pushes isnotnull(b) into ITS copies only, which made the tots
+      // branch's copy canonically different and re-scanned the corpus
+      // (the d_substr reuse-blocker, lesson (a))
+      .filter(col("b").isNotNull)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("source") === "src1", lit(1L)).otherwise(lit(0L))).as("c1"))
+    val ratio = dc.groupBy("b")
+      .agg(sum(col("c")).as("cr"), sum(col("c1")).as("ct"))
       .withColumn("lr",
         log((col("ct") + lit(1L)).cast(DoubleType)) -
           log((col("cr") + lit(1L)).cast(DoubleType)))
     val tots = ratio.agg(sum(col("cr")).as("tot_r"), sum(col("ct")).as("tot_t"))
-    val dc = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    dc.join(ratio.select("b", "lr"), "b")
+    // c1·0 pins c1 into this branch's copy of the dc aggregate: the
+    // two consumers must project IDENTICAL columns below the
+    // hash(doc_id, b) exchange or column pruning forks the subtree
+    // and ReuseExchange re-scans the corpus (the d_substr r22
+    // lesson). x·0 is not constant-folded (NULL semantics) and c1 is
+    // never NULL, so n_tokens is bit-identical to sum(c).
+    dc.join(broadcast(ratio.select("b", "lr")), "b")
       .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
+      .agg(sum(col("c") + col("c1") * lit(0L)).as("n_tokens"),
         sum(col("c").cast(DoubleType) * col("lr")).as("sw"))
       .crossJoin(broadcast(tots))
       .select(col("doc_id"), col("n_tokens"),
@@ -3588,11 +3608,24 @@ object LlmData {
   // the ≤ shards·3 survivors. ln/round are IEEE-identical in DuckDB.
   private val tfidfTop: Q = (s, d) => {
     val nShards = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // ONE corpus pass (r22, guide §1.2/§2.4): df/n_sources/scored all
+    // consume the same (source, tok) count table, which previously
+    // re-scanned + re-tokenized the corpus per consumer. The explicit
+    // isnotnull(tok) is hoisted above the shared subtree (tok is
+    // generated, never null) and every consumer references the tf
+    // count through a value-identical expression, so column pruning
+    // cannot fork the copies below the hash(source, tok) exchange and
+    // ReuseExchange computes the tokenize+count once (the d_substr /
+    // t_dsir_weight reuse discipline). tf >= 1 always (it is a count
+    // over existing rows), so df and n_sources are unchanged.
     val toks = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isNotNull)
     val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ns = tf.agg(countDistinct(col("source")).as("n_sources"))
+    val dfx = tf.groupBy("tok")
+      .agg(count(when(col("tf") >= lit(1L), lit(1))).as("df"))
+    val ns = tf.agg(count_distinct(
+      when(col("tf") >= lit(1L), col("source"))).as("n_sources"))
     val scored = tf.join(dfx, "tok")
       .crossJoin(broadcast(ns))
       .select(col("source"), col("tok"), col("tf"), col("df"),
